@@ -1,0 +1,115 @@
+"""Device mesh + sharding plumbing.
+
+The reference scales with DDP/NCCL via HF Accelerate
+(trainer/leo_trainer.py:50-52, common/misc.py:134-243). TPU-native
+equivalent: one ``jax.sharding.Mesh`` with named axes and XLA-inserted
+collectives over ICI. Axes:
+
+  - ``dp``: data parallel (batch dimension)            — DDP analog
+  - ``tp``: tensor parallel (LLM hidden/heads)         — spare axis for 7B+
+  - ``pp``: reserved for pipeline stages (size 1 today)
+
+The mesh is global per-process; models receive ``PartitionSpec`` trees via
+``shard_params`` rules rather than hand-written collectives: XLA lowers
+``jit``-with-shardings to ICI all-reduce/all-gather (scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "dp"
+MODEL_AXIS = "tp"
+PIPELINE_AXIS = "pp"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    dp: int = -1  # -1: infer (all remaining devices)
+    tp: int = 1
+    pp: int = 1
+
+    def resolve(self, n_devices: int) -> Tuple[int, int, int]:
+        tp, pp = self.tp, self.pp
+        dp = self.dp
+        if dp == -1:
+            assert n_devices % (tp * pp) == 0, (
+                f"{n_devices} devices not divisible by tp*pp={tp * pp}"
+            )
+            dp = n_devices // (tp * pp)
+        assert dp * tp * pp == n_devices, (
+            f"mesh {dp}x{tp}x{pp} != {n_devices} devices"
+        )
+        return dp, tp, pp
+
+
+def make_mesh(
+    mesh_config: Optional[MeshConfig] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    cfg = mesh_config or MeshConfig()
+    dp, tp, pp = cfg.resolve(len(devices))
+    dev_array = np.array(devices).reshape(dp, tp, pp)
+    return Mesh(dev_array, axis_names=(DATA_AXIS, MODEL_AXIS, PIPELINE_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard leading (batch) dim over dp; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_spec() -> P:
+    return P(DATA_AXIS)
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with batch dim sharded over dp."""
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def pad_to_multiple(n: int, multiple: int) -> int:
+    return int(math.ceil(n / multiple) * multiple)
+
+
+def process_allgather_objects(objs: list) -> list:
+    """Multi-host gather of non-tensor python objects.
+
+    Reference analog: ``CustomAccelerator.gather_object`` via
+    ``torch.distributed.all_gather_object`` (common/misc.py:88-126) — which
+    raises NotImplementedError on TPU. Here: single-process returns as-is;
+    multi-process JAX uses ``multihost_utils`` broadcast-based gather.
+    """
+    if jax.process_count() == 1:
+        return list(objs)
+    from jax.experimental import multihost_utils
+    import pickle
+
+    payload = pickle.dumps(objs)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    # pad to the global max length so all hosts contribute equal-size arrays
+    local_len = np.array([buf.size], dtype=np.int32)
+    all_lens = multihost_utils.process_allgather(local_len).reshape(-1)
+    max_len = int(all_lens.max())
+    padded = np.zeros(max_len, dtype=np.uint8)
+    padded[: buf.size] = buf
+    gathered = multihost_utils.process_allgather(padded)
+    out: list = []
+    for row, ln in zip(np.asarray(gathered).reshape(jax.process_count(), -1), all_lens):
+        out.extend(pickle.loads(row[:ln].tobytes()))
+    return out
