@@ -1,0 +1,404 @@
+"""JAX Llama (Vicuna-7B family) with LoRA adapters — TPU-native.
+
+Replaces the reference's HF ``LlamaForCausalLM`` + PEFT stack
+(model/msr3d/msr3d.py:75-112) with a from-scratch flax implementation:
+
+  - RMSNorm / rotary embeddings / SwiGLU MLP / (G)MHA with optional GQA
+  - LoRA (r, α, dropout) on any of q/k/v/o/gate/up/down projections —
+    the base weight stays frozen (stop_gradient); only A/B train,
+    matching PEFT's ``lora_B @ lora_A * (α/r)`` parametrization
+  - ``inputs_embeds`` path as the primary interface (the reference always
+    calls the LLM with spliced embeddings, msr3d.py:409-415)
+  - static-shape prefill + KV-cache decode designed for jit (the decode
+    loop itself lives in ``sampling.py``)
+
+Weights convert from HF checkpoints via ``utils/hf_llama.py``. Param
+dtype is configurable; compute dtype defaults to bfloat16 on TPU (the
+reference runs fp16 weights + bf16 autocast; bf16 is the TPU-native
+choice, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: Optional[int] = None  # None → MHA (Vicuna-7B)
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+    # LoRA
+    lora_rank: int = 0  # 0 → disabled
+    lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
+    lora_targets: Tuple[str, ...] = (
+        "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
+    )
+    dtype: Any = jnp.bfloat16  # compute dtype
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_key_value_heads or self.num_attention_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @staticmethod
+    def tiny(**kw) -> "LlamaConfig":
+        """Small config for tests."""
+        base = dict(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=128,
+        )
+        base.update(kw)
+        return LlamaConfig(**base)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        normed = x32 * jax.lax.rsqrt(var + self.eps)
+        return (normed * scale).astype(self.dtype)
+
+
+def rope_freqs(head_dim: int, theta: float) -> jax.Array:
+    return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """x (B, T, H, D), positions (B, T) → rotated x (HF half-split layout)."""
+    freqs = rope_freqs(x.shape[-1], theta)  # (D/2,)
+    angles = positions[..., None].astype(jnp.float32) * freqs  # (B, T, D/2)
+    cos = jnp.cos(angles)[:, :, None, :]  # (B, T, 1, D/2)
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class LoraDense(nn.Module):
+    """Frozen base Dense + optional trainable LoRA delta.
+
+    y = stop_grad(W) x + (α/r) · B(A(dropout(x)))  — PEFT semantics.
+    """
+
+    features: int
+    use_lora: bool = False
+    lora_rank: int = 16
+    lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
+    base_frozen: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.02), (in_features, self.features)
+        )
+        if self.base_frozen:
+            kernel = jax.lax.stop_gradient(kernel)
+        y = x @ kernel.astype(self.dtype)
+        if self.use_lora and self.lora_rank > 0:
+            a = self.param(
+                "lora_a",
+                nn.initializers.he_uniform(),
+                (in_features, self.lora_rank),
+            )
+            b = self.param(
+                "lora_b", nn.initializers.zeros, (self.lora_rank, self.features)
+            )
+            h = x
+            if self.lora_dropout > 0:
+                h = nn.Dropout(self.lora_dropout)(h, deterministic=deterministic)
+            scale = self.lora_alpha / self.lora_rank
+            y = y + (h @ a.astype(self.dtype)) @ b.astype(self.dtype) * scale
+        return y
+
+
+def _make_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+    }
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (B, T, H)
+        positions: jax.Array,  # (B, T)
+        attn_bias: jax.Array,  # (B, 1, T, S) additive mask (0 or -inf-ish)
+        kv_cache: Optional[Dict[str, jax.Array]] = None,  # {"k","v"}: (B,S,hkv,D)
+        cache_index: Optional[jax.Array] = None,  # scalar write offset
+        *,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        lora = dict(
+            lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+            lora_dropout=cfg.lora_dropout, dtype=cfg.dtype,
+        )
+
+        def proj(name, features):
+            return LoraDense(
+                features,
+                use_lora=cfg.lora_rank > 0 and name in cfg.lora_targets,
+                name=name,
+                **lora,
+            )
+
+        b, t, _ = x.shape
+        q = proj("q_proj", cfg.num_attention_heads * cfg.head_dim)(x, deterministic=deterministic)
+        k = proj("k_proj", cfg.kv_heads * cfg.head_dim)(x, deterministic=deterministic)
+        v = proj("v_proj", cfg.kv_heads * cfg.head_dim)(x, deterministic=deterministic)
+        q = q.reshape(b, t, cfg.num_attention_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.kv_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.kv_heads, cfg.head_dim)
+
+        q = apply_rope(q, positions, cfg.rope_theta)
+        k = apply_rope(k, positions, cfg.rope_theta)
+
+        new_cache = None
+        if kv_cache is not None:
+            # decode: write current k/v at cache_index, attend over full cache
+            k_cache = jax.lax.dynamic_update_slice(
+                kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0)
+            )
+            new_cache = {"k": k_cache, "v": v_cache}
+            k, v = k_cache, v_cache
+
+        # GQA: repeat kv heads
+        n_rep = cfg.num_attention_heads // cfg.kv_heads
+        if n_rep > 1:
+            k = jnp.repeat(k, n_rep, axis=2)
+            v = jnp.repeat(v, n_rep, axis=2)
+
+        attn = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(cfg.head_dim).astype(
+            jnp.float32
+        )
+        attn = attn.astype(jnp.float32) + attn_bias
+        weights = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", weights, v)
+        out = out.reshape(b, t, cfg.num_attention_heads * cfg.head_dim)
+        out = proj("o_proj", cfg.hidden_size)(out, deterministic=deterministic)
+        return out, new_cache
+
+
+class LlamaMLP(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        cfg = self.cfg
+        lora = dict(
+            lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+            lora_dropout=cfg.lora_dropout, dtype=cfg.dtype,
+        )
+
+        def proj(name, features):
+            return LoraDense(
+                features,
+                use_lora=cfg.lora_rank > 0 and name in cfg.lora_targets,
+                name=name,
+                **lora,
+            )
+
+        gate = proj("gate_proj", cfg.intermediate_size)(x, deterministic=deterministic)
+        up = proj("up_proj", cfg.intermediate_size)(x, deterministic=deterministic)
+        return proj("down_proj", cfg.hidden_size)(
+            nn.silu(gate) * up, deterministic=deterministic
+        )
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(
+        self, x, positions, attn_bias, kv_cache=None, cache_index=None,
+        *, deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="input_norm")(x)
+        h, new_cache = LlamaAttention(cfg, name="attn")(
+            h, positions, attn_bias, kv_cache, cache_index, deterministic=deterministic
+        )
+        x = x + h
+        h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="post_attn_norm")(x)
+        h = LlamaMLP(cfg, name="mlp")(h, deterministic=deterministic)
+        return x + h, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder-only Llama, driven by ``inputs_embeds``.
+
+    The embedding table is exposed via ``embed_tokens`` (a method) so the
+    MSR3D model can splice scene/image embeddings between token embeddings
+    exactly as the reference does (msr3d.py:230-287).
+    """
+
+    cfg: LlamaConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.embedding = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size,
+            embedding_init=nn.initializers.normal(0.02),
+            name="embed_tokens",
+        )
+        self.blocks = [
+            LlamaBlock(cfg, name=f"layer_{i}") for i in range(cfg.num_hidden_layers)
+        ]
+        self.final_norm = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="final_norm")
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                cfg.vocab_size, use_bias=False,
+                kernel_init=nn.initializers.normal(0.02), name="lm_head",
+            )
+
+    def embed_tokens(self, input_ids: jax.Array) -> jax.Array:
+        # frozen LLM: embeddings never train (msr3d.py:79-81)
+        return jax.lax.stop_gradient(
+            self.embedding(input_ids).astype(self.cfg.dtype)
+        )
+
+    def logits(self, hidden: jax.Array) -> jax.Array:
+        if self.cfg.tie_word_embeddings:
+            kernel = self.embedding.embedding.T.astype(self.cfg.dtype)
+            return hidden @ jax.lax.stop_gradient(kernel)
+        kernel = jax.lax.stop_gradient(self.lm_head.kernel).astype(self.cfg.dtype)
+        return hidden @ kernel
+
+    def __call__(
+        self,
+        inputs_embeds: jax.Array,  # (B, T, H)
+        attention_mask: jax.Array,  # (B, T) 1 = attend
+        positions: Optional[jax.Array] = None,
+        kv_caches: Optional[Dict[str, jax.Array]] = None,  # stacked (L, B, S, h, D)
+        cache_index: Optional[jax.Array] = None,
+        cache_mask: Optional[jax.Array] = None,  # (B, S) 1 = valid cache slot
+        *,
+        deterministic: bool = True,
+    ):
+        """Returns (logits (B,T,V), hidden (B,T,H), new kv_caches or None)."""
+        cfg = self.cfg
+        b, t, _ = inputs_embeds.shape
+        if positions is None:
+            # HF semantics with left padding: position = cumsum of mask - 1
+            positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+
+        if kv_caches is None:
+            # prefill: causal mask ∧ key-padding mask
+            causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+            mask = causal[None, None, :, :] & attention_mask[:, None, None, :].astype(bool)
+            attn_bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+        else:
+            # decode: attend over cache slots marked valid + current position
+            s = kv_caches["k"].shape[2]
+            assert cache_mask is not None
+            attn_bias = jnp.where(
+                cache_mask[:, None, None, :].astype(bool), 0.0, -1e30
+            ).astype(jnp.float32)
+
+        x = inputs_embeds.astype(cfg.dtype)
+        new_k, new_v = [], []
+        for i, block in enumerate(self.blocks):
+            layer_cache = (
+                None
+                if kv_caches is None
+                else {"k": kv_caches["k"][i], "v": kv_caches["v"][i]}
+            )
+            x, updated = block(
+                x, positions, attn_bias, layer_cache, cache_index,
+                deterministic=deterministic,
+            )
+            if updated is not None:
+                new_k.append(updated["k"])
+                new_v.append(updated["v"])
+
+        x = self.final_norm(x)
+        logits = self.logits(x)
+        new_caches = (
+            {"k": jnp.stack(new_k), "v": jnp.stack(new_v)} if new_k else None
+        )
+        return logits, x, new_caches
+
+    def prefill_with_cache(
+        self,
+        inputs_embeds: jax.Array,
+        attention_mask: jax.Array,
+        max_cache_len: int,
+        *,
+        deterministic: bool = True,
+    ):
+        """Run prefill AND populate a KV cache of length ``max_cache_len``.
+
+        Returns (logits, hidden, kv_caches, cache_mask, positions_next).
+        The prompt occupies cache slots [0, T); decode continues at T.
+        """
+        cfg = self.cfg
+        b, t, _ = inputs_embeds.shape
+        assert t <= max_cache_len
+        positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+
+        causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+        mask = causal[None, None, :, :] & attention_mask[:, None, None, :].astype(bool)
+        attn_bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+
+        x = inputs_embeds.astype(cfg.dtype)
+        ks, vs = [], []
+        for block in self.blocks:
+            # run block while capturing its k/v (recomputed here via a
+            # cache-prefill pass: write into zeros cache at index 0)
+            zeros = {
+                "k": jnp.zeros((b, max_cache_len, cfg.kv_heads, cfg.head_dim), cfg.dtype),
+                "v": jnp.zeros((b, max_cache_len, cfg.kv_heads, cfg.head_dim), cfg.dtype),
+            }
+            # decode-style call with a (T,S) bias replicating prefill masking
+            pad = jnp.full((b, 1, t, max_cache_len - t), -1e30, jnp.float32)
+            bias_full = jnp.concatenate([attn_bias, pad], axis=-1)
+            x, updated = block(
+                x, positions, bias_full, zeros, 0, deterministic=deterministic
+            )
+            ks.append(updated["k"])
+            vs.append(updated["v"])
+
+        x = self.final_norm(x)
+        logits = self.logits(x)
+        kv_caches = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+        slot = jnp.arange(max_cache_len)[None, :]
+        cache_mask = (slot < t) & (
+            jnp.pad(attention_mask, ((0, 0), (0, max_cache_len - t))).astype(bool)
+        )
+        next_positions = positions[:, -1] + 1  # (B,)
+        return logits, x, kv_caches, cache_mask, next_positions
