@@ -72,10 +72,13 @@ class LlamaConfig:
 class RMSNorm(nn.Module):
     eps: float = 1e-6
     dtype: Any = jnp.bfloat16
+    frozen: bool = True  # the whole base LLM is frozen (msr3d.py:79-81)
 
     @nn.compact
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        if self.frozen:
+            scale = jax.lax.stop_gradient(scale)
         x32 = x.astype(jnp.float32)
         var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
         normed = x32 * jax.lax.rsqrt(var + self.eps)
@@ -259,6 +262,20 @@ class LlamaBlock(nn.Module):
         return x + h, new_cache
 
 
+class FrozenHead(nn.Module):
+    """LM head with a stop-gradiented kernel (the LLM head never trains)."""
+
+    vocab_size: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, hidden):
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.02), (hidden.shape[-1], self.vocab_size)
+        )
+        return hidden @ jax.lax.stop_gradient(kernel).astype(self.dtype)
+
+
 class LlamaModel(nn.Module):
     """Decoder-only Llama, driven by ``inputs_embeds``.
 
@@ -281,10 +298,7 @@ class LlamaModel(nn.Module):
         ]
         self.final_norm = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="final_norm")
         if not cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(
-                cfg.vocab_size, use_bias=False,
-                kernel_init=nn.initializers.normal(0.02), name="lm_head",
-            )
+            self.lm_head = FrozenHead(cfg.vocab_size, cfg.dtype, name="lm_head")
 
     def embed_tokens(self, input_ids: jax.Array) -> jax.Array:
         # frozen LLM: embeddings never train (msr3d.py:79-81)
@@ -296,8 +310,7 @@ class LlamaModel(nn.Module):
         if self.cfg.tie_word_embeddings:
             kernel = self.embedding.embedding.T.astype(self.cfg.dtype)
             return hidden @ jax.lax.stop_gradient(kernel)
-        kernel = jax.lax.stop_gradient(self.lm_head.kernel).astype(self.cfg.dtype)
-        return hidden @ kernel
+        return self.lm_head(hidden)
 
     def __call__(
         self,

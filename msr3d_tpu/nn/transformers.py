@@ -167,7 +167,7 @@ class MultiHeadAttentionSpatial(nn.Module):
         out = nn.Dense(self.d_model, name="fc")(_merge_heads(out))
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         # reference puts residual + LN inside the attention block (:250-251)
-        out = nn.LayerNorm(name="layer_norm")(out + residual)
+        out = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(out + residual)
         return out, fused_attn
 
 
@@ -203,8 +203,8 @@ class TransformerEncoderLayer(nn.Module):
         *,
         deterministic: bool = True,
     ):
-        norm1 = nn.LayerNorm(name="norm1")
-        norm2 = nn.LayerNorm(name="norm2")
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
         attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="self_attn")
         ffn = FeedForward(
             self.d_model, self.dim_feedforward, self.dropout, self.activation, name="ffn"
@@ -269,10 +269,10 @@ class TransformerSpatialEncoderLayer(nn.Module):
             key_padding_mask=tgt_key_padding_mask, deterministic=deterministic,
         )
         tgt = tgt + drop(tgt2, deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm1")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
         tgt2 = ffn(tgt, deterministic=deterministic)
         tgt = tgt + drop(tgt2, deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm2")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
         return tgt, attn_w
 
 
@@ -298,8 +298,8 @@ class CrossAttentionLayer(nn.Module):
         *,
         deterministic: bool = True,
     ):
-        norm1 = nn.LayerNorm(name="norm1")
-        norm3 = nn.LayerNorm(name="norm3")
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
         attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="multihead_attn")
         ffn = FeedForward(
             self.d_model, self.dim_feedforward, self.dropout, self.activation, name="ffn"

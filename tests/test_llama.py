@@ -1,0 +1,311 @@
+"""JAX Llama parity vs HuggingFace transformers (tiny random model, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msr3d_tpu.models.llm.convert import (
+    config_from_hf,
+    init_lora_params,
+    params_from_hf_state_dict,
+)
+from msr3d_tpu.models.llm.llama import LlamaConfig, LlamaModel
+from msr3d_tpu.models.llm.sampling import beam_search_decode, greedy_decode
+
+TINY_HF = dict(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=4,
+    max_position_embeddings=128,
+    rms_norm_eps=1e-6,
+    tie_word_embeddings=False,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    import torch
+    from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(HFConfig(**TINY_HF)).eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_setup(hf_model):
+    cfg = config_from_hf(TINY_HF, dtype=jnp.float32)
+    params = params_from_hf_state_dict(hf_model.state_dict(), cfg)
+    model = LlamaModel(cfg)
+    return cfg, model, {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+
+def make_inputs(rng, hf_model, b=2, t=10, left_pad=3):
+    import torch
+
+    ids = rng.integers(5, 120, size=(b, t)).astype(np.int32)
+    mask = np.ones((b, t), np.int32)
+    mask[0, :left_pad] = 0  # row 0 left-padded
+    with torch.no_grad():
+        embeds = hf_model.get_input_embeddings()(torch.from_numpy(ids).long()).numpy()
+    return ids, mask, embeds
+
+
+class TestForwardParity:
+    def test_logits_match_hf(self, rng, hf_model, jax_setup):
+        import torch
+
+        cfg, model, variables = jax_setup
+        ids, mask, embeds = make_inputs(rng, hf_model)
+
+        with torch.no_grad():
+            want = hf_model(
+                inputs_embeds=torch.from_numpy(embeds),
+                attention_mask=torch.from_numpy(mask),
+            ).logits.numpy()
+
+        logits, _, _ = model.apply(
+            variables, jnp.asarray(embeds), jnp.asarray(mask)
+        )
+        got = np.asarray(logits)
+        # compare only non-pad positions (HF emits garbage on pads too, but
+        # padded rows' positions differ in HF internals)
+        valid = mask.astype(bool)
+        np.testing.assert_allclose(got[valid], want[valid], atol=2e-4)
+
+    def test_embed_tokens_matches_hf(self, rng, hf_model, jax_setup):
+        cfg, model, variables = jax_setup
+        ids = rng.integers(0, 128, size=(2, 5)).astype(np.int32)
+        got = model.apply(variables, jnp.asarray(ids), method=model.embed_tokens)
+        import torch
+
+        with torch.no_grad():
+            want = hf_model.get_input_embeddings()(torch.from_numpy(ids).long()).numpy()
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    def test_prefill_cache_consistency(self, rng, hf_model, jax_setup):
+        """Prefill-with-cache must produce the same logits as plain forward."""
+        cfg, model, variables = jax_setup
+        ids, mask, embeds = make_inputs(rng, hf_model)
+
+        plain_logits, _, _ = model.apply(
+            variables, jnp.asarray(embeds), jnp.asarray(mask)
+        )
+        cached_logits, _, caches, cache_mask, next_pos = model.apply(
+            variables, jnp.asarray(embeds), jnp.asarray(mask), 32,
+            method=model.prefill_with_cache,
+        )
+        # left-pad query rows are fully masked → garbage in both paths
+        # (uniform softmax over different denominators); only valid
+        # positions are ever read downstream
+        valid = mask.astype(bool)
+        np.testing.assert_allclose(
+            np.asarray(cached_logits)[valid], np.asarray(plain_logits)[valid],
+            atol=1e-5,
+        )
+        assert caches["k"].shape == (2, 2, 32, 4, 16)  # (L, B, S, h, d)
+        np.testing.assert_array_equal(
+            np.asarray(cache_mask[:, :10]), mask.astype(bool)
+        )
+
+    def test_decode_step_matches_full_forward(self, rng, hf_model, jax_setup):
+        """One cached decode step == recomputing the full sequence."""
+        cfg, model, variables = jax_setup
+        ids, mask, embeds = make_inputs(rng, hf_model, left_pad=0)
+        b, t = ids.shape
+
+        _, _, caches, cache_mask, next_pos = model.apply(
+            variables, jnp.asarray(embeds), jnp.asarray(mask), 32,
+            method=model.prefill_with_cache,
+        )
+        new_ids = rng.integers(5, 120, size=(b, 1)).astype(np.int32)
+        new_embeds = model.apply(
+            variables, jnp.asarray(new_ids), method=model.embed_tokens
+        )
+        cache_mask = cache_mask.at[:, t].set(True)
+        step_logits, _, _ = model.apply(
+            variables, new_embeds, jnp.ones((b, 1), jnp.int32),
+            positions=next_pos[:, None], kv_caches=caches, cache_index=t,
+            cache_mask=cache_mask,
+        )
+
+        full_embeds = np.concatenate([embeds, np.asarray(new_embeds)], axis=1)
+        full_mask = np.concatenate([mask, np.ones((b, 1), np.int32)], axis=1)
+        full_logits, _, _ = model.apply(
+            variables, jnp.asarray(full_embeds), jnp.asarray(full_mask)
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, -1]), atol=1e-4
+        )
+
+
+def _decode_fixture(model, variables):
+    def decode_step(token_ids, positions, caches, cache_index, cache_mask):
+        embeds = model.apply(variables, token_ids, method=model.embed_tokens)
+        logits, _, new_caches = model.apply(
+            variables, embeds, jnp.ones_like(token_ids),
+            positions=positions, kv_caches=caches, cache_index=cache_index,
+            cache_mask=cache_mask,
+        )
+        return logits, new_caches
+
+    return decode_step
+
+
+class TestGeneration:
+    MAXLEN = 48
+
+    def _hf_generate(self, hf_model, embeds, mask, **kw):
+        import torch
+
+        with torch.no_grad():
+            out = hf_model.generate(
+                inputs_embeds=torch.from_numpy(embeds),
+                attention_mask=torch.from_numpy(mask),
+                max_new_tokens=12,
+                pad_token_id=0,
+                eos_token_id=2,
+                **kw,
+            )
+        return out.numpy()
+
+    def _ours_prefill(self, model, variables, embeds, mask):
+        logits, _, caches, cache_mask, next_pos = model.apply(
+            variables, jnp.asarray(embeds), jnp.asarray(mask), self.MAXLEN,
+            method=model.prefill_with_cache,
+        )
+        first = np.asarray(logits)[np.arange(embeds.shape[0]), -1]
+        return jnp.asarray(first), caches, cache_mask, next_pos
+
+    def test_greedy_matches_hf(self, rng, hf_model, jax_setup):
+        cfg, model, variables = jax_setup
+        ids, mask, embeds = make_inputs(rng, hf_model, b=2, t=8, left_pad=2)
+        want = self._hf_generate(hf_model, embeds, mask, do_sample=False, num_beams=1)
+
+        first, caches, cache_mask, next_pos = self._ours_prefill(
+            model, variables, embeds, mask
+        )
+        got = greedy_decode(
+            _decode_fixture(model, variables), caches, cache_mask, next_pos,
+            first, max_new_tokens=12, eos_id=2, pad_id=0, prompt_len=8,
+        )
+        got = np.asarray(got)
+        for b in range(2):
+            w = want[b]
+            g = got[b]
+            # compare up to and including first EOS
+            for i in range(min(len(w), len(g))):
+                assert g[i] == w[i], (b, i, g, w)
+                if w[i] == 2:
+                    break
+
+    def test_greedy_with_repetition_penalty_matches_hf(self, rng, hf_model, jax_setup):
+        cfg, model, variables = jax_setup
+        ids, mask, embeds = make_inputs(rng, hf_model, b=2, t=8, left_pad=0)
+        want = self._hf_generate(
+            hf_model, embeds, mask, do_sample=False, num_beams=1,
+            repetition_penalty=2.0,
+        )
+        first, caches, cache_mask, next_pos = self._ours_prefill(
+            model, variables, embeds, mask
+        )
+        got = np.asarray(
+            greedy_decode(
+                _decode_fixture(model, variables), caches, cache_mask, next_pos,
+                first, max_new_tokens=12, eos_id=2, pad_id=0, prompt_len=8,
+                repetition_penalty=2.0,
+            )
+        )
+        for b in range(2):
+            w = want[b]
+            g = got[b]
+            for i in range(min(len(w), len(g))):
+                assert g[i] == w[i], (b, i, g, w)
+                if w[i] == 2:
+                    break
+
+    def test_beam_matches_hf(self, rng, hf_model, jax_setup):
+        cfg, model, variables = jax_setup
+        ids, mask, embeds = make_inputs(rng, hf_model, b=2, t=8, left_pad=0)
+        want = self._hf_generate(
+            hf_model, embeds, mask, do_sample=False, num_beams=3,
+            repetition_penalty=2.0, length_penalty=1.0,
+        )
+        first, caches, cache_mask, next_pos = self._ours_prefill(
+            model, variables, embeds, mask
+        )
+        got = np.asarray(
+            beam_search_decode(
+                _decode_fixture(model, variables), caches, cache_mask, next_pos,
+                first, num_beams=3, max_new_tokens=12, eos_id=2, pad_id=0,
+                prompt_len=8, repetition_penalty=2.0, length_penalty=1.0,
+            )
+        )
+        for b in range(2):
+            w = want[b]
+            g = got[b]
+            for i in range(min(len(w), len(g))):
+                assert g[i] == w[i], (b, i, g.tolist(), w.tolist())
+                if w[i] == 2:
+                    break
+
+
+class TestLoRA:
+    def test_lora_zero_delta_at_init(self, rng, hf_model):
+        cfg = config_from_hf(TINY_HF, dtype=jnp.float32, lora_rank=4)
+        params = params_from_hf_state_dict(hf_model.state_dict(), cfg)
+        params = init_lora_params(params, cfg)
+        model = LlamaModel(cfg)
+        variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+        base_cfg = config_from_hf(TINY_HF, dtype=jnp.float32)
+        base_params = params_from_hf_state_dict(hf_model.state_dict(), base_cfg)
+        base_model = LlamaModel(base_cfg)
+        base_vars = {"params": jax.tree_util.tree_map(jnp.asarray, base_params)}
+
+        ids = rng.integers(0, 128, size=(1, 6)).astype(np.int32)
+        embeds = model.apply(variables, jnp.asarray(ids), method=model.embed_tokens)
+        mask = jnp.ones((1, 6), jnp.int32)
+        lora_logits, _, _ = model.apply(variables, embeds, mask)
+        base_logits, _, _ = base_model.apply(base_vars, embeds, mask)
+        np.testing.assert_allclose(
+            np.asarray(lora_logits), np.asarray(base_logits), atol=1e-6
+        )
+
+    def test_only_lora_params_receive_grads(self, rng, hf_model):
+        cfg = config_from_hf(TINY_HF, dtype=jnp.float32, lora_rank=4)
+        params = params_from_hf_state_dict(hf_model.state_dict(), cfg)
+        params = init_lora_params(params, cfg)
+        model = LlamaModel(cfg)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        # B=0 at init makes ∂L/∂A exactly 0 (true in PEFT too); perturb B so
+        # both halves see gradient
+        params = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: leaf + 0.01
+            if "lora_b" in jax.tree_util.keystr(path)
+            else leaf,
+            params,
+        )
+
+        ids = jnp.asarray(rng.integers(0, 128, size=(1, 6)).astype(np.int32))
+        mask = jnp.ones((1, 6), jnp.int32)
+
+        def loss(p):
+            embeds = model.apply({"params": p}, ids, method=model.embed_tokens)
+            logits, _, _ = model.apply({"params": p}, embeds, mask)
+            return jnp.sum(logits.astype(jnp.float32) ** 2)
+
+        grads = jax.grad(loss)(params)
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        for path, leaf in flat:
+            name = jax.tree_util.keystr(path)
+            total = float(jnp.abs(leaf).sum())
+            if "lora" in name:
+                assert total > 0, f"LoRA grad unexpectedly zero: {name}"
+            else:
+                assert total == 0, f"frozen param got grad: {name}"
