@@ -1,0 +1,460 @@
+"""MSR3D — the full 3D-scene multimodal LLM (TPU-native).
+
+Reference: model/msr3d/msr3d.py:42-655. Composition:
+
+  visual_prompter (OSE3DSituation) ─▶ scene tokens ──llm_proj──▶ 4096-d ┐
+  image encoder (ConvNeXt, avg-pool) ─▶ 1 tok/img ──llm_proj_img──▶ 4096┼▶ splice
+  tokenizer(图/物/景 placeholders) ─▶ input ids ──embed_tokens──────────┘   │
+                                                               LLM (LoRA) ─▶ CE / decode
+
+Design split (TPU-first, not a port):
+  - ``MSR3DNetwork`` (flax): ALL device compute — scene encoding, image
+    encoding, placeholder splicing, LLM forward — one jit-able graph with
+    static shapes. Placeholder splicing is a gather (cumsum-rank + where)
+    instead of the reference's boolean scatter (msr3d.py:230-287): no
+    dynamic shapes, fully vectorized.
+  - ``MSR3D`` (host): prompt building (placeholder expansion,
+    msr3d.py:291-326), tokenization into padded buckets, decode-loop
+    orchestration. Registered under the reference's ``MSR3D`` name.
+
+Loss parity (msr3d.py:370-441): answers tokenized with bos+eos, spliced
+after the prompt; CE over answer tokens only (bos position masked),
+normalized per sequence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msr3d_tpu.models.llm.llama import LlamaConfig, LlamaModel
+from msr3d_tpu.models.llm.sampling import beam_search_decode, greedy_decode
+from msr3d_tpu.models.llm.tokenizer import (
+    BaseTokenizer,
+    IMAGE_PLACEHOLDER,
+    SCENE_PLACEHOLDER,
+    build_tokenizer,
+)
+from msr3d_tpu.models.ose3d_situation import OSE3DConfig, OSE3DSituation
+from msr3d_tpu.models.vision2d import Backbone2D
+from msr3d_tpu.registry import MODEL_REGISTRY
+
+
+@dataclasses.dataclass(frozen=True)
+class MSR3DNetworkConfig:
+    prompter: OSE3DConfig
+    llm: LlamaConfig
+    backbone_name: str = "convnext_base"
+    image_pooling: str = "avg"
+    freeze_image_encoder: bool = True
+    scene_token_id: int = 6
+    img_token_id: int = 4
+
+
+def splice_embeddings(
+    token_embeds: jax.Array,  # (B, T, D)
+    input_ids: jax.Array,  # (B, T)
+    placeholder_id: int,
+    insert_embeds: jax.Array,  # (B, N, D)
+    insert_mask: Optional[jax.Array],  # (B, N) 1 = valid
+    attention_mask: jax.Array,  # (B, T)
+):
+    """Replace embeddings at placeholder positions by rank-gather.
+
+    The k-th occurrence of ``placeholder_id`` in a row receives
+    ``insert_embeds[row, k]``; the attention mask at that position becomes
+    ``insert_mask[row, k]``. Pure gather — static shapes, O(T) — replacing
+    the reference's boolean-index scatter (msr3d.py:241-287).
+    """
+    is_ph = input_ids == placeholder_id  # (B, T)
+    rank = jnp.cumsum(is_ph.astype(jnp.int32), axis=1) - 1  # (B, T)
+    rank = jnp.clip(rank, 0, insert_embeds.shape[1] - 1)
+    gathered = jnp.take_along_axis(
+        insert_embeds, rank[..., None], axis=1
+    )  # (B, T, D)
+    embeds = jnp.where(is_ph[..., None], gathered.astype(token_embeds.dtype), token_embeds)
+    if insert_mask is not None:
+        gathered_mask = jnp.take_along_axis(insert_mask.astype(jnp.int32), rank, axis=1)
+        attention_mask = jnp.where(is_ph, gathered_mask, attention_mask)
+    return embeds, attention_mask
+
+
+class MSR3DNetwork(nn.Module):
+    cfg: MSR3DNetworkConfig
+
+    def setup(self):
+        self.visual_prompter = OSE3DSituation(self.cfg.prompter)
+        self.llm = LlamaModel(self.cfg.llm)
+        self.llm_proj = nn.Dense(self.cfg.llm.hidden_size)
+        self.image_encoder = Backbone2D(
+            backbone_name=self.cfg.backbone_name,
+            pooling=self.cfg.image_pooling,
+            freeze=self.cfg.freeze_image_encoder,
+        )
+        self.llm_proj_img = nn.Dense(self.cfg.llm.hidden_size)
+
+    # -- shared embedding construction ----------------------------------
+
+    def build_embeds(
+        self,
+        input_ids: jax.Array,  # (B, T)
+        attention_mask: jax.Array,  # (B, T)
+        obj_fts: jax.Array,
+        obj_masks: jax.Array,
+        obj_locs: jax.Array,
+        anchor_locs: jax.Array,
+        anchor_orientation: jax.Array,
+        images: Optional[jax.Array] = None,  # (B, M, H, W, 3)
+        image_masks: Optional[jax.Array] = None,  # (B, M)
+        *,
+        deterministic: bool = True,
+    ):
+        scene = self.visual_prompter(
+            obj_fts, obj_masks, obj_locs, anchor_locs, anchor_orientation,
+            deterministic=deterministic,
+        )
+        scene_embeds = self.llm_proj(scene["obj_tokens"])  # (B, N, D_llm)
+
+        embeds = self.llm.embed_tokens(input_ids)
+        embeds, attention_mask = splice_embeddings(
+            embeds, input_ids, self.cfg.scene_token_id,
+            scene_embeds, scene["obj_masks"], attention_mask,
+        )
+
+        if images is not None:
+            b, m = images.shape[:2]
+            flat = images.reshape((b * m,) + images.shape[2:])
+            img_feats = self.image_encoder(flat)  # (B·M, C)
+            img_embeds = self.llm_proj_img(img_feats).reshape(b, m, -1)
+            embeds, attention_mask = splice_embeddings(
+                embeds, input_ids, self.cfg.img_token_id,
+                img_embeds, image_masks, attention_mask,
+            )
+        return embeds, attention_mask
+
+    # -- training loss ---------------------------------------------------
+
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: jax.Array,
+        output_ids: jax.Array,  # (B, T_out) right-padded, bos ... eos
+        output_mask: jax.Array,  # (B, T_out)
+        obj_fts: jax.Array,
+        obj_masks: jax.Array,
+        obj_locs: jax.Array,
+        anchor_locs: jax.Array,
+        anchor_orientation: jax.Array,
+        images: Optional[jax.Array] = None,
+        image_masks: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> Dict[str, jax.Array]:
+        embeds, attn = self.build_embeds(
+            input_ids, attention_mask, obj_fts, obj_masks, obj_locs,
+            anchor_locs, anchor_orientation, images, image_masks,
+            deterministic=deterministic,
+        )
+        out_embeds = self.llm.embed_tokens(output_ids)
+        full_embeds = jnp.concatenate([embeds, out_embeds], axis=1)
+        full_attn = jnp.concatenate([attn, output_mask], axis=1)
+
+        # targets: -100 everywhere except answer tokens; the first output
+        # position (bos) is conditioning, not predicted (msr3d.py:385-392)
+        t_out = output_ids.shape[1]
+        prompt_targets = jnp.full(input_ids.shape, -100, jnp.int32)
+        answer_targets = jnp.where(output_mask.astype(bool), output_ids, -100)
+        answer_targets = answer_targets.at[:, 0].set(-100)
+        targets = jnp.concatenate([prompt_targets, answer_targets], axis=1)
+
+        logits, _, _ = self.llm(full_embeds, full_attn, deterministic=deterministic)
+        logits = logits.astype(jnp.float32)
+
+        shift_logits = logits[:, :-1]
+        shift_targets = targets[:, 1:]
+        valid = shift_targets >= 0
+        safe_targets = jnp.where(valid, shift_targets, 0)
+        logp = jax.nn.log_softmax(shift_logits, axis=-1)
+        token_nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+        token_nll = jnp.where(valid, token_nll, 0.0)
+        num_tokens = jnp.maximum(jnp.sum(valid, axis=1), 1)
+        seq_loss = jnp.sum(token_nll, axis=1) / num_tokens  # (B,) per-sequence
+        return {"loss": seq_loss, "logits": logits}
+
+    # -- generation ------------------------------------------------------
+
+    def prefill(
+        self,
+        input_ids: jax.Array,
+        attention_mask: jax.Array,
+        obj_fts: jax.Array,
+        obj_masks: jax.Array,
+        obj_locs: jax.Array,
+        anchor_locs: jax.Array,
+        anchor_orientation: jax.Array,
+        images: Optional[jax.Array] = None,
+        image_masks: Optional[jax.Array] = None,
+        *,
+        bos_id: int,
+        max_cache_len: int,
+    ):
+        """Build spliced embeds + trailing bos, prefill the KV cache.
+
+        Returns (first_token_logits (B,V) fp32, kv_caches, cache_mask,
+        next_positions).
+        """
+        embeds, attn = self.build_embeds(
+            input_ids, attention_mask, obj_fts, obj_masks, obj_locs,
+            anchor_locs, anchor_orientation, images, image_masks,
+        )
+        b = embeds.shape[0]
+        bos_embed = self.llm.embed_tokens(jnp.full((b, 1), bos_id, jnp.int32))
+        embeds = jnp.concatenate([embeds, bos_embed], axis=1)
+        attn = jnp.concatenate([attn, jnp.ones((b, 1), attn.dtype)], axis=1)
+
+        logits, _, caches, cache_mask, next_pos = self.llm.prefill_with_cache(
+            embeds, attn, max_cache_len
+        )
+        first = logits[:, -1, :].astype(jnp.float32)
+        return first, caches, cache_mask, next_pos
+
+    def decode_step(
+        self, token_ids, positions, kv_caches, cache_index, cache_mask
+    ):
+        embeds = self.llm.embed_tokens(token_ids)
+        logits, _, new_caches = self.llm(
+            embeds, jnp.ones_like(token_ids),
+            positions=positions, kv_caches=kv_caches, cache_index=cache_index,
+            cache_mask=cache_mask,
+        )
+        return logits, new_caches
+
+
+# ---------------------------------------------------------------------------
+# Host-side model: prompts, tokenization, decode orchestration
+# ---------------------------------------------------------------------------
+
+
+@MODEL_REGISTRY.register(name="MSR3D")
+class MSR3D:
+    """Host wrapper with the reference's model contract:
+    ``forward(data_dict) → data_dict['loss']``,
+    ``generate(data_dict) → data_dict['output_tokens']``.
+    """
+
+    def __init__(
+        self,
+        network_cfg: MSR3DNetworkConfig,
+        tokenizer: Optional[BaseTokenizer] = None,
+        *,
+        scene_token_len: int = 60,
+        image_token_len: int = 1,
+        max_context_len: int = 256,
+        max_out_len: int = 256,
+        prompt_pad_to: int = 256,
+        num_beams: int = 5,
+        repetition_penalty: float = 3.0,
+        length_penalty: float = 1.0,
+        seed: int = 0,
+    ):
+        self.tokenizer = tokenizer or build_tokenizer()
+        network_cfg = dataclasses.replace(
+            network_cfg,
+            scene_token_id=self.tokenizer.scene_token_id,
+            img_token_id=self.tokenizer.img_token_id,
+        )
+        self.cfg = network_cfg
+        self.network = MSR3DNetwork(network_cfg)
+        self.scene_token_len = scene_token_len
+        self.image_token_len = image_token_len
+        self.max_context_len = max_context_len
+        self.max_out_len = max_out_len
+        self.prompt_pad_to = prompt_pad_to
+        self.num_beams = num_beams
+        self.repetition_penalty = repetition_penalty
+        self.length_penalty = length_penalty
+        self._seed = seed
+        self.params: Optional[Dict[str, Any]] = None
+        self._loss_fn = None
+        self._prefill_fn = None
+        self._decode_fn = None
+
+    # -- init / params ----------------------------------------------------
+
+    def init_params(self, sample_batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        variables = self.network.init(
+            jax.random.key(self._seed), **_to_jax(sample_batch)
+        )
+        self.params = variables
+        return variables
+
+    # -- prompt building (msr3d.py:291-326) -------------------------------
+
+    def build_text_prompt(self, data_dict: Dict[str, Any]) -> List[str]:
+        scene_holder = SCENE_PLACEHOLDER * self.scene_token_len
+        image_holder = IMAGE_PLACEHOLDER * self.image_token_len
+
+        if "msr3d_prompt" in data_dict:
+            return [
+                p.replace(SCENE_PLACEHOLDER, scene_holder).replace(
+                    IMAGE_PLACEHOLDER, image_holder
+                )
+                for p in data_dict["msr3d_prompt"]
+            ]
+        # LEO-format prompts (prompt_before_obj / middles / after_obj)
+        prompts = []
+        for before, mid1, mid2, after in zip(
+            data_dict["prompt_before_obj"],
+            data_dict["prompt_middle_1"],
+            data_dict["prompt_middle_2"],
+            data_dict["prompt_after_obj"],
+        ):
+            prompts.append(
+                f"{before} {mid1}{image_holder}. {mid2} {scene_holder}. {after}"
+            )
+        return prompts
+
+    def _encode_prompts(self, prompts: List[str]):
+        enc = self.tokenizer.encode_batch(
+            prompts, padding_side="left", add_bos=True, pad_to=None
+        )
+        return enc.input_ids, enc.attention_mask
+
+    def _encode_answers(self, answers: List[str]):
+        enc = self.tokenizer.encode_batch(
+            answers, padding_side="right", add_bos=True, add_eos=True,
+            max_length=self.max_out_len, truncation_side="right",
+        )
+        return enc.input_ids, enc.attention_mask
+
+    def _scene_batch(self, data_dict: Dict[str, Any]) -> Dict[str, np.ndarray]:
+        batch = {
+            "obj_fts": np.asarray(data_dict["obj_fts"], np.float32),
+            "obj_masks": np.asarray(data_dict["obj_masks"], bool),
+            "obj_locs": np.asarray(data_dict["obj_locs"], np.float32),
+            "anchor_locs": np.asarray(data_dict["anchor_locs"], np.float32),
+            "anchor_orientation": np.asarray(
+                data_dict["anchor_orientation"], np.float32
+            ),
+        }
+        if "msr3d_imgs" in data_dict and data_dict["msr3d_imgs"] is not None:
+            batch["images"] = np.asarray(data_dict["msr3d_imgs"], np.float32)
+            batch["image_masks"] = np.asarray(data_dict["msr3d_img_masks"], bool)
+        return batch
+
+    # -- reference contract -----------------------------------------------
+
+    def forward(self, data_dict: Dict[str, Any]) -> Dict[str, Any]:
+        assert self.params is not None, "call init_params or load weights first"
+        prompts = self.build_text_prompt(data_dict)
+        input_ids, attn = self._encode_prompts(prompts)
+        output_ids, output_mask = self._encode_answers(data_dict["text_output"])
+        batch = self._scene_batch(data_dict)
+        batch.update(
+            input_ids=input_ids, attention_mask=attn,
+            output_ids=output_ids, output_mask=output_mask,
+        )
+        if self._loss_fn is None:
+            self._loss_fn = jax.jit(
+                lambda v, b: self.network.apply(v, **b)
+            )
+        out = self._loss_fn(self.params, _to_jax(batch))
+        data_dict["loss"] = out["loss"]
+        return data_dict
+
+    def generate(
+        self,
+        data_dict: Dict[str, Any],
+        *,
+        use_beam: Optional[bool] = None,
+        max_new_tokens: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        assert self.params is not None
+        prompts = self.build_text_prompt(data_dict)
+        input_ids, attn = self._encode_prompts(prompts)
+        batch = self._scene_batch(data_dict)
+        max_new = max_new_tokens or self.max_out_len
+        prompt_len = input_ids.shape[1] + 1  # + trailing bos
+        cache_len = prompt_len + max_new
+
+        first, caches, cache_mask, next_pos = self.network.apply(
+            self.params,
+            **_to_jax({"input_ids": input_ids, "attention_mask": attn, **batch}),
+            bos_id=self.tokenizer.bos_id,
+            max_cache_len=cache_len,
+            method=self.network.prefill,
+        )
+
+        def decode_step(token_ids, positions, kv, idx, cmask):
+            return self.network.apply(
+                self.params, token_ids, positions, kv, idx, cmask,
+                method=self.network.decode_step,
+            )
+
+        beams = self.num_beams if use_beam is None else (self.num_beams if use_beam else 1)
+        common = dict(
+            max_new_tokens=max_new,
+            eos_id=self.tokenizer.eos_id,
+            pad_id=self.tokenizer.eos_id,  # pad with eos (msr3d.py:515-519)
+            prompt_len=prompt_len,
+            min_length=1,
+            repetition_penalty=self.repetition_penalty,
+        )
+        if beams > 1:
+            tokens = beam_search_decode(
+                decode_step, caches, cache_mask, next_pos, first,
+                num_beams=beams, length_penalty=self.length_penalty, **common,
+            )
+        else:
+            tokens = greedy_decode(
+                decode_step, caches, cache_mask, next_pos, first, **common
+            )
+        data_dict["output_tokens"] = np.asarray(tokens)
+        data_dict["output_text"] = self.batch_detokenize(np.asarray(tokens))
+        return data_dict
+
+    def batch_detokenize(self, tokens: np.ndarray) -> List[str]:
+        """Decode generated ids, stopping at the first eos
+        (trainer/leo_trainer.py:313-338 semantics)."""
+        out = []
+        for row in tokens:
+            ids = []
+            for t in row:
+                if t == self.tokenizer.eos_id:
+                    break
+                ids.append(int(t))
+            out.append(self.tokenizer.decode(ids).strip())
+        return out
+
+    def get_opt_params_mask(self) -> Any:
+        """Pytree mask: True for trainable leaves (LoRA + projections +
+        scene encoder), False for frozen (LLM base, image backbone,
+        point-net when frozen). Mirrors msr3d.py:165-172 + freeze census."""
+        assert self.params is not None
+
+        def trainable(path: str) -> bool:
+            if "lora_a" in path or "lora_b" in path:
+                return True
+            if path.startswith("['params']['llm']"):
+                return False
+            if "image_encoder" in path:
+                return False
+            if "obj_encoder" in path and self.cfg.prompter.vision_freeze:
+                return False
+            if "batch_stats" in path:
+                return False
+            return True
+
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: trainable(jax.tree_util.keystr(p)), self.params
+        )
+
+
+def _to_jax(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in batch.items()}

@@ -1,0 +1,161 @@
+"""End-to-end MSR3D model tests (tiny config, byte tokenizer, CPU)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msr3d_tpu.models.llm.llama import LlamaConfig
+from msr3d_tpu.models.llm.tokenizer import ByteTokenizer, SCENE_PLACEHOLDER, IMAGE_PLACEHOLDER
+from msr3d_tpu.models.msr3d import MSR3D, MSR3DNetworkConfig, splice_embeddings
+from msr3d_tpu.models.ose3d_situation import OSE3DConfig, SpatialEncoderConfig
+
+TINY_PROMPTER = OSE3DConfig(
+    hidden_size=32,
+    spatial_encoder=SpatialEncoderConfig(
+        num_attention_heads=4, dim_feedforward=64, dropout=0.0, num_layers=1
+    ),
+    sa_n_points=(8, 4, None),
+    sa_n_samples=(8, 8, None),
+    sa_radii=(0.4, 0.8, None),
+    sa_mlps=((3, 8, 8, 16), (16, 16, 16, 32), (32, 32, 32, 64)),
+)
+
+
+def tiny_model(scene_token_len=5, **kw):
+    tok = ByteTokenizer()
+    cfg = MSR3DNetworkConfig(
+        prompter=TINY_PROMPTER,
+        llm=LlamaConfig.tiny(vocab_size=tok.vocab_size, dtype=jnp.float32),
+        backbone_name="convnext_test",
+    )
+    return MSR3D(
+        cfg, tok, scene_token_len=scene_token_len, max_out_len=16,
+        num_beams=2, repetition_penalty=1.5, **kw,
+    )
+
+
+def tiny_data_dict(rng, b=2, n_obj=6, n_pts=32, n_img=2, scene_token_len=5):
+    return {
+        "msr3d_prompt": [
+            f"You are in a scene: {SCENE_PLACEHOLDER}. Image: {IMAGE_PLACEHOLDER}. What do you see?",
+            f"Scene {SCENE_PLACEHOLDER} here. {IMAGE_PLACEHOLDER} go north?",
+        ][:b],
+        "text_output": ["a chair", "yes"][:b],
+        "obj_fts": (rng.normal(size=(b, n_obj, n_pts, 6)) * 0.3).astype(np.float32),
+        "obj_masks": np.ones((b, n_obj), bool),
+        "obj_locs": rng.normal(size=(b, n_obj, 6)).astype(np.float32),
+        "anchor_locs": rng.normal(size=(b, 3)).astype(np.float32),
+        "anchor_orientation": (lambda q: q / np.linalg.norm(q, axis=-1, keepdims=True))(
+            rng.normal(size=(b, 4))
+        ).astype(np.float32),
+        "msr3d_imgs": rng.normal(size=(b, n_img, 32, 32, 3)).astype(np.float32),
+        "msr3d_img_masks": np.array([[1, 0], [1, 1]][:b], bool),
+    }
+
+
+class TestSplice:
+    def test_rank_gather_matches_scatter(self, rng):
+        b, t, n, d = 2, 12, 4, 8
+        ids = np.full((b, t), 7, np.int32)
+        # row 0: placeholders at 2,3,4,5 ; row 1: at 0,1,8,9
+        ids[0, 2:6] = 99
+        ids[1, [0, 1, 8, 9]] = 99
+        tok_embeds = rng.normal(size=(b, t, d)).astype(np.float32)
+        ins = rng.normal(size=(b, n, d)).astype(np.float32)
+        ins_mask = np.array([[1, 1, 0, 0], [1, 1, 1, 0]], bool)
+        attn = np.ones((b, t), np.int32)
+
+        embeds, new_attn = splice_embeddings(
+            jnp.asarray(tok_embeds), jnp.asarray(ids), 99,
+            jnp.asarray(ins), jnp.asarray(ins_mask), jnp.asarray(attn),
+        )
+        embeds, new_attn = np.asarray(embeds), np.asarray(new_attn)
+
+        # reference semantics: k-th placeholder gets ins[row, k]
+        want = tok_embeds.copy()
+        want_attn = attn.copy()
+        for row in range(b):
+            k = 0
+            for pos in range(t):
+                if ids[row, pos] == 99:
+                    want[row, pos] = ins[row, k]
+                    want_attn[row, pos] = ins_mask[row, k]
+                    k += 1
+        np.testing.assert_allclose(embeds, want, atol=1e-6)
+        np.testing.assert_array_equal(new_attn, want_attn)
+
+
+class TestMSR3DEndToEnd:
+    @pytest.fixture(scope="class")
+    def model_and_data(self):
+        rng = np.random.default_rng(0)
+        model = tiny_model()
+        data = tiny_data_dict(rng)
+        prompts = model.build_text_prompt(data)
+        # placeholder expansion check
+        assert prompts[0].count(SCENE_PLACEHOLDER) == 5
+        assert prompts[0].count(IMAGE_PLACEHOLDER) == 1
+        input_ids, attn = model._encode_prompts(prompts)
+        output_ids, output_mask = model._encode_answers(data["text_output"])
+        batch = model._scene_batch(data)
+        batch.update(
+            input_ids=input_ids, attention_mask=attn,
+            output_ids=output_ids, output_mask=output_mask,
+        )
+        model.init_params(batch)
+        return model, data
+
+    def test_forward_loss(self, model_and_data):
+        model, data = model_and_data
+        out = model.forward(dict(data))
+        loss = np.asarray(out["loss"])
+        assert loss.shape == (2,)
+        assert np.isfinite(loss).all()
+        assert (loss > 0).all()
+
+    def test_loss_only_covers_answer_tokens(self, model_and_data):
+        """Changing the prompt must not change the number of loss tokens;
+        longer answers → different loss."""
+        model, data = model_and_data
+        short = model.forward(dict(data))["loss"]
+        data2 = dict(data)
+        data2["text_output"] = ["a chair", "yes definitely, go north past the table"]
+        long = model.forward(data2)["loss"]
+        # row 0 unchanged answer → same loss
+        np.testing.assert_allclose(
+            np.asarray(short)[0], np.asarray(long)[0], atol=1e-4
+        )
+        assert abs(float(short[1]) - float(long[1])) > 1e-6
+
+    def test_generate_greedy(self, model_and_data):
+        model, data = model_and_data
+        out = model.generate(dict(data), use_beam=False, max_new_tokens=6)
+        toks = out["output_tokens"]
+        assert toks.shape == (2, 6)
+        assert "output_text" in out and len(out["output_text"]) == 2
+
+    def test_generate_beam(self, model_and_data):
+        model, data = model_and_data
+        out = model.generate(dict(data), use_beam=True, max_new_tokens=6)
+        assert out["output_tokens"].shape == (2, 6)
+
+    def test_trainable_mask(self, model_and_data):
+        model, data = model_and_data
+        mask = model.get_opt_params_mask()
+        leaves = jax.tree_util.tree_flatten_with_path(mask)[0]
+        trainable = [jax.tree_util.keystr(p) for p, v in leaves if v]
+        frozen = [jax.tree_util.keystr(p) for p, v in leaves if not v]
+        # projections + scene encoder trainable
+        assert any("llm_proj" in p for p in trainable)
+        assert any("spatial_layer" in p for p in trainable)
+        # LLM base + image encoder + frozen pointnet are not
+        assert not any(
+            "['llm']" in p and "lora" not in p for p in trainable
+        )
+        assert not any("image_encoder" in p for p in trainable)
+        assert not any("obj_encoder" in p for p in trainable)
+        assert len(frozen) > 0
