@@ -1,0 +1,375 @@
+"""LeoTrainer — the training/eval driver (reference trainer/leo_trainer.py).
+
+Orchestrates: per-task dataloaders (train/val/test), the MSR3D model, the
+optax optimizer with trainable-mask, the jitted+dp-sharded train step with
+grad accumulation, evaluators, checkpointing/resume, and metric logging.
+
+TPU mapping of the reference machinery:
+  reference                              here
+  ─────────────────────────────────────  ────────────────────────────────
+  CustomAccelerator + DDP (NCCL)         jit over jax Mesh, dp-sharded batch
+  accelerator.accumulate (5 steps)       lax.scan microbatches in ONE jit
+  accelerator.save_state / Tracker       orbax CheckpointManager + Tracker
+  save_func learnable-only best.pth      filter_learnable + save_weights
+  gather_for_metrics/all_gather_object   process_allgather_objects
+  wandb via accelerate.log               MetricLogger (JSONL + optional wandb)
+"""
+
+from __future__ import annotations
+
+import math
+import time
+import uuid
+from pathlib import Path
+from typing import Any, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msr3d_tpu.models.build import build_model
+from msr3d_tpu.optim.build import build_optim
+from msr3d_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    process_allgather_objects,
+)
+from msr3d_tpu.registry import TRAINER_REGISTRY
+from msr3d_tpu.trainer.checkpoint import CheckpointManager, Tracker
+from msr3d_tpu.trainer.train_state import (
+    TrainState,
+    filter_learnable,
+    make_train_step,
+    merge_learnable,
+)
+from msr3d_tpu.utils.logging import MetricLogger, StepTimer, get_logger
+
+logger = get_logger("msr3d_tpu.trainer")
+
+
+def _round_up(n: int, m: int) -> int:
+    return int(math.ceil(n / m) * m)
+
+
+@TRAINER_REGISTRY.register(name="LeoTrainer")
+class LeoTrainer:
+    """Contract parity: ``LeoTrainer(cfg).run()``.
+
+    Data loaders are injected via ``loaders`` (dict task → split → iterable
+    of data_dicts) or built from the config's task table when the data layer
+    is available (data/build.py analog).
+    """
+
+    def __init__(
+        self,
+        cfg,
+        loaders: Optional[Dict[str, Dict[str, Any]]] = None,
+        evaluators: Optional[Dict[str, Any]] = None,
+        model=None,
+    ):
+        self.cfg = cfg
+        self.exp_dir = Path(cfg.get("exp_dir") or "./exp_default")
+        self.exp_dir.mkdir(parents=True, exist_ok=True)
+        self.mode = cfg.get("mode", "train")
+
+        self.mesh = make_mesh()
+        self.epochs = int(cfg.solver.epochs)
+        self.accum_steps = int(cfg.solver.get("gradient_accumulation_steps", 1))
+        self.eval_interval = int(cfg.solver.get("eval_interval", 1))
+        self.num_batch_eval = int(cfg.solver.get("num_batch_eval", 0)) or None
+
+        # model
+        self.model = model if model is not None else build_model(cfg)
+
+        # data
+        if loaders is None:
+            from msr3d_tpu.data.build import build_task_loaders
+
+            loaders = build_task_loaders(cfg)
+        self.loaders = loaders
+        if evaluators is None:
+            from msr3d_tpu.evaluator.build import build_task_evaluators
+
+            evaluators = build_task_evaluators(cfg, self.exp_dir)
+        self.evaluators = evaluators
+
+        train_loaders = {
+            task: splits["train"]
+            for task, splits in self.loaders.items()
+            if "train" in splits
+        }
+        assert len(train_loaders) <= 1, "one train task expected (msr3d_train)"
+        self.train_loader = next(iter(train_loaders.values()), None)
+
+        steps_per_epoch = (
+            max(1, len(self.train_loader) // self.accum_steps)
+            if self.train_loader is not None
+            else 1
+        )
+        total_steps = steps_per_epoch * self.epochs
+        self.steps_per_epoch = steps_per_epoch
+
+        # params / optimizer / train step
+        if self.model.params is None:
+            sample = self._peek_sample_batch()
+            if sample is not None:
+                self.model.init_params(sample)
+        self.trainable_mask = (
+            self.model.get_opt_params_mask()["params"]
+            if self.model.params is not None
+            else None
+        )
+        self.optimizer, self.schedule = build_optim(
+            cfg, total_steps, trainable_mask=self.trainable_mask
+        )
+        self.state = (
+            TrainState.create(self.model.params, self.optimizer)
+            if self.model.params is not None
+            else None
+        )
+
+        def apply_fn(variables, batch, rng):
+            out = self.model.network.apply(
+                variables, **batch, deterministic=False, rngs={"dropout": rng}
+            )
+            return out["loss"].mean()
+
+        self._train_step = make_train_step(
+            apply_fn, self.optimizer, accum_steps=self.accum_steps
+        )
+
+        # bookkeeping
+        self.tracker = Tracker(run_id=str(uuid.uuid4())[:8])
+        self.ckpt = CheckpointManager(self.exp_dir / "ckpt")
+        self.logger = MetricLogger(
+            exp_dir=self.exp_dir,
+            project=cfg.get("name", "msr3d_tpu"),
+            run_name=cfg.get("note", None),
+            use_wandb=cfg.get("logger", {}).get("name", "") == "wandb"
+            and not cfg.get("debug", {}).get("flag", False),
+            config=None,
+        )
+        self.timer = StepTimer()
+        self._rng = jax.random.key(int(cfg.get("rng_seed", 42)))
+
+        if cfg.get("resume", False) and self.state is not None:
+            self._try_resume()
+
+    # ------------------------------------------------------------------
+
+    def _peek_sample_batch(self) -> Optional[Dict[str, np.ndarray]]:
+        loader = self.train_loader
+        if loader is None:
+            for splits in self.loaders.values():
+                for it in splits.values():
+                    loader = it
+                    break
+                if loader is not None:
+                    break
+        if loader is None:
+            return None
+        data_dict = next(iter(loader))
+        return self._device_batch([data_dict], for_init=True)
+
+    def _device_batch(
+        self, data_dicts: List[Dict[str, Any]], for_init: bool = False
+    ) -> Dict[str, np.ndarray]:
+        """data_dicts (one per micro-batch) → stacked numpy arrays.
+
+        Output leaves are (A, micro, ...) when len>1 else (micro, ...).
+        Text fields are padded to a shared bucket width across microbatches
+        (multiples of 32) to bound retracing.
+        """
+        model = self.model
+        encoded = []
+        max_in = max_out = 0
+        for dd in data_dicts:
+            prompts = model.build_text_prompt(dd)
+            ii, am = model._encode_prompts(prompts)
+            oi, om = model._encode_answers(dd["text_output"])
+            encoded.append((dd, ii, am, oi, om))
+            max_in = max(max_in, ii.shape[1])
+            max_out = max(max_out, oi.shape[1])
+        pad_in = _round_up(max_in, 32)
+        pad_out = _round_up(max_out, 32)
+
+        stacked: List[Dict[str, np.ndarray]] = []
+        for dd, ii, am, oi, om in encoded:
+            b = ii.shape[0]
+
+            def left_pad(x, width, fill):
+                out = np.full((b, width), fill, x.dtype)
+                out[:, width - x.shape[1]:] = x
+                return out
+
+            def right_pad(x, width, fill):
+                out = np.full((b, width), fill, x.dtype)
+                out[:, : x.shape[1]] = x
+                return out
+
+            batch = model._scene_batch(dd)
+            batch.update(
+                input_ids=left_pad(ii, pad_in, model.tokenizer.pad_id),
+                attention_mask=left_pad(am, pad_in, 0),
+                output_ids=right_pad(oi, pad_out, model.tokenizer.pad_id),
+                output_mask=right_pad(om, pad_out, 0),
+            )
+            stacked.append(batch)
+
+        keys = stacked[0].keys()
+        if len(stacked) == 1:
+            return stacked[0]
+        return {k: np.stack([s[k] for s in stacked]) for k in keys}
+
+    def _shard(self, batch: Dict[str, np.ndarray]):
+        sharding = batch_sharding(self.mesh)
+        ndev = self.mesh.devices.size
+
+        def put(x):
+            # batch-dim sharding requires divisibility; replicate otherwise
+            axis = 1 if x.ndim > 1 and self.accum_steps > 1 else 0
+            if x.shape[0] % ndev == 0 and axis == 0:
+                return jax.device_put(x, sharding)
+            return jnp.asarray(x)
+
+        return {k: put(v) for k, v in batch.items()}
+
+    # ------------------------------------------------------------------
+
+    def train_one_epoch(self, epoch: int) -> Dict[str, float]:
+        assert self.train_loader is not None, "no train loader configured"
+        losses = []
+        group: List[Dict[str, Any]] = []
+        skip = self.tracker.loader_step if epoch == self.tracker.epoch else 0
+        for i, data_dict in enumerate(self.train_loader):
+            if i < skip:
+                continue
+            group.append(data_dict)
+            if len(group) < self.accum_steps:
+                continue
+            batch = self._device_batch(group)
+            group = []
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.timer.tic()
+            self.state, metrics = self._train_step(self.state, batch, step_rng)
+            # the step donates the old state; repoint the model at the new
+            # params so eval/generate never touches donated buffers
+            self.model.params = self.state.params
+            loss = float(metrics["loss"])
+            dt = self.timer.toc()
+            losses.append(loss)
+            step = int(metrics["step"])
+            self.tracker.loader_step = i + 1
+            if step % 10 == 0 or step <= 2:
+                self.logger.log(
+                    {
+                        "train/loss": loss,
+                        "train/grad_norm": float(metrics["grad_norm"]),
+                        "train/lr": float(self.schedule(step)),
+                        "train/step_time_s": dt,
+                        "epoch": epoch,
+                    },
+                    step=step,
+                )
+        return {"loss": float(np.mean(losses)) if losses else float("nan")}
+
+    def eval_task(self, task: str, split: str) -> Dict[str, Any]:
+        loader = self.loaders[task][split]
+        evaluator = self.evaluators.get(task)
+        if evaluator is not None:
+            evaluator.reset()
+        for i, data_dict in enumerate(loader):
+            if self.num_batch_eval and i >= self.num_batch_eval:
+                break
+            out = self.model.generate(dict(data_dict))
+            if evaluator is not None:
+                record = {"output_text": out["output_text"]}
+                for k in (
+                    "answer_list", "text_output", "data_idx", "sqa_type",
+                    "source", "scan_id", "index", "type", "prompt",
+                    "prompt_after_obj",
+                ):
+                    if k in data_dict:
+                        record[k] = data_dict[k]
+                for g in process_allgather_objects([record]):
+                    evaluator.update(g)
+        if evaluator is not None:
+            is_best, results = evaluator.record(split)
+            return results
+        return {}
+
+    def run(self) -> None:
+        if self.mode == "train":
+            start_epoch = self.tracker.epoch
+            for epoch in range(start_epoch, self.epochs):
+                t0 = time.time()
+                stats = self.train_one_epoch(epoch)
+                logger.info(
+                    f"epoch {epoch}: loss {stats['loss']:.4f} "
+                    f"({time.time() - t0:.0f}s)"
+                )
+                self.tracker.step_epoch()
+                self.ckpt.save_state(
+                    int(self.state.step), self.state, self.tracker
+                )
+                self._save_learnable("latest")
+                if (epoch + 1) % self.eval_interval == 0:
+                    self._run_eval("val", epoch)
+            self._run_eval("test", self.epochs)
+        else:
+            if self.ckpt.has_weights("best"):
+                self.load_learnable("best")
+            self._run_eval("test", 0)
+        self.logger.close()
+
+    def _run_eval(self, split: str, epoch: int) -> None:
+        best_metric = -float("inf")
+        for task, splits in self.loaders.items():
+            if split not in splits or task not in self.evaluators:
+                continue
+            results = self.eval_task(task, split)
+            self.logger.log(
+                {f"{split}/{task}/{k}": v for k, v in results.items()
+                 if isinstance(v, (int, float))},
+                step=int(self.state.step) if self.state else 0,
+            )
+            target = results.get("target_metric")
+            if target is not None and target > best_metric:
+                best_metric = target
+        if split == "val" and best_metric > self.tracker.overall_best_result:
+            self.tracker.overall_best_result = best_metric
+            self._save_learnable("best")
+
+    # -- checkpoint plumbing --------------------------------------------
+
+    def _save_learnable(self, name: str) -> None:
+        learnable = filter_learnable(
+            self.state.params["params"], self.trainable_mask
+        )
+        self.ckpt.save_weights(name, learnable)
+
+    def load_learnable(self, name: str) -> None:
+        learnable = self.ckpt.load_weights(name)
+        merged = merge_learnable(self.state.params["params"], learnable)
+        new_params = dict(self.state.params)
+        new_params["params"] = merged
+        self.state = self.state.replace(params=new_params)
+        self.model.params = new_params
+
+    def _try_resume(self) -> None:
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state
+        )
+        restored = self.ckpt.restore_state(abstract, self.tracker)
+        if restored is not None:
+            self.state = restored
+            self.model.params = restored.params
+            logger.info(
+                f"resumed from step {int(self.state.step)} "
+                f"(epoch {self.tracker.epoch}, loader_step {self.tracker.loader_step})"
+            )
+
+
+def build_trainer(cfg, **kwargs):
+    """Reference trainer/build.py:207-208 contract."""
+    return TRAINER_REGISTRY.get(cfg.trainer)(cfg, **kwargs)

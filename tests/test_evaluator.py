@@ -1,0 +1,203 @@
+"""Evaluator tests: clean_answer/EM-R parity, caption-metric parity vs the
+reference's vendored pycocoevalcap scorers, evaluator contracts."""
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from msr3d_tpu.evaluator.capeval import BleuScorer, CiderScorer, RougeScorer
+from msr3d_tpu.evaluator.msqa_eval import MSQAEval
+from msr3d_tpu.evaluator.one_step_eval import OneStepNavInstructionEval
+from msr3d_tpu.evaluator.sqa3d_eval import SQA3DInstructionEval
+from msr3d_tpu.evaluator.text_utils import answer_match, clean_answer
+
+
+def _load_ref_capeval():
+    root = Path("/root/reference/evaluator/capeval")
+    if not root.exists():
+        return None
+    pkg = types.ModuleType("ref_capeval")
+    pkg.__path__ = [str(root)]
+    sys.modules["ref_capeval"] = pkg
+    for sub in ["bleu", "cider", "rouge"]:
+        sp = types.ModuleType(f"ref_capeval.{sub}")
+        sp.__path__ = [str(root / sub)]
+        sys.modules[f"ref_capeval.{sub}"] = sp
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("ref_capeval.bleu.bleu_scorer", root / "bleu/bleu_scorer.py")
+    bleu = load("ref_capeval.bleu.bleu", root / "bleu/bleu.py")
+    load("ref_capeval.cider.cider_scorer", root / "cider/cider_scorer.py")
+    cider = load("ref_capeval.cider.cider", root / "cider/cider.py")
+    rouge = load("ref_capeval.rouge.rouge", root / "rouge/rouge.py")
+    return bleu.Bleu, cider.Cider, rouge.Rouge
+
+
+class TestCleanAnswer:
+    def test_matches_reference_regexes(self):
+        cases = [
+            ("The RED Chair.", "red chair"),
+            ("  3 chairs  ", "three chairs"),
+            ("go letf then rigth", "go left then right"),
+            ("none", "zero"),
+            ("10 o clock", "ten o clock"),
+            ("a table", "table"),
+            ("the mat2", "mat"),
+            ("backwards", "backward"),
+            ("it's 23", "it's twenty-three"),
+        ]
+        for raw, want in cases:
+            assert clean_answer(raw) == want, raw
+
+    @pytest.mark.parity
+    def test_parity_with_reference_clean_answer(self):
+        """Literal comparison against the reference's own clean_answer."""
+        path = Path("/root/reference/data/data_utils.py")
+        if not path.exists():
+            pytest.skip("reference not mounted")
+        src = path.read_text()
+        # extract just the clean_answer function into a sandbox namespace
+        start = src.index("def clean_answer")
+        end = src.index("def find_subsequence")
+        ns = {"re": __import__("re")}
+        exec(src[start:end], ns)
+        ref_clean = ns["clean_answer"]
+        samples = [
+            "The RED Chair.", "3 chairs", "go letf then rigth", "none",
+            "10 o clock", "a table near an window", "the mat2", "backwards",
+            "NO", "yes, it's 23 meters", "TV on the wall", "2 o' clock",
+            "washing machine ç", "behine you", "12345", "zero 0 none",
+        ]
+        for s in samples:
+            assert clean_answer(s) == ref_clean(s), s
+
+
+class TestAnswerMatch:
+    def test_em_r_semantics(self):
+        assert answer_match("red chair", ["red chair"])
+        assert answer_match("chair", ["red chair"])  # pred ⊂ gt
+        assert answer_match("the red chair", ["red chair"])  # gt ⊂ pred
+        assert not answer_match("table", ["red chair"])
+        assert answer_match("redchair", ["red chair"])  # whitespace-stripped
+
+
+@pytest.mark.parity
+class TestCaptionMetricParity:
+    @pytest.fixture(scope="class")
+    def scorers(self):
+        loaded = _load_ref_capeval()
+        if loaded is None:
+            pytest.skip("reference capeval not mounted")
+        return loaded
+
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        gts = {
+            0: ["the red chair is on the left", "red chair on the left side"],
+            1: ["two"],
+            2: ["walk forward and turn right at the table"],
+            3: ["a wooden desk next to the window", "wooden desk by window"],
+        }
+        res = {
+            0: ["the red chair is left"],
+            1: ["two chairs"],
+            2: ["walk forward then turn right"],
+            3: ["a wooden desk near the window"],
+        }
+        return gts, res
+
+    def test_bleu_parity(self, scorers, corpus):
+        Bleu, _, _ = scorers
+        gts, res = corpus
+        want = Bleu(4).compute_score(gts, res)[0]
+        got = BleuScorer(4).compute_score(gts, res)[0]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_cider_parity(self, scorers, corpus):
+        _, Cider, _ = scorers
+        gts, res = corpus
+        want = Cider().compute_score(gts, res)[0]
+        got = CiderScorer().compute_score(gts, res)[0]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_rouge_parity(self, scorers, corpus):
+        _, _, Rouge = scorers
+        gts, res = corpus
+        want = Rouge().compute_score(gts, res)[0]
+        got = RougeScorer().compute_score(gts, res)[0]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestMSQAEval:
+    def test_update_record_flow(self, tmp_path):
+        ev = MSQAEval(None, task_name="msqa", save_dir=tmp_path)
+        ev.update(
+            {
+                "output_text": ["red chair", "table"],
+                "answer_list": ["the red chair", "two[answer_seq]three"],
+            }
+        )
+        ev.update(
+            {"output_text": ["3"], "answer_list": ["three"]}
+        )
+        is_best, results = ev.record("val")
+        assert is_best
+        # 2 of 3 correct: "red chair"⊂"the red chair" ✓, "table"≠ ✗, "3"→"three" ✓
+        np.testing.assert_allclose(results["ans1_acc_llm"], 2 / 3)
+        assert "cider" in results and "bleu" in results
+        assert (tmp_path / "results.json").exists()
+
+    def test_reset(self, tmp_path):
+        ev = MSQAEval(None, task_name="msqa", save_dir=tmp_path)
+        ev.update({"output_text": ["x"], "answer_list": ["x"]})
+        ev.reset()
+        assert ev.total_count == 0
+
+
+class TestSQA3DEval:
+    def test_strict_match_and_types(self, tmp_path):
+        qa_pool = {7: {"answers": ["red"]}, 8: {"answers": ["two", "2"]}}
+        ev = SQA3DInstructionEval(None, task_name="sqa", save_dir=tmp_path, qa_pool=qa_pool)
+        ev.update(
+            {
+                "output_text": ["red", "three"],
+                "data_idx": np.array([7, 8]),
+                "sqa_type": np.array([0, 2]),
+            }
+        )
+        is_best, results = ev.record("val")
+        np.testing.assert_allclose(results["ans1_acc_llm"], 0.5)
+        np.testing.assert_allclose(results["type0_acc_llm"], 1.0)
+        np.testing.assert_allclose(results["type2_acc_llm"], 0.0)
+        # strict: containment does NOT count
+        ev.reset()
+        ev.update(
+            {"output_text": ["red chair"], "data_idx": np.array([7]),
+             "sqa_type": np.array([0])}
+        )
+        _, results = ev.record("val")
+        np.testing.assert_allclose(results["ans1_acc_llm"], 0.0)
+
+
+class TestOneStepEval:
+    def test_accuracy_and_invalid(self):
+        ev = OneStepNavInstructionEval(None, task_name="msnn")
+        ev.update(
+            {
+                "output_text": ["给", "弘", "hello"],
+                "text_output": ["给", "收", "给"],
+            }
+        )
+        is_best, results = ev.record()
+        np.testing.assert_allclose(results["accuracy"], 1 / 3)
+        np.testing.assert_allclose(results["invalid"], 1 / 3)
