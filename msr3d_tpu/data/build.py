@@ -1,0 +1,146 @@
+"""Dataset/dataloader builders (reference data/build.py:76-100).
+
+``build_dataloader_leo(cfg, dataset_name, wrapper_name, wrapper_args,
+loader_args, split)`` keeps the reference signature; the loader itself is a
+host-side iterator (shuffling sampler + wrapper collate) — single-process
+by default with an optional thread-prefetch (the TPU step overlaps host
+work with device compute; the reference's num_workers is 0 in shipped
+configs too, configs/msr3d.yaml:162-169)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from msr3d_tpu.registry import DATASET_REGISTRY, DATASETWRAPPER_REGISTRY
+
+# registration side effects
+from msr3d_tpu.data.datasets import dataset_wrapper as _dw  # noqa: F401
+from msr3d_tpu.data.datasets import msr3d as _msr3d  # noqa: F401
+
+
+def _register_optional_datasets() -> None:
+    # sqa3d / one_step_navi import lazily (they pull the scan loader)
+    from msr3d_tpu.data.datasets import one_step_navi as _osn  # noqa: F401
+    from msr3d_tpu.data.datasets import sqa3d as _sqa  # noqa: F401
+
+
+class DataLoader:
+    """Minimal host dataloader: sampler + collate (+ thread prefetch)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 4,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        collate_fn=None,
+        seed: int = 42,
+        prefetch: int = 2,
+        num_workers: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn or (lambda x: x)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> List[int]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx.tolist()
+
+    def _batches(self) -> Iterator[List[int]]:
+        idx = self._indices()
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i : i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield chunk
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            for chunk in self._batches():
+                yield self.collate_fn([self.dataset[i] for i in chunk])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for chunk in self._batches():
+                    q.put(self.collate_fn([self.dataset[i] for i in chunk]))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+
+def build_dataloader_leo(
+    cfg, dataset_name: str, dataset_wrapper_name: str,
+    dataset_wrapper_args, dataloader_args, split: str,
+) -> DataLoader:
+    """Reference contract (data/build.py:92-100): build dataset → chain
+    wrapper → DataLoader with the wrapper's collate."""
+    _register_optional_datasets()
+    dataset = DATASET_REGISTRY.get(dataset_name)(cfg, split)
+    wrapper = dataset
+    if dataset_wrapper_name:
+        wrapper = DATASETWRAPPER_REGISTRY.get(dataset_wrapper_name)(
+            cfg, dataset, dataset_wrapper_args
+        )
+    collate = getattr(wrapper, "collate_fn", None)
+    return DataLoader(
+        wrapper,
+        batch_size=dataloader_args.get("batchsize", 4),
+        shuffle=(split == "train"),
+        drop_last=(split == "train"),
+        collate_fn=collate,
+        seed=int(cfg.get("rng_seed", 42)),
+    )
+
+
+def build_task_loaders(cfg) -> Dict[str, Dict[str, DataLoader]]:
+    """Build every task×split loader from the config's task table
+    (leo_trainer.py:79-96 semantics: train tasks get train loaders; val/
+    test modes get eval loaders)."""
+    loaders: Dict[str, Dict[str, DataLoader]] = {}
+    for task_name, task_cfg in cfg.get("task", {}).items():
+        modes = list(task_cfg.get("mode", []))
+        dataset_name = task_cfg.dataset
+        wrapper_name = task_cfg.get("dataset_wrapper", "")
+        wrapper_args = task_cfg.get("dataset_wrapper_args", {})
+        loaders[task_name] = {}
+        for mode in modes:
+            args_key = "train_dataloader_args" if mode == "train" else "eval_dataloader_args"
+            loader_args = task_cfg.get(args_key, {"batchsize": 4})
+            loaders[task_name][mode] = build_dataloader_leo(
+                cfg, dataset_name, wrapper_name, wrapper_args, loader_args, mode
+            )
+    return loaders

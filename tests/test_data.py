@@ -1,0 +1,199 @@
+"""Data-layer tests on synthetic on-disk fixtures in the reference formats."""
+
+import numpy as np
+import pytest
+
+from msr3d_tpu.config import config_from_dict
+from msr3d_tpu.data.scan_loader import ScanCache
+
+from tests.fixtures_data import build_full_tree, full_config_dict
+
+
+@pytest.fixture(scope="module")
+def data_tree(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    root = tmp_path_factory.mktemp("scans")
+    build_full_tree(root, rng)
+    return root
+
+
+@pytest.fixture()
+def cfg(data_tree):
+    ScanCache.clear()
+    return config_from_dict(full_config_dict(data_tree))
+
+
+class TestScanLoader:
+    def test_scannet_objects(self, cfg):
+        from msr3d_tpu.data.scan_loader import ScanDataLoader
+
+        loader = ScanDataLoader(cfg, dataset="ScanNet")
+        data = loader.get_data("ScanNet", "scene0000_00", ["obj_pcds"])
+        assert len(data["obj_pcds"]) == 5
+        pcd = data["obj_pcds"][0]
+        assert pcd.shape[1] == 6
+        # colors normalized to [-1, 1]
+        assert pcd[:, 3:].min() >= -1.001 and pcd[:, 3:].max() <= 1.001
+
+    def test_rscan_and_arkit(self, cfg):
+        from msr3d_tpu.data.scan_loader import ScanDataLoader
+
+        r = ScanDataLoader(cfg, dataset="3RScan").get_data("3RScan", "rscan0001", ["obj_pcds"])
+        assert len(r["obj_pcds"]) == 4
+        a = ScanDataLoader(cfg, dataset="ARkit").get_data("ARkit", "arkit0001", ["obj_pcds"])
+        assert len(a["obj_pcds"]) == 4  # 50 pts/obj ≥ min 10 → all kept
+
+    def test_cache_hits(self, cfg):
+        from msr3d_tpu.data.scan_loader import ScanDataLoader
+
+        loader = ScanDataLoader(cfg, dataset="ScanNet")
+        d1 = ScanCache.get(loader, "ScanNet", "scene0000_00", ["obj_pcds"])
+        d2 = ScanCache.get(loader, "ScanNet", "scene0000_00", ["obj_pcds"])
+        assert d1 is d2
+
+
+class TestMSQADataset:
+    def test_item_contract(self, cfg):
+        from msr3d_tpu.data.datasets.msr3d import MSQAScanNet, MSR3D_REQUIRED_KEYS
+
+        ds = MSQAScanNet(cfg, "train")
+        assert len(ds) == 4  # debug_size
+        item = ds[0]
+        for key in MSR3D_REQUIRED_KEYS:
+            assert key in item, key
+        assert item["obj_fts"].shape == (5, 64, 6)  # 5 objects, 64 pts
+        assert item["obj_locs"].shape == (5, 6)
+        # unit-sphere normalization
+        assert np.abs(np.linalg.norm(item["obj_fts"][:, :, :3], axis=2)).max() <= 1.001
+        # no object crops on disk → images fell back to text
+        assert item["msr3d_imgs"] == []
+        assert "图" not in item["msr3d_prompt"]
+        assert "景" in item["msr3d_prompt"]
+        assert item["msr3d_prompt"].count("景") == 1
+        assert item["text_output"] in ("red", "the red one")
+        assert item["anchor_orientation"].shape == (4,)
+
+    def test_eval_split_no_rotation(self, cfg):
+        from msr3d_tpu.data.datasets.msr3d import MSQAScanNet
+
+        ds = MSQAScanNet(cfg, "val")
+        a = ds[0]["obj_locs"]
+        b = ds[0]["obj_locs"]
+        np.testing.assert_allclose(a, b)  # no rotation aug at eval
+
+    def test_relevant_objects_first_crop(self, cfg):
+        from msr3d_tpu.data.datasets.msr3d import MSQAScanNet
+
+        # max_obj_len 3 < 5 objects → insts (1, 2) must survive the crop
+        cfg.data.msqa_scannet.args["max_obj_len"] = 3
+        ds = MSQAScanNet(cfg, "train")
+        item = ds[0]
+        assert item["obj_fts"].shape[0] == 3
+
+
+class TestSQA3D:
+    def test_item(self, cfg):
+        from msr3d_tpu.data.datasets.sqa3d import SQA3DScanNet
+
+        ds = SQA3DScanNet(cfg, "val")
+        assert len(ds) == 3
+        item = ds[0]
+        assert item["text_output"] == "chair"
+        assert "msr3d_prompt" in item
+        assert item["sqa_type"] == 0  # "What ..."
+        assert item["data_idx"] == 1000
+        # wall filtered out: 5 objects, one is "wall" → 4 left
+        assert item["obj_fts"].shape[0] == 4
+
+    def test_person_view_conversion(self):
+        from msr3d_tpu.data.datasets.sqa3d import convert_person_view
+
+        assert convert_person_view("I am near my chair") == "you are near your chair"
+
+
+class TestMSNN:
+    def test_item_and_action_token(self, cfg):
+        from msr3d_tpu.data.constants import ONESTEPNAVI_ACTION_SPACE_TOKENIZE
+        from msr3d_tpu.data.datasets.one_step_navi import MSR3DMSNN
+
+        ds = MSR3DMSNN(cfg, "train")
+        assert len(ds) == 4
+        item = ds[0]
+        assert item["text_output"] in ONESTEPNAVI_ACTION_SPACE_TOKENIZE.values()
+        assert "msr3d_prompt" in item
+
+
+class TestMixAndWrapper:
+    def test_msr3dmix(self, cfg):
+        from msr3d_tpu.data.datasets.msr3d import MSR3DMix
+
+        ds = MSR3DMix(cfg, "train")
+        assert len(ds) == 4
+        item = ds[0]
+        assert "msr3d_prompt" in item
+
+    def test_wrapper_pads(self, cfg):
+        from msr3d_tpu.data.build import build_dataloader_leo
+
+        loader = build_dataloader_leo(
+            cfg, "MSR3DMix", "LeoScanFamilyDatasetWrapper",
+            {"max_obj_len": 6, "msr3d_max_img_num": 4},
+            {"batchsize": 2}, "train",
+        )
+        batch = next(iter(loader))
+        assert batch["obj_fts"].shape == (2, 6, 64, 6)
+        assert batch["obj_masks"].shape == (2, 6)
+        assert batch["obj_masks"].sum(1).tolist() == [5, 5]
+        assert batch["msr3d_imgs"].shape == (2, 4, 32, 32, 3)
+        assert batch["msr3d_img_masks"].sum() == 0
+        assert isinstance(batch["msr3d_prompt"], list)
+        assert len(batch["msr3d_prompt"]) == 2
+        # padded objects filled with 1.0 (reference pad value)
+        np.testing.assert_allclose(batch["obj_fts"][0, 5], 1.0)
+
+    def test_build_task_loaders(self, cfg):
+        from msr3d_tpu.data.build import build_task_loaders
+
+        loaders = build_task_loaders(cfg)
+        assert set(loaders) == {"msr3d_train", "msqa_scannet"}
+        assert set(loaders["msr3d_train"]) == {"train"}
+        assert set(loaders["msqa_scannet"]) == {"val", "test"}
+        batch = next(iter(loaders["msqa_scannet"]["val"]))
+        assert "answer_list" in batch
+
+    def test_dataloader_shuffles_per_epoch(self, cfg):
+        from msr3d_tpu.data.build import build_task_loaders
+
+        loaders = build_task_loaders(cfg)
+        train = loaders["msr3d_train"]["train"]
+        train.set_epoch(0)
+        first = [b["index"] for b in train]
+        train.set_epoch(1)
+        second = [b["index"] for b in train]
+        assert len(first) == len(second) == 2
+
+
+class TestEndToEndWithModel:
+    def test_real_data_through_tiny_model(self, cfg):
+        """Fixture data → wrapper → collate → MSR3D forward + generate."""
+        from msr3d_tpu.data.build import build_task_loaders
+        from tests.test_msr3d import tiny_model
+
+        loaders = build_task_loaders(cfg)
+        batch = next(iter(loaders["msr3d_train"]["train"]))
+
+        model = tiny_model(scene_token_len=3)
+        prompts = model.build_text_prompt(batch)
+        ii, am = model._encode_prompts(prompts)
+        oi, om = model._encode_answers(batch["text_output"])
+        device_batch = model._scene_batch(batch)
+        device_batch.update(
+            input_ids=ii, attention_mask=am, output_ids=oi, output_mask=om
+        )
+        model.init_params(device_batch)
+        out = model.forward(dict(batch))
+        loss = np.asarray(out["loss"])
+        assert loss.shape == (2,) and np.isfinite(loss).all()
+
+        gen = model.generate(dict(batch), use_beam=False, max_new_tokens=4)
+        assert gen["output_tokens"].shape == (2, 4)

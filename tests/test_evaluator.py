@@ -201,3 +201,45 @@ class TestOneStepEval:
         is_best, results = ev.record()
         np.testing.assert_allclose(results["accuracy"], 1 / 3)
         np.testing.assert_allclose(results["invalid"], 1 / 3)
+
+
+class TestOfflineMSQA:
+    def test_score_results_merged_categories(self):
+        from msr3d_tpu.evaluator.offline_msqa import score_results
+
+        results = {
+            "scannet": [
+                {"response_pred": "three", "response_gt": ["3"], "type": "counting"},
+                {"response_pred": "no", "response_gt": ["yes"], "type": "existence"},
+                {"response_pred": "red", "response_gt": ["the red one"], "type": "attribute-color"},
+                {"response_pred": "left", "response_gt": ["left"], "type": "spatial relationship"},
+            ],
+            "rscan": [
+                {"response_pred": "turn right", "response_gt": ["turn right"], "type": "navigation"},
+                {"response_pred": "sofa", "response_gt": ["couch"], "type": "refer"},
+            ],
+        }
+        out = score_results(results)
+        assert out["EM-R_counting"] == 1.0       # "3"→"three" via clean_answer
+        assert out["EM-R_existence"] == 0.0
+        assert out["EM-R_attribute_description"] == 1.0  # containment
+        assert out["EM-R_navigation"] == 1.0
+        # spatial_refer merges spatial relationship (1) + refer (0) = 0.5
+        assert out["EM-R_spatial_refer"] == 0.5
+        # overall weighted: 4/6 correct
+        np.testing.assert_allclose(out["EM-R_overall"], 4 / 6)
+        # strict EM differs where only containment matched
+        assert out["EM_attribute_description"] == 0.0
+
+    def test_cli_roundtrip(self, tmp_path):
+        import json
+
+        from msr3d_tpu.evaluator.offline_msqa import evaluate_results_files
+
+        p = tmp_path / "results.json"
+        json.dump(
+            [{"response_pred": "two", "response_gt": ["2"], "type": "counting"}],
+            open(p, "w"),
+        )
+        out = evaluate_results_files({"scannet": p})
+        assert out["EM-R_overall"] == 1.0
