@@ -288,9 +288,10 @@ class MSR3D:
     # -- init / params ----------------------------------------------------
 
     def init_params(self, sample_batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
-        variables = self.network.init(
-            jax.random.key(self._seed), **_to_jax(sample_batch)
-        )
+        # jit the init: eager op-by-op dispatch is pathologically slow on
+        # remote-dispatch TPU runtimes
+        init_fn = jax.jit(lambda rng, b: self.network.init(rng, **b))
+        variables = init_fn(jax.random.key(self._seed), _to_jax(sample_batch))
         self.params = variables
         return variables
 
@@ -368,6 +369,47 @@ class MSR3D:
         data_dict["loss"] = out["loss"]
         return data_dict
 
+    def _make_generate_fn(self, prompt_len: int, max_new: int, beams: int):
+        """Build ONE jitted function running prefill + the full decode loop
+        on device (no host round-trips per token)."""
+        network = self.network
+        cache_len = prompt_len + max_new
+        bos_id = self.tokenizer.bos_id
+        eos_id = self.tokenizer.eos_id
+        common = dict(
+            max_new_tokens=max_new,
+            eos_id=eos_id,
+            pad_id=eos_id,  # pad with eos (msr3d.py:515-519)
+            prompt_len=prompt_len,
+            min_length=1,
+            repetition_penalty=self.repetition_penalty,
+        )
+        length_penalty = self.length_penalty
+
+        @jax.jit
+        def generate_fn(variables, batch):
+            first, caches, cache_mask, next_pos = network.apply(
+                variables, **batch, bos_id=bos_id, max_cache_len=cache_len,
+                method=network.prefill,
+            )
+
+            def decode_step(token_ids, positions, kv, idx, cmask):
+                return network.apply(
+                    variables, token_ids, positions, kv, idx, cmask,
+                    method=network.decode_step,
+                )
+
+            if beams > 1:
+                return beam_search_decode(
+                    decode_step, caches, cache_mask, next_pos, first,
+                    num_beams=beams, length_penalty=length_penalty, **common,
+                )
+            return greedy_decode(
+                decode_step, caches, cache_mask, next_pos, first, **common
+            )
+
+        return generate_fn
+
     def generate(
         self,
         data_dict: Dict[str, Any],
@@ -378,43 +420,32 @@ class MSR3D:
         assert self.params is not None
         prompts = self.build_text_prompt(data_dict)
         input_ids, attn = self._encode_prompts(prompts)
+        # bucket prompt width to limit recompiles across batches
+        pad_to = max(32, -(-input_ids.shape[1] // 32) * 32)
+        if input_ids.shape[1] < pad_to:
+            b = input_ids.shape[0]
+            pad = pad_to - input_ids.shape[1]
+            input_ids = np.concatenate(
+                [np.full((b, pad), self.tokenizer.pad_id, input_ids.dtype), input_ids],
+                axis=1,
+            )
+            attn = np.concatenate([np.zeros((b, pad), attn.dtype), attn], axis=1)
         batch = self._scene_batch(data_dict)
         max_new = max_new_tokens or self.max_out_len
         prompt_len = input_ids.shape[1] + 1  # + trailing bos
-        cache_len = prompt_len + max_new
-
-        first, caches, cache_mask, next_pos = self.network.apply(
-            self.params,
-            **_to_jax({"input_ids": input_ids, "attention_mask": attn, **batch}),
-            bos_id=self.tokenizer.bos_id,
-            max_cache_len=cache_len,
-            method=self.network.prefill,
-        )
-
-        def decode_step(token_ids, positions, kv, idx, cmask):
-            return self.network.apply(
-                self.params, token_ids, positions, kv, idx, cmask,
-                method=self.network.decode_step,
-            )
-
         beams = self.num_beams if use_beam is None else (self.num_beams if use_beam else 1)
-        common = dict(
-            max_new_tokens=max_new,
-            eos_id=self.tokenizer.eos_id,
-            pad_id=self.tokenizer.eos_id,  # pad with eos (msr3d.py:515-519)
-            prompt_len=prompt_len,
-            min_length=1,
-            repetition_penalty=self.repetition_penalty,
+
+        key = (prompt_len, max_new, beams, input_ids.shape[0], tuple(sorted(batch)))
+        if not hasattr(self, "_generate_cache"):
+            self._generate_cache = {}
+        if key not in self._generate_cache:
+            self._generate_cache[key] = self._make_generate_fn(
+                prompt_len, max_new, beams
+            )
+        tokens = self._generate_cache[key](
+            self.params,
+            _to_jax({"input_ids": input_ids, "attention_mask": attn, **batch}),
         )
-        if beams > 1:
-            tokens = beam_search_decode(
-                decode_step, caches, cache_mask, next_pos, first,
-                num_beams=beams, length_penalty=self.length_penalty, **common,
-            )
-        else:
-            tokens = greedy_decode(
-                decode_step, caches, cache_mask, next_pos, first, **common
-            )
         data_dict["output_tokens"] = np.asarray(tokens)
         data_dict["output_text"] = self.batch_detokenize(np.asarray(tokens))
         return data_dict

@@ -298,3 +298,24 @@ class TestTorchParity:
         )
         got = np.asarray(generate_fourier_features(jnp.asarray(pos)))
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestPallasFPS:
+    """Pallas kernel vs XLA implementation vs oracle (interpreter on CPU)."""
+
+    def test_matches_xla_and_oracle(self, rng):
+        from msr3d_tpu.ops.pallas.fps import furthest_point_sample_pallas
+
+        xyz = np.stack([make_cloud(rng, n=128) for _ in range(3)])
+        got = np.asarray(furthest_point_sample_pallas(jnp.asarray(xyz), 16, interpret=True))
+        xla = np.asarray(furthest_point_sample(xyz, 16))
+        np.testing.assert_array_equal(got, xla)
+        for b in range(3):
+            np.testing.assert_array_equal(got[b], fps_oracle(xyz[b], 16))
+
+    def test_padding_skip(self, rng):
+        from msr3d_tpu.ops.pallas.fps import furthest_point_sample_pallas
+
+        xyz = make_cloud(rng, n=128, pad=64)
+        got = np.asarray(furthest_point_sample_pallas(jnp.asarray(xyz[None]), 16, interpret=True))[0]
+        assert (got[1:] < 64).all()
