@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from msr3d_tpu.ops.pointnet2 import (
-    furthest_point_sample,
+    fps,
     gather_points,
     group_all,
     query_and_group,
@@ -76,7 +76,7 @@ class PointnetSAModule(nn.Module):
         """xyz (B,N,3), features (B,N,C) or None →
         (new_xyz (B,npoint,3) or None, pooled (B, npoint or 1, mlp[-1]))."""
         if self.npoint is not None:
-            idx = furthest_point_sample(xyz, self.npoint)
+            idx = fps(xyz, self.npoint)
             new_xyz = gather_points(xyz, idx)
             grouped = query_and_group(
                 xyz, new_xyz, features, radius=self.radius, nsample=self.nsample,

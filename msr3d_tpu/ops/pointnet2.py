@@ -70,6 +70,20 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     return jax.vmap(lambda p: _fps_single(p, npoint))(xyz.astype(jnp.float32))
 
 
+# backend switch: "xla" | "pallas" — both produce identical indices (tests
+# assert bit-equality); pallas keeps the whole m-step loop VMEM-resident.
+FPS_BACKEND = "xla"
+
+
+def fps(xyz: jax.Array, npoint: int) -> jax.Array:
+    """Dispatching FPS entry used by the SA modules."""
+    if FPS_BACKEND == "pallas":
+        from msr3d_tpu.ops.pallas.fps import furthest_point_sample_pallas
+
+        return furthest_point_sample_pallas(xyz, npoint)
+    return furthest_point_sample(xyz, npoint)
+
+
 # ---------------------------------------------------------------------------
 # Ball query
 # ---------------------------------------------------------------------------
