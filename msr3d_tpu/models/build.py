@@ -88,6 +88,24 @@ def build_msr3d_from_config(cfg) -> MSR3D:
 MSR3D.from_config = staticmethod(build_msr3d_from_config)
 
 
+def _build_ose3d(cfg, situation_type: Optional[str] = None):
+    """Prompter-node builder for the OSE3D family (cfg has .model)."""
+    from msr3d_tpu.models.ose3d_situation import OSE3DSituation
+
+    ose_cfg = OSE3DConfig.from_config(cfg.model)
+    if situation_type is not None:
+        ose_cfg = dataclasses.replace(ose_cfg, situation_type=situation_type)
+    return OSE3DSituation(ose_cfg)
+
+
+from msr3d_tpu.registry import MODEL_REGISTRY as _REG  # noqa: E402
+
+_REG.register(lambda cfg: _build_ose3d(cfg), name="OSE3DSituation")
+# LEO prompters: anchor-as-object only (model/ose3d.py:156, ose3d_orig.py:518)
+_REG.register(lambda cfg: _build_ose3d(cfg, "as_object"), name="OSE3D")
+_REG.register(lambda cfg: _build_ose3d(cfg, "as_object"), name="OSE3DORIG")
+
+
 def build_model(cfg) -> Any:
     """Reference ``build_model(cfg)`` contract (model/build.py:17-19)."""
     name = cfg.model.name

@@ -450,6 +450,74 @@ class MSR3D:
         data_dict["output_text"] = self.batch_detokenize(np.asarray(tokens))
         return data_dict
 
+    def predict_answers(
+        self,
+        data_dict: Dict[str, Any],
+        answer_list: List[str],
+        num_ans_candidates: int = 128,
+        chunk_size: int = 16,
+    ) -> Dict[str, Any]:
+        """Retrieval-mode scoring (msr3d.py:526-655 semantics, working):
+
+        (1) first-token probabilities over each candidate answer's first
+        real token select the top-K candidates per sample, (2) each
+        candidate's full per-sequence LM loss is computed, (3) the
+        argmin-loss candidate is the answer.
+
+        The reference's implementation calls an undefined helper and would
+        raise (msr3d.py:566, SURVEY.md §3.5); this is the repaired
+        equivalent.
+        """
+        assert self.params is not None
+        num_ans_candidates = min(num_ans_candidates, len(answer_list))
+
+        prompts = self.build_text_prompt(data_dict)
+        input_ids, attn = self._encode_prompts(prompts)
+        batch = self._scene_batch(data_dict)
+        bsz = input_ids.shape[0]
+
+        ans_ids, ans_mask = self._encode_answers(answer_list)  # (A, T)
+
+        # (1) first-token logits from the prompt prefill (+bos)
+        prompt_len = input_ids.shape[1] + 1
+        first, _, _, _ = self.network.apply(
+            self.params,
+            **_to_jax({"input_ids": input_ids, "attention_mask": attn, **batch}),
+            bos_id=self.tokenizer.bos_id,
+            max_cache_len=prompt_len,
+            method=self.network.prefill,
+        )
+        probs = jax.nn.softmax(first, axis=-1)  # (B, V)
+        first_answer_tokens = ans_ids[:, 1]  # token after bos, per candidate
+        cand_probs = np.asarray(probs)[:, first_answer_tokens]  # (B, A)
+        topk_ids = np.argsort(-cand_probs, axis=1)[:, :num_ans_candidates]
+
+        # (2) per-candidate LM loss, chunked over candidates
+        if self._loss_fn is None:
+            self._loss_fn = jax.jit(lambda v, b: self.network.apply(v, **b))
+        losses = np.zeros((bsz, num_ans_candidates), np.float32)
+        for start in range(0, num_ans_candidates, chunk_size):
+            chunk = topk_ids[:, start : start + chunk_size]  # (B, C)
+            c = chunk.shape[1]
+            rep = {
+                key: np.repeat(np.asarray(val), c, axis=0)
+                for key, val in batch.items()
+            }
+            rep.update(
+                input_ids=np.repeat(input_ids, c, axis=0),
+                attention_mask=np.repeat(attn, c, axis=0),
+                output_ids=ans_ids[chunk.reshape(-1)],
+                output_mask=ans_mask[chunk.reshape(-1)],
+            )
+            out = self._loss_fn(self.params, _to_jax(rep))
+            losses[:, start : start + c] = np.asarray(out["loss"]).reshape(bsz, c)
+
+        best = losses.argmin(axis=1)
+        answer_ids = topk_ids[np.arange(bsz), best]
+        data_dict["answers_id"] = answer_ids
+        data_dict["answers"] = [answer_list[int(i)] for i in answer_ids]
+        return data_dict
+
     def batch_detokenize(self, tokens: np.ndarray) -> List[str]:
         """Decode generated ids, stopping at the first eos
         (trainer/leo_trainer.py:313-338 semantics)."""

@@ -84,21 +84,40 @@ class Backbone2D(nn.Module):
     """
 
     backbone_name: str = "convnext_base"
-    pooling: str = "avg"  # avg | none
+    pooling: str = "avg"  # avg | conv | attn | none
     freeze: bool = True
 
     @property
     def out_channels(self) -> int:
-        return CONVNEXT_SPECS[self.backbone_name][1][-1]
+        c = CONVNEXT_SPECS[self.backbone_name][1][-1]
+        if self.pooling == "conv":
+            return 32 * 7 * 7  # reference hard-codes 7×7 maps (timm.py:86-87)
+        return c
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
         depths, dims = CONVNEXT_SPECS[self.backbone_name]
-        feats = ConvNeXt(depths, dims, name="backbone")(images)
+        feats = ConvNeXt(depths, dims, name="backbone")(images)  # (B,H,W,C)
         if self.freeze:
             feats = jax.lax.stop_gradient(feats)
         if self.pooling == "avg":
             return jnp.mean(feats, axis=(1, 2))
+        if self.pooling == "conv":
+            # 1×1 conv stack then flatten (timm.py:78-87)
+            h = nn.Dense(64, name="pool_conv1")(feats)
+            h = nn.relu(h)
+            h = nn.Dense(32, name="pool_conv2")(h)
+            return h.reshape(h.shape[0], -1)
+        if self.pooling in ("attn", "attention"):
+            # channel-wise attention pooling (timm.py:88-104; note the
+            # reference einsums x with itself after computing attn — the
+            # intended attn-weighted pool is used here)
+            attn = nn.Dense(dims[-1], name="attn_conv1")(feats)
+            attn = nn.relu(attn)
+            attn = nn.Dense(dims[-1], name="attn_conv2")(attn)
+            b, h, w, c = feats.shape
+            attn = jax.nn.softmax(attn.reshape(b, h * w, c), axis=1)
+            return jnp.einsum("bnc,bnc->bc", feats.reshape(b, h * w, c), attn)
         if self.pooling == "none":
             b, h, w, c = feats.shape
             return feats.reshape(b, h * w, c)

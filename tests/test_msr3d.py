@@ -159,3 +159,66 @@ class TestMSR3DEndToEnd:
         assert not any("image_encoder" in p for p in trainable)
         assert not any("obj_encoder" in p for p in trainable)
         assert len(frozen) > 0
+
+
+class TestPredictAnswers:
+    def test_ranks_trained_answer_highest(self, rng):
+        """predict_answers should prefer candidates whose LM loss is lowest;
+        sanity: it returns valid indices and consistent answers."""
+        model = tiny_model()
+        data = tiny_data_dict(rng)
+        prompts = model.build_text_prompt(data)
+        ii, am = model._encode_prompts(prompts)
+        oi, om = model._encode_answers(data["text_output"])
+        batch = model._scene_batch(data)
+        batch.update(input_ids=ii, attention_mask=am, output_ids=oi, output_mask=om)
+        model.init_params(batch)
+
+        answers = ["a chair", "yes", "the red table", "two"]
+        out = model.predict_answers(dict(data), answers, num_ans_candidates=4, chunk_size=2)
+        assert out["answers_id"].shape == (2,)
+        assert all(a in answers for a in out["answers"])
+        assert out["answers"][0] == answers[int(out["answers_id"][0])]
+
+
+class TestOSE3DAliases:
+    def test_registry_names(self):
+        from msr3d_tpu.models.build import MODEL_REGISTRY
+        from msr3d_tpu.config import config_from_dict
+
+        for name in ("OSE3DSituation", "OSE3D", "OSE3DORIG"):
+            assert name in MODEL_REGISTRY
+        cfg = config_from_dict({"model": {
+            "hidden_size": 32, "situation_type": "as_transform_for_objects",
+            "use_spatial_attn": True, "use_anchor": True, "use_orientation": True,
+            "fourier_size": 84, "loc_fourier_dim": 63,
+            "attn_flat": {"use_attn_flat": False, "mcan_flat_mlp_size": 512,
+                          "mcan_flat_glimpses": 1, "mcan_flat_out_size": 1024},
+            "vision": {"name": "PcdObjEncoder", "args": {
+                "sa_n_points": [8, 4, None], "sa_n_samples": [8, 8, None],
+                "sa_radii": [0.4, 0.8, None],
+                "sa_mlps": [[3, 8, 8, 16], [16, 16, 16, 32], [32, 32, 32, 64]],
+                "freeze": True}},
+            "spatial_encoder": {"dim_loc": 6, "num_attention_heads": 4,
+                "dim_feedforward": 64, "dropout": 0.0, "activation": "gelu",
+                "spatial_multihead": True, "spatial_dim": 5,
+                "spatial_dist_norm": True, "spatial_attn_fusion": "cond",
+                "num_layers": 1, "obj_loc_encoding": "same_all",
+                "pairwise_rel_type": "center"},
+        }})
+        leo = MODEL_REGISTRY.get("OSE3D")(cfg)
+        assert leo.cfg.situation_type == "as_object"
+        msr = MODEL_REGISTRY.get("OSE3DSituation")(cfg)
+        assert msr.cfg.situation_type == "as_transform_for_objects"
+
+    def test_vision_registry(self):
+        from msr3d_tpu.nn import build as _vb  # registration side effects
+        from msr3d_tpu.registry import VISION_REGISTRY, build_module
+        from msr3d_tpu.config import config_from_dict
+
+        for name in ("PcdObjEncoder", "PointBERTPcdObjEncoder", "Backbone2D"):
+            assert name in VISION_REGISTRY
+        cfg = config_from_dict({"name": "Backbone2D", "freeze": True,
+                                "args": {"backbone_name": "convnext_test", "pooling": "avg"}})
+        mod = build_module("vision", cfg)
+        assert mod.out_channels == 64

@@ -238,3 +238,27 @@ class TestPointNet:
         )
         got = np.transpose(np.asarray(jnp.max(h, axis=2)), (0, 2, 1))
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestPointBERT:
+    def test_forward_shapes(self, rng):
+        from msr3d_tpu.nn.pointbert import PointBERTPcdObjEncoder
+
+        mod = PointBERTPcdObjEncoder(
+            trans_dim=32, depth=2, num_heads=4, group_size=8, num_group=8,
+            encoder_dims=64, add_rgb=True, freeze=True,
+        )
+        pcds = (rng.normal(size=(2, 3, 64, 6)) * 0.3).astype(np.float32)
+        variables = mod.init(jax.random.key(0), jnp.asarray(pcds))
+        embeds, _ = mod.apply(variables, jnp.asarray(pcds))
+        assert embeds.shape == (2, 3, 64)  # 2 * trans_dim
+
+    def test_knn_groups_are_neighbors(self, rng):
+        from msr3d_tpu.nn.pointbert import knn_point
+
+        xyz = rng.normal(size=(1, 64, 3)).astype(np.float32)
+        centers = xyz[:, :4]
+        idx = np.asarray(knn_point(8, jnp.asarray(xyz), jnp.asarray(centers)))
+        # nearest neighbor of a center that IS a point is itself
+        for g in range(4):
+            assert g in idx[0, g]
