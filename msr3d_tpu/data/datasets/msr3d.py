@@ -166,8 +166,28 @@ class MSR3DBase:
     ) -> Dict[str, Any]:
         """Rotation aug + per-object center/size + 1024-pt resample +
         unit-sphere normalize + situation co-rotation
-        (msr3d.py:181-241)."""
+        (msr3d.py:181-241). Uses the fused native (C++) path when built;
+        numpy fallback otherwise."""
         rot_matrix = build_rotate_mat(self.split, rot_aug=rot_aug)
+
+        if not return_anchor and obj_pcds:
+            from msr3d_tpu.data import native
+
+            if native.available():
+                fts, locs = native.preprocess_objects(
+                    list(obj_pcds), self.num_points, rot_matrix,
+                    seed=np.random.randint(0, 2**63 - 1),
+                )
+                out = {
+                    "obj_fts": fts,
+                    "obj_locs": locs,
+                    "anchor_loc": np.zeros(3, np.float32),
+                }
+                if situation is not None:
+                    out["situation"] = self._co_rotate_situation(
+                        situation, rot_matrix
+                    )
+                return out
 
         obj_fts, obj_locs = [], []
         anchor_loc = np.zeros(3, np.float32)
@@ -198,14 +218,18 @@ class MSR3DBase:
             "anchor_loc": anchor_loc.astype(np.float32),
         }
         if situation is not None:
-            pos, ori = situation
-            pos = np.asarray(pos, np.float64)
-            ori = np.asarray(ori, np.float64)
-            if rot_matrix is not None:
-                pos = (pos.reshape(1, 3) @ rot_matrix.T.astype(np.float64)).reshape(-1)
-                ori = quaternion_rotate_z(ori, rot_matrix.astype(np.float64))
-            out["situation"] = (pos.astype(np.float32), ori.astype(np.float32))
+            out["situation"] = self._co_rotate_situation(situation, rot_matrix)
         return out
+
+    @staticmethod
+    def _co_rotate_situation(situation: Tuple, rot_matrix) -> Tuple:
+        pos, ori = situation
+        pos = np.asarray(pos, np.float64)
+        ori = np.asarray(ori, np.float64)
+        if rot_matrix is not None:
+            pos = (pos.reshape(1, 3) @ rot_matrix.T.astype(np.float64)).reshape(-1)
+            ori = quaternion_rotate_z(ori, rot_matrix.astype(np.float64))
+        return (pos.astype(np.float32), ori.astype(np.float32))
 
     def _get_scene_encoder_input(
         self, scan_data: Dict[str, Any], scan_insts: List[int], situation=None

@@ -197,3 +197,71 @@ class TestEndToEndWithModel:
 
         gen = model.generate(dict(batch), use_beam=False, max_new_tokens=4)
         assert gen["output_tokens"].shape == (2, 4)
+
+
+class TestNativePreprocess:
+    def test_native_matches_numpy_semantics(self, rng):
+        """The native path must produce the same obj_locs (deterministic) and
+        statistically-equivalent obj_fts (resampling is stochastic)."""
+        from msr3d_tpu.data import native
+
+        if not native.available():
+            pytest.skip("no g++ available to build the native lib")
+
+        obj_pcds = [rng.normal(size=(300 + 50 * i, 6)).astype(np.float32) for i in range(5)]
+        rot = None
+        fts, locs = native.preprocess_objects(obj_pcds, 64, rot, seed=123)
+        assert fts.shape == (5, 64, 6)
+        assert locs.shape == (5, 6)
+        # locs: deterministic center/size over the raw cloud
+        for i, p in enumerate(obj_pcds):
+            np.testing.assert_allclose(locs[i, :3], p[:, :3].mean(0), atol=1e-4)
+            np.testing.assert_allclose(
+                locs[i, 3:], p[:, :3].max(0) - p[:, :3].min(0), atol=1e-5
+            )
+        # fts: unit-sphere normalized, zero-mean xyz
+        norms = np.linalg.norm(fts[:, :, :3], axis=2)
+        assert norms.max() <= 1.0 + 1e-5
+        np.testing.assert_allclose(fts[:, :, :3].mean(1), 0.0, atol=1e-4)
+        # colors must be real colors from the cloud (columns 3:6 preserved)
+        for i, p in enumerate(obj_pcds):
+            assert np.isin(np.round(fts[i, :, 3], 4), np.round(p[:, 3], 4)).all()
+
+    def test_native_with_rotation(self, rng):
+        from msr3d_tpu.data import native
+
+        if not native.available():
+            pytest.skip("no g++")
+        theta = np.pi / 2
+        rot = np.array(
+            [[np.cos(theta), -np.sin(theta), 0],
+             [np.sin(theta), np.cos(theta), 0],
+             [0, 0, 1]], np.float32,
+        )
+        p = rng.normal(size=(200, 6)).astype(np.float32)
+        _, locs = native.preprocess_objects([p], 64, rot, seed=7)
+        want_center = (p[:, :3] @ rot.T).mean(0)
+        np.testing.assert_allclose(locs[0, :3], want_center, atol=1e-4)
+
+    def test_sampling_without_replacement(self, rng):
+        from msr3d_tpu.data import native
+
+        if not native.available():
+            pytest.skip("no g++")
+        # exactly num_points points → sample must be a permutation (all kept)
+        p = rng.normal(size=(64, 6)).astype(np.float32)
+        fts, _ = native.preprocess_objects([p], 64, None, seed=5)
+        got_colors = np.sort(fts[0, :, 3])
+        np.testing.assert_allclose(got_colors, np.sort(p[:, 3]), atol=1e-6)
+
+    def test_dataset_uses_native(self, cfg, rng):
+        """End-to-end: dataset items flow through the native path."""
+        from msr3d_tpu.data import native
+        from msr3d_tpu.data.datasets.msr3d import MSQAScanNet
+
+        if not native.available():
+            pytest.skip("no g++")
+        ds = MSQAScanNet(cfg, "train")
+        item = ds[0]
+        norms = np.linalg.norm(item["obj_fts"][:, :, :3], axis=2)
+        assert norms.max() <= 1.0 + 1e-5
