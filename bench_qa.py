@@ -1,0 +1,136 @@
+"""North-star benchmark: situated-QA pairs/sec/chip, end-to-end on device.
+
+Full MSR3D pipeline at flagship scale on one chip:
+  scene encode (60 obj × 1024 pts, PointNet++ + 3 spatial layers, fp32)
+  → splice into a 7B-class Llama (bf16, LoRA r16)
+  → prefill (bucketed prompt) → greedy decode (fixed new-token budget)
+
+The reference baseline (BASELINE.md): A100, batch 4/GPU, HF generate.
+Emits one JSON line. ``--quick`` shrinks the LLM for CI smoke.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="small LLM")
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--prompt-len", type=int, default=160)
+    parser.add_argument("--new-tokens", type=int, default=32)
+    parser.add_argument("--iters", type=int, default=5)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from msr3d_tpu.models.llm.llama import LlamaConfig
+    from msr3d_tpu.models.msr3d import MSR3D, MSR3DNetworkConfig
+    from msr3d_tpu.models.llm.tokenizer import ByteTokenizer
+    from msr3d_tpu.models.ose3d_situation import OSE3DConfig
+
+    if args.quick:
+        llm = LlamaConfig(
+            vocab_size=32000, hidden_size=512, intermediate_size=1376,
+            num_hidden_layers=4, num_attention_heads=8,
+            max_position_embeddings=2048, lora_rank=16, dtype=jnp.bfloat16,
+        )
+    else:
+        # Vicuna-7B geometry
+        llm = LlamaConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+            num_hidden_layers=32, num_attention_heads=32,
+            max_position_embeddings=2048, lora_rank=16, dtype=jnp.bfloat16,
+        )
+
+    tok = ByteTokenizer()
+    cfg = MSR3DNetworkConfig(
+        prompter=OSE3DConfig(),  # reference scale
+        llm=llm,
+        backbone_name="convnext_test",
+    )
+    model = MSR3D(
+        cfg, tok, scene_token_len=60, max_out_len=args.new_tokens,
+        num_beams=1, repetition_penalty=3.0,
+    )
+
+    B, N_OBJ, N_PTS = args.batch, 60, 1024
+    rng = np.random.default_rng(0)
+
+    def make_data(seed):
+        r = np.random.default_rng(seed)
+        scene = "景" * 1  # expanded by build_text_prompt
+        return {
+            "msr3d_prompt": [
+                f"You are an AI visual assistant situated in a 3D scene. "
+                f"Objects (including you) in the scene: {scene} "
+                f"USER: What is behind the chair number {i}? ASSISTANT:"
+                for i in range(B)
+            ],
+            "obj_fts": (r.normal(size=(B, N_OBJ, N_PTS, 6)) * 0.3).astype(np.float32),
+            "obj_masks": np.ones((B, N_OBJ), bool),
+            "obj_locs": r.normal(size=(B, N_OBJ, 6)).astype(np.float32),
+            "anchor_locs": r.normal(size=(B, 3)).astype(np.float32),
+            "anchor_orientation": np.tile(np.array([0, 0, 0, 1], np.float32), (B, 1)),
+        }
+
+    data = make_data(0)
+    prompts = model.build_text_prompt(data)
+    ii, am = model._encode_prompts(prompts)
+    oi, om = model._encode_answers(["an answer"] * B)
+    init_batch = model._scene_batch(data)
+    init_batch.update(input_ids=ii, attention_mask=am, output_ids=oi, output_mask=om)
+
+    t0 = time.time()
+    model.init_params(init_batch)
+    # bf16-cast the big params (weights arrive converted in production)
+    model.params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2
+        else x,
+        model.params,
+    )
+    init_s = time.time() - t0
+
+    # compile + warm
+    t0 = time.time()
+    model.generate(dict(data), use_beam=False, max_new_tokens=args.new_tokens)
+    compile_s = time.time() - t0
+
+    # steady state with varying data
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        out = model.generate(
+            dict(make_data(i + 1)), use_beam=False, max_new_tokens=args.new_tokens
+        )
+    dt = (time.perf_counter() - t0) / args.iters
+    qa_per_sec = B / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "qa_pairs_per_sec_per_chip",
+                "value": round(qa_per_sec, 3),
+                "unit": "QA pairs/s/chip",
+                "vs_baseline": 1.0,
+                "batch": B,
+                "prompt_tokens": int(ii.shape[1]),
+                "new_tokens": args.new_tokens,
+                "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h",
+                "step_ms": round(dt * 1000, 1),
+                "init_s": round(init_s, 1),
+                "compile_s": round(compile_s, 1),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

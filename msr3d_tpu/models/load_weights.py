@@ -1,0 +1,210 @@
+"""Pretrained-weight assembly: external checkpoints → MSR3DNetwork variables.
+
+Sources (each optional; anything absent keeps its random init):
+  - HF Vicuna/Llama checkpoint dir   → ``llm`` subtree
+  - PEFT LoRA adapter (.bin/.safetensors) → lora_a/lora_b leaves
+  - reference PointNet++ ``pointnetpp.pt`` / scene-encoder ``best.pth``
+    torch state dicts → prompter subtree (via utils/torch_convert)
+  - timm/open-clip ConvNeXt checkpoint → image_encoder subtree
+
+This is the functional replacement for the reference's implicit loading
+(model/msr3d/msr3d.py:75, modules/vision/pcd_pointnet_encoder.py:34-35,
+peft get_peft_model, timm pretrained=True).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from msr3d_tpu.utils import torch_convert as tc
+
+
+def _torch_load(path):
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_llm_weights(variables: Dict[str, Any], cfg_path: str | Path, llm_cfg) -> None:
+    """Overlay HF Llama weights into variables['params']['llm'] in place."""
+    from msr3d_tpu.models.llm.convert import load_hf_checkpoint
+
+    _, params = load_hf_checkpoint(cfg_path)
+    llm = variables["params"]["llm"]
+    for key, sub in params.items():
+        if key in llm:
+            _overlay(llm[key], sub)
+
+
+def load_peft_lora(variables: Dict[str, Any], adapter_path: str | Path) -> None:
+    """Overlay PEFT lora_A/lora_B into the llm subtree in place."""
+    from msr3d_tpu.models.llm.convert import merge_peft_lora
+
+    path = Path(adapter_path)
+    if path.is_dir():
+        candidates = list(path.glob("adapter_model.*"))
+        assert candidates, f"no adapter_model.* under {path}"
+        path = candidates[0]
+    if path.suffix == ".safetensors":
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+    else:
+        sd = _torch_load(path)
+    merge_peft_lora(variables["params"]["llm"], sd)
+
+
+def load_pointnet_weights(variables: Dict[str, Any], path: str | Path, sa_mlps) -> None:
+    """Reference ``pointnetpp.pt``-style state dict → obj_encoder subtree.
+
+    Accepts either a bare PointNetPP state dict or a PcdObjEncoder one
+    (keys prefixed ``pcd_net.``).
+    """
+    sd = _torch_load(path)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    prefix = "pcd_net." if any(k.startswith("pcd_net.") for k in sd) else ""
+    tree = tc.pcd_obj_encoder(sd, sa_mlps, prefix="") if prefix else None
+    if tree is None:
+        inner = tc.pointnetpp(sd, sa_mlps, prefix="")
+        tree = {
+            "params": {"pcd_net": inner["params"]},
+            "batch_stats": {"pcd_net": inner["batch_stats"]},
+        }
+    dst_params = variables["params"]["visual_prompter"]["obj_encoder"]
+    _overlay(dst_params, tree["params"])
+    if "batch_stats" in variables:
+        dst_stats = variables["batch_stats"]["visual_prompter"]["obj_encoder"]
+        _overlay(dst_stats, tree["batch_stats"])
+
+
+def load_scene_encoder_weights(variables: Dict[str, Any], path: str | Path) -> None:
+    """Reference ``best.pth`` (learnable-only save: LoRA + projections +
+    spatial encoder, leo_trainer.py:445-454) → matching subtrees."""
+    sd = _torch_load(path)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    # strip potential DDP/module prefixes
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+
+    vp = variables["params"]["visual_prompter"]
+    converted = _convert_prompter_state(sd)
+    _overlay(vp, converted)
+
+    for name in ("llm_proj", "llm_proj_img"):
+        w = f"{name}.weight"
+        if w in sd:
+            _overlay(variables["params"][name], tc.linear(sd, name))
+
+
+def _convert_prompter_state(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """visual_prompter.* keys of a reference checkpoint → our param layout."""
+    pre = "visual_prompter."
+    keys = [k for k in sd if k.startswith(pre)]
+    out: Dict[str, Any] = {}
+    if not keys:
+        return out
+    sub = {k[len(pre):]: v for k, v in sd.items() if k.startswith(pre)}
+    if "obj_linear_projection.weight" in sub:
+        out["obj_linear_projection"] = tc.linear(sub, "obj_linear_projection")
+    if "object_type_embedding.weight" in sub:
+        out["object_type_embedding"] = tc.embedding(sub, "object_type_embedding")
+    if "orientation_encoder.weight" in sub:
+        out["orientation_encoder"] = tc.linear(sub, "orientation_encoder")
+    for p in ("object_orientation_feat", "anchor_feat", "anchor_size"):
+        if p in sub:
+            out[p] = tc.t2n(sub[p])
+    i = 0
+    while f"loc_layers.{i}.0.weight" in sub:
+        out[f"loc_layer_{i}"] = {
+            "dense": tc.linear(sub, f"loc_layers.{i}.0"),
+            "norm": tc.layernorm(sub, f"loc_layers.{i}.1"),
+        }
+        i += 1
+    if "loc_embedding_encoder.0.weight" in sub:
+        out["loc_embedding_encoder"] = {
+            "dense": tc.linear(sub, "loc_embedding_encoder.0"),
+            "norm": tc.layernorm(sub, "loc_embedding_encoder.1"),
+        }
+    if "size_embedding_encoder.0.weight" in sub:
+        out["size_embedding_encoder"] = {
+            "dense": tc.linear(sub, "size_embedding_encoder.0"),
+            "norm": tc.layernorm(sub, "size_embedding_encoder.1"),
+        }
+    i = 0
+    while f"spatial_encoder.{i}.self_attn.w_qs.weight" in sub:
+        out[f"spatial_layer_{i}"] = tc.spatial_encoder_layer(
+            sub, f"spatial_encoder.{i}."
+        )
+        i += 1
+    return out
+
+
+def load_convnext_weights(variables: Dict[str, Any], path: str | Path, depths) -> None:
+    """timm ConvNeXt checkpoint → image_encoder subtree."""
+    from msr3d_tpu.models.vision2d import convert_convnext_state_dict
+
+    sd = _torch_load(path)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k.replace("model.", "").replace("module.", ""): v for k, v in sd.items()}
+    tree = convert_convnext_state_dict(sd, depths)
+    _overlay(variables["params"]["image_encoder"], tree)
+
+
+def _overlay(dst: Dict[str, Any], src: Dict[str, Any]) -> None:
+    """Recursively copy matching leaves of src into dst (shape-checked)."""
+    import jax.numpy as jnp
+
+    for key, val in src.items():
+        if val is None:
+            continue
+        if isinstance(val, dict):
+            if key in dst and isinstance(dst[key], dict):
+                _overlay(dst[key], val)
+        elif key in dst:
+            want = dst[key].shape if hasattr(dst[key], "shape") else None
+            arr = jnp.asarray(val)
+            assert want is None or arr.shape == tuple(want), (
+                f"shape mismatch at {key}: ckpt {arr.shape} vs model {want}"
+            )
+            dst[key] = arr.astype(dst[key].dtype) if hasattr(dst[key], "dtype") else arr
+
+
+def load_all(
+    model,
+    *,
+    llm_path: str = "",
+    lora_path: str = "",
+    pointnet_path: str = "",
+    scene_encoder_path: str = "",
+    convnext_path: str = "",
+) -> None:
+    """Assemble every available checkpoint into ``model.params`` in place."""
+    assert model.params is not None, "init_params first"
+    variables = {k: _tree_to_mutable(v) for k, v in model.params.items()}
+    if llm_path:
+        load_llm_weights(variables, llm_path, model.cfg.llm)
+    if lora_path:
+        load_peft_lora(variables, lora_path)
+    if pointnet_path:
+        load_pointnet_weights(
+            variables, pointnet_path, model.cfg.prompter.sa_mlps
+        )
+    if scene_encoder_path:
+        load_scene_encoder_weights(variables, scene_encoder_path)
+    if convnext_path:
+        from msr3d_tpu.models.vision2d import CONVNEXT_SPECS
+
+        depths = CONVNEXT_SPECS[model.cfg.backbone_name][0]
+        load_convnext_weights(variables, convnext_path, depths)
+    model.params = variables
+
+
+def _tree_to_mutable(tree):
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        return {k: _tree_to_mutable(v) for k, v in tree.items()}
+    return tree
