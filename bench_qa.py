@@ -47,6 +47,7 @@ def main() -> None:
             vocab_size=32000, hidden_size=4096, intermediate_size=11008,
             num_hidden_layers=32, num_attention_heads=32,
             max_position_embeddings=2048, lora_rank=16, dtype=jnp.bfloat16,
+            param_dtype=jnp.bfloat16,  # frozen base stored bf16: 13.5 GB
         )
 
     tok = ByteTokenizer()
@@ -89,13 +90,6 @@ def main() -> None:
 
     t0 = time.time()
     model.init_params(init_batch)
-    # bf16-cast the big params (weights arrive converted in production)
-    model.params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2
-        else x,
-        model.params,
-    )
     init_s = time.time() - t0
 
     # compile + warm

@@ -45,7 +45,7 @@ class ScanDataLoader:
         pc_type: str = "gt",
     ) -> Dict[str, Any]:
         if dataset == "ScanNet":
-            return self._get_scannet_data(scan_id, data_type)
+            return self._get_scannet_data(scan_id, data_type, pc_type=pc_type)
         if dataset == "3RScan":
             return self._get_rscan_data(scan_id, data_type)
         if dataset in ("ARkit", "ARkitScenes"):
@@ -65,7 +65,9 @@ class ScanDataLoader:
             obj_pcds[int(inst_id)] = pcds[mask]
         return obj_pcds
 
-    def _get_scannet_data(self, scan_id: str, data_type) -> Dict[str, Any]:
+    def _get_scannet_data(
+        self, scan_id: str, data_type, pc_type: str = "gt"
+    ) -> Dict[str, Any]:
         out: Dict[str, Any] = {}
         if "obj_pcds" in data_type:
             base = Path(self.cfg.data.scan_family_base)
@@ -78,7 +80,31 @@ class ScanDataLoader:
             out["obj_pcds"] = self._split_objects(
                 points, colors, instance_labels, inst_ids
             )
+            if pc_type == "pred":
+                out.update(self._load_pred_masks(base, scan_id, points, colors))
         return out
+
+    @staticmethod
+    def _load_pred_masks(base: Path, scan_id: str, points, colors) -> Dict[str, Any]:
+        """Mask3D-style predicted instances (scannet_base.py:78-101): sparse
+        mask npz (≤50 instances) + per-instance label npy."""
+        from scipy import sparse
+
+        mask_path = base / "mask" / f"{scan_id}.mask.npz"
+        label_path = base / "mask" / f"{scan_id}.label.npy"
+        if not (mask_path.exists() and label_path.exists()):
+            return {}
+        colors_n = colors / 127.5 - 1
+        pcds = np.concatenate([points, colors_n], axis=1).astype(np.float32)
+        obj_mask = np.asarray(sparse.load_npz(mask_path).todense())[:50, :]
+        obj_labels = np.load(label_path)[:50]
+        obj_pcds_pred, labels_pred = [], []
+        for i in range(obj_mask.shape[0]):
+            sel = pcds[obj_mask[i] == 1, :]
+            if sel.shape[0] > 0:
+                obj_pcds_pred.append(sel)
+                labels_pred.append(int(obj_labels[i]))
+        return {"obj_pcds_pred": obj_pcds_pred, "inst_labels_pred": labels_pred}
 
     def _get_rscan_data(self, scan_id: str, data_type) -> Dict[str, Any]:
         out: Dict[str, Any] = {}

@@ -48,6 +48,8 @@ class LlamaConfig:
         "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
     )
     dtype: Any = jnp.bfloat16  # compute dtype
+    param_dtype: Any = jnp.float32  # storage dtype for the frozen base
+    # (bf16 halves HBM for 7B-scale single-chip runs; LoRA stays fp32)
 
     @property
     def kv_heads(self) -> int:
@@ -113,12 +115,14 @@ class LoraDense(nn.Module):
     lora_dropout: float = 0.0
     base_frozen: bool = True
     dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         in_features = x.shape[-1]
         kernel = self.param(
-            "kernel", nn.initializers.normal(0.02), (in_features, self.features)
+            "kernel", nn.initializers.normal(0.02),
+            (in_features, self.features), self.param_dtype,
         )
         if self.base_frozen:
             kernel = jax.lax.stop_gradient(kernel)
@@ -167,6 +171,7 @@ class LlamaAttention(nn.Module):
         lora = dict(
             lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
             lora_dropout=cfg.lora_dropout, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
         )
 
         def proj(name, features):
@@ -226,6 +231,7 @@ class LlamaMLP(nn.Module):
         lora = dict(
             lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
             lora_dropout=cfg.lora_dropout, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
         )
 
         def proj(name, features):
@@ -267,11 +273,13 @@ class FrozenHead(nn.Module):
 
     vocab_size: int
     dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, hidden):
         kernel = self.param(
-            "kernel", nn.initializers.normal(0.02), (hidden.shape[-1], self.vocab_size)
+            "kernel", nn.initializers.normal(0.02),
+            (hidden.shape[-1], self.vocab_size), self.param_dtype,
         )
         return hidden @ jax.lax.stop_gradient(kernel).astype(self.dtype)
 
@@ -291,6 +299,7 @@ class LlamaModel(nn.Module):
         self.embedding = nn.Embed(
             cfg.vocab_size, cfg.hidden_size,
             embedding_init=nn.initializers.normal(0.02),
+            param_dtype=cfg.param_dtype,
             name="embed_tokens",
         )
         self.blocks = [
@@ -298,7 +307,9 @@ class LlamaModel(nn.Module):
         ]
         self.final_norm = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="final_norm")
         if not cfg.tie_word_embeddings:
-            self.lm_head = FrozenHead(cfg.vocab_size, cfg.dtype, name="lm_head")
+            self.lm_head = FrozenHead(
+                cfg.vocab_size, cfg.dtype, cfg.param_dtype, name="lm_head"
+            )
 
     def embed_tokens(self, input_ids: jax.Array) -> jax.Array:
         # frozen LLM: embeddings never train (msr3d.py:79-81)

@@ -77,6 +77,9 @@ class LeoTrainer:
         self.accum_steps = int(cfg.solver.get("gradient_accumulation_steps", 1))
         self.eval_interval = int(cfg.solver.get("eval_interval", 1))
         self.num_batch_eval = int(cfg.solver.get("num_batch_eval", 0)) or None
+        self.save_frequency = int(cfg.get("save_frequency", 0)) or None
+        # profiling (SURVEY §5: the reference has none; opt-in here)
+        self.profile_steps = int(cfg.get("profile", {}).get("steps", 0))
 
         # model
         self.model = model if model is not None else build_model(cfg)
@@ -260,6 +263,14 @@ class LeoTrainer:
             losses.append(loss)
             step = int(metrics["step"])
             self.tracker.loader_step = i + 1
+            if self.profile_steps and step == 2:
+                # trace a few steady-state steps into exp_dir/profile
+                jax.profiler.start_trace(str(self.exp_dir / "profile"))
+            if self.profile_steps and step == 2 + self.profile_steps:
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace written to {self.exp_dir}/profile")
+            if self.save_frequency and step % self.save_frequency == 0:
+                self.ckpt.save_state(step, self.state, self.tracker)
             if step % 10 == 0 or step <= 2:
                 self.logger.log(
                     {

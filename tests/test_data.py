@@ -265,3 +265,29 @@ class TestNativePreprocess:
         item = ds[0]
         norms = np.linalg.norm(item["obj_fts"][:, :, :3], axis=2)
         assert norms.max() <= 1.0 + 1e-5
+
+
+class TestBoxUtils:
+    def test_iou_identity_and_disjoint(self):
+        from msr3d_tpu.data.box_utils import (
+            box3d_iou_aligned,
+            construct_bbox_corners,
+            convert_pc_to_box,
+        )
+
+        c1 = construct_bbox_corners([0, 0, 0], [2, 2, 2])
+        assert box3d_iou_aligned(c1, c1) == pytest.approx(1.0)
+        c2 = construct_bbox_corners([10, 0, 0], [2, 2, 2])
+        assert box3d_iou_aligned(c1, c2) == 0.0
+        # half-overlap along x
+        c3 = construct_bbox_corners([1, 0, 0], [2, 2, 2])
+        assert box3d_iou_aligned(c1, c3) == pytest.approx(1 / 3)
+
+    def test_convert_pc_to_box(self, rng):
+        from msr3d_tpu.data.box_utils import convert_pc_to_box
+
+        pts = rng.uniform(-1, 1, size=(100, 6))
+        center, size = convert_pc_to_box(pts)
+        np.testing.assert_allclose(
+            center, (pts[:, :3].min(0) + pts[:, :3].max(0)) / 2
+        )
