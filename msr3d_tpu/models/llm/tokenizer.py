@@ -169,8 +169,10 @@ class ByteTokenizer(BaseTokenizer):
         out = []
         for i in ids:
             i = int(i)
-            if i >= self._BYTE_OFFSET:
+            if self._BYTE_OFFSET <= i < self._BYTE_OFFSET + 256:
                 out_bytes.append(i - self._BYTE_OFFSET)
+            elif i >= self._BYTE_OFFSET + 256:
+                continue  # out-of-vocab id (e.g. model vocab > tokenizer vocab)
             else:
                 if out_bytes:
                     out.append(out_bytes.decode("utf-8", errors="replace"))
