@@ -1,0 +1,152 @@
+"""Training-step benchmark: samples/sec/chip for the full MSR3D train step.
+
+One jit: scene encode (fp32) + 7B-geometry Llama (bf16 frozen base, LoRA
+r16) forward + backward through LoRA/projections/scene-encoder + masked
+AdamW update, with lax.scan gradient accumulation. Mirrors the reference
+training shape (batch 4 × accum 5, configs/msr3d.yaml:33,163).
+
+Emits one JSON line. ``--quick`` shrinks the LLM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--accum", type=int, default=5)
+    parser.add_argument("--prompt-len", type=int, default=192)
+    parser.add_argument("--answer-len", type=int, default=32)
+    parser.add_argument("--iters", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from msr3d_tpu.config import config_from_dict
+    from msr3d_tpu.models.llm.llama import LlamaConfig
+    from msr3d_tpu.models.msr3d import MSR3DNetwork, MSR3DNetworkConfig
+    from msr3d_tpu.models.ose3d_situation import OSE3DConfig
+    from msr3d_tpu.optim.build import build_optim
+    from msr3d_tpu.trainer.train_state import TrainState, make_train_step
+
+    if args.quick:
+        llm = LlamaConfig(
+            vocab_size=32000, hidden_size=512, intermediate_size=1376,
+            num_hidden_layers=4, num_attention_heads=8,
+            max_position_embeddings=2048, lora_rank=16, dtype=jnp.bfloat16,
+        )
+    else:
+        llm = LlamaConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+            num_hidden_layers=32, num_attention_heads=32,
+            max_position_embeddings=2048, lora_rank=16, dtype=jnp.bfloat16,
+            param_dtype=jnp.bfloat16,
+        )
+    cfg = MSR3DNetworkConfig(
+        prompter=OSE3DConfig(), llm=llm, backbone_name="convnext_test",
+        scene_token_id=6, img_token_id=4,
+    )
+    network = MSR3DNetwork(cfg)
+
+    B, A = args.batch, args.accum
+    N_OBJ, N_PTS = 60, 1024
+    T_IN, T_OUT = args.prompt_len, args.answer_len
+
+    def make_micro(seed):
+        r = np.random.default_rng(seed)
+        ids = r.integers(10, 31000, size=(B, T_IN)).astype(np.int32)
+        ids[:, 4:64] = 6  # 60 scene placeholders
+        return dict(
+            input_ids=ids,
+            attention_mask=np.ones((B, T_IN), np.int32),
+            output_ids=r.integers(10, 31000, size=(B, T_OUT)).astype(np.int32),
+            output_mask=np.ones((B, T_OUT), np.int32),
+            obj_fts=(r.normal(size=(B, N_OBJ, N_PTS, 6)) * 0.3).astype(np.float32),
+            obj_masks=np.ones((B, N_OBJ), bool),
+            obj_locs=r.normal(size=(B, N_OBJ, 6)).astype(np.float32),
+            anchor_locs=r.normal(size=(B, 3)).astype(np.float32),
+            anchor_orientation=np.tile(np.array([0, 0, 0, 1], np.float32), (B, 1)),
+        )
+
+    def stack_accum(seed):
+        micros = [make_micro(seed * 100 + a) for a in range(A)]
+        return {
+            k: jnp.asarray(np.stack([m[k] for m in micros])) for k in micros[0]
+        }
+
+    t0 = time.time()
+    init_fn = jax.jit(lambda k, b: network.init(k, **b))
+    variables = init_fn(
+        jax.random.key(0), {k: jnp.asarray(v) for k, v in make_micro(0).items()}
+    )
+    init_s = time.time() - t0
+
+    trainable = jax.tree_util.tree_map_with_path(
+        lambda p, _: ("lora" in jax.tree_util.keystr(p))
+        or ("llm_proj" in jax.tree_util.keystr(p))
+        or ("visual_prompter" in jax.tree_util.keystr(p)
+            and "obj_encoder" not in jax.tree_util.keystr(p)),
+        variables["params"],
+    )
+    opt_cfg = config_from_dict(
+        {
+            "solver": {
+                "grad_norm": 5.0,
+                "optim": {"name": "AdamW", "args": {"lr": 3e-5, "betas": [0.9, 0.999], "weight_decay": 0.05}},
+                "sched": {"name": "warmup_cosine_instructblip", "args": {"warmup_steps": 400}},
+            }
+        }
+    )
+    optimizer, _ = build_optim(opt_cfg, total_steps=10000, trainable_mask=trainable)
+    state = TrainState.create(variables, optimizer)
+
+    def apply_fn(vars_, batch, rng_):
+        out = network.apply(vars_, **batch, deterministic=False, rngs={"dropout": rng_})
+        return out["loss"].mean()
+
+    step = make_train_step(apply_fn, optimizer, accum_steps=A)
+
+    t0 = time.time()
+    state, metrics = step(state, stack_accum(0), jax.random.key(1))
+    float(metrics["loss"])
+    compile_s = time.time() - t0
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, metrics = step(state, stack_accum(i + 1), jax.random.key(i + 2))
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+    samples_per_sec = B * A / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec_per_chip",
+                "value": round(samples_per_sec, 3),
+                "unit": "samples/s/chip",
+                "vs_baseline": 1.0,
+                "batch": B,
+                "accum": A,
+                "prompt_tokens": T_IN,
+                "answer_tokens": T_OUT,
+                "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h",
+                "step_ms": round(dt * 1000, 1),
+                "loss": round(float(metrics["loss"]), 3),
+                "init_s": round(init_s, 1),
+                "compile_s": round(compile_s, 1),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

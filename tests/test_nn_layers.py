@@ -262,3 +262,28 @@ class TestPointBERT:
         # nearest neighbor of a center that IS a point is itself
         for g in range(4):
             assert g in idx[0, g]
+
+
+class TestCLIP:
+    def test_rn50_towers_shapes(self, rng):
+        from msr3d_tpu.models.clip import CLIPRN50
+
+        mod = CLIPRN50()
+        imgs = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+        ids = rng.integers(1, 49000, size=(2, 16)).astype(np.int32)
+        variables = mod.init(jax.random.key(0), jnp.asarray(imgs), jnp.asarray(ids))
+        out = mod.apply(variables, jnp.asarray(imgs), jnp.asarray(ids))
+        assert out["image_embeds"].shape == (2, 1024)
+        assert out["text_embeds"].shape == (2, 1024)
+
+        # frozen: no gradient flows to tower params
+        def loss(params):
+            o = mod.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                jnp.asarray(imgs), jnp.asarray(ids),
+            )
+            return jnp.sum(o["image_embeds"] ** 2) + jnp.sum(o["text_embeds"] ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+        assert total == 0.0
