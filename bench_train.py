@@ -48,7 +48,7 @@ def main() -> None:
             vocab_size=32000, hidden_size=4096, intermediate_size=11008,
             num_hidden_layers=32, num_attention_heads=32,
             max_position_embeddings=2048, lora_rank=16, dtype=jnp.bfloat16,
-            param_dtype=jnp.bfloat16,
+            param_dtype=jnp.bfloat16, remat=True,
         )
     cfg = MSR3DNetworkConfig(
         prompter=OSE3DConfig(), llm=llm, backbone_name="convnext_test",
@@ -105,14 +105,14 @@ def main() -> None:
             }
         }
     )
-    optimizer, _ = build_optim(opt_cfg, total_steps=10000, trainable_mask=trainable)
-    state = TrainState.create(variables, optimizer)
+    optimizer, _ = build_optim(opt_cfg, total_steps=10000)
+    state = TrainState.create(variables, optimizer, trainable_mask=trainable)
 
     def apply_fn(vars_, batch, rng_):
         out = network.apply(vars_, **batch, deterministic=False, rngs={"dropout": rng_})
         return out["loss"].mean()
 
-    step = make_train_step(apply_fn, optimizer, accum_steps=A)
+    step = make_train_step(apply_fn, optimizer, accum_steps=A, trainable_mask=trainable)
 
     t0 = time.time()
     state, metrics = step(state, stack_accum(0), jax.random.key(1))

@@ -50,6 +50,7 @@ class LlamaConfig:
     dtype: Any = jnp.bfloat16  # compute dtype
     param_dtype: Any = jnp.float32  # storage dtype for the frozen base
     # (bf16 halves HBM for 7B-scale single-chip runs; LoRA stays fp32)
+    remat: bool = False  # rematerialize blocks (trade recompute for HBM in training)
 
     @property
     def kv_heads(self) -> int:
@@ -302,8 +303,13 @@ class LlamaModel(nn.Module):
             param_dtype=cfg.param_dtype,
             name="embed_tokens",
         )
+        block_cls = (
+            nn.remat(LlamaBlock, prevent_cse=False, static_argnums=(5,))
+            if cfg.remat
+            else LlamaBlock
+        )
         self.blocks = [
-            LlamaBlock(cfg, name=f"layer_{i}") for i in range(cfg.num_hidden_layers)
+            block_cls(cfg, name=f"layer_{i}") for i in range(cfg.num_hidden_layers)
         ]
         self.final_norm = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="final_norm")
         if not cfg.tie_word_embeddings:

@@ -122,11 +122,13 @@ class LeoTrainer:
             if self.model.params is not None
             else None
         )
-        self.optimizer, self.schedule = build_optim(
-            cfg, total_steps, trainable_mask=self.trainable_mask
-        )
+        # gradients/optimizer state span only the trainable subtree (the
+        # frozen 7B base never materializes grads or moments)
+        self.optimizer, self.schedule = build_optim(cfg, total_steps)
         self.state = (
-            TrainState.create(self.model.params, self.optimizer)
+            TrainState.create(
+                self.model.params, self.optimizer, trainable_mask=self.trainable_mask
+            )
             if self.model.params is not None
             else None
         )
@@ -138,7 +140,8 @@ class LeoTrainer:
             return out["loss"].mean()
 
         self._train_step = make_train_step(
-            apply_fn, self.optimizer, accum_steps=self.accum_steps
+            apply_fn, self.optimizer, accum_steps=self.accum_steps,
+            trainable_mask=self.trainable_mask,
         )
 
         # bookkeeping

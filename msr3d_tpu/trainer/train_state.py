@@ -31,10 +31,13 @@ class TrainState:
     step: jax.Array  # scalar int32
 
     @staticmethod
-    def create(variables, optimizer):
+    def create(variables, optimizer, trainable_mask=None):
+        params = variables["params"]
+        if trainable_mask is not None:
+            params, _ = partition_params(params, trainable_mask)
         return TrainState(
             params=variables,
-            opt_state=optimizer.init(variables["params"]),
+            opt_state=optimizer.init(params),
             step=jnp.zeros((), jnp.int32),
         )
 
@@ -43,50 +46,99 @@ def tree_zeros_like(tree):
     return jax.tree_util.tree_map(jnp.zeros_like, tree)
 
 
+def _is_none(x):
+    return x is None
+
+
+def partition_params(params: Any, trainable_mask: Any):
+    """Split a param tree into (trainable, frozen) trees with None at the
+    complementary positions (equinox-style partition). None leaves vanish
+    from jax's flattening, so gradients/optimizer state/accumulators only
+    materialize for the trainable subset — essential when the frozen base
+    is a 13.5 GB LLM."""
+    train = jax.tree_util.tree_map(
+        lambda p, m: p if m else None, params, trainable_mask
+    )
+    frozen = jax.tree_util.tree_map(
+        lambda p, m: None if m else p, params, trainable_mask
+    )
+    return train, frozen
+
+
+def combine_params(train: Any, frozen: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda t, f: f if t is None else t, train, frozen, is_leaf=_is_none
+    )
+
+
 def make_train_step(
     apply_fn: Callable,
     optimizer: optax.GradientTransformation,
     *,
     accum_steps: int = 1,
     donate: bool = True,
+    trainable_mask: Optional[Any] = None,
 ):
     """Build the jitted train step.
 
     ``apply_fn(variables, batch, rngs) -> scalar mean loss``.
     The batch's leading axis layout is ``(accum, micro_batch, ...)`` when
     accum_steps > 1, else ``(batch, ...)``.
+
+    With ``trainable_mask`` (bool pytree over params), gradients are taken
+    ONLY w.r.t. the trainable subtree — the optimizer must then be built
+    WITHOUT its own mask (its state spans just the trainable leaves; this
+    is also what ``TrainState.create(..., trainable_mask=...)`` does).
+
     Returns ``train_step(state, batch, rng) -> (state, metrics)``.
     """
-
-    def loss_for(params_inner, other_vars, micro_batch, rng):
-        variables = dict(other_vars)
-        variables["params"] = params_inner
-        return apply_fn(variables, micro_batch, rng)
 
     def step_fn(state: TrainState, batch, rng):
         params = state.params["params"]
         other_vars = {k: v for k, v in state.params.items() if k != "params"}
+        if trainable_mask is not None:
+            train_params, frozen_params = partition_params(params, trainable_mask)
+        else:
+            train_params, frozen_params = params, None
+
+        def loss_for(train_p, micro_batch, micro_rng):
+            full = (
+                combine_params(train_p, frozen_params)
+                if trainable_mask is not None
+                else train_p
+            )
+            variables = dict(other_vars)
+            variables["params"] = full
+            return apply_fn(variables, micro_batch, micro_rng)
+
         grad_fn = jax.value_and_grad(loss_for)
 
         if accum_steps > 1:
             def micro(carry, inp):
                 grads_acc, loss_acc = carry
                 micro_batch, micro_rng = inp
-                loss, grads = grad_fn(params, other_vars, micro_batch, micro_rng)
+                loss, grads = grad_fn(train_params, micro_batch, micro_rng)
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 return (grads_acc, loss_acc + loss), None
 
             rngs = jax.random.split(rng, accum_steps)
-            init = (tree_zeros_like(params), jnp.zeros((), jnp.float32))
+            init = (tree_zeros_like(train_params), jnp.zeros((), jnp.float32))
             (grads, loss_sum), _ = jax.lax.scan(micro, init, (batch, rngs))
             scale = 1.0 / accum_steps
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
             loss = loss_sum * scale
         else:
-            loss, grads = grad_fn(params, other_vars, batch, rng)
+            loss, grads = grad_fn(train_params, batch, rng)
 
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, params)
-        new_params = optax.apply_updates(params, updates)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, train_params
+        )
+        new_train = optax.apply_updates(train_params, updates)
+        new_params = (
+            combine_params(new_train, frozen_params)
+            if trainable_mask is not None
+            else new_train
+        )
         new_variables = dict(other_vars)
         new_variables["params"] = new_params
         new_state = TrainState(

