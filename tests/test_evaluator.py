@@ -243,3 +243,39 @@ class TestOfflineMSQA:
         )
         out = evaluate_results_files({"scannet": p})
         assert out["EM-R_overall"] == 1.0
+
+
+class TestGPTBaseline:
+    def test_prompt_and_cache_flow(self, tmp_path):
+        from msr3d_tpu.tools.gpt_baseline import run_baseline
+
+        annotations = [
+            {"scan_id": "s1", "question": "What color is the chair?",
+             "answers": ["red"], "location": [1.0, 2.0, 0.0],
+             "orientation": [1.0, 0.0, 0.0], "situation": "You face a chair.",
+             "type": "attribute-color", "index": 0},
+        ]
+        scene_infos = {"s1": {"3": {"inst_name": "chair", "center": [1, 2, 0], "size": [0.5, 0.5, 1.0]}}}
+        attr_infos = {"s1": {"3": {"color": "red", "material": "wood"}}}
+
+        calls = []
+
+        def fake_client(prompt):
+            calls.append(prompt)
+            assert "chair" in prompt and "USER: What color is the chair?" in prompt
+            assert "angle 0.0" in prompt
+            return "Answer: red"
+
+        results = run_baseline(annotations, scene_infos, attr_infos, fake_client,
+                               cache_dir=tmp_path / "cache")
+        assert results[0]["response_pred"] == "red"
+        assert len(calls) == 1
+        # second run hits the disk cache — no new client calls
+        run_baseline(annotations, scene_infos, attr_infos, fake_client,
+                     cache_dir=tmp_path / "cache")
+        assert len(calls) == 1
+
+        # results feed the offline scorer
+        from msr3d_tpu.evaluator.offline_msqa import score_results
+        out = score_results({"scannet": results})
+        assert out["EM-R_overall"] == 1.0
