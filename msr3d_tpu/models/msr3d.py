@@ -347,6 +347,16 @@ class MSR3D:
         if "msr3d_imgs" in data_dict and data_dict["msr3d_imgs"] is not None:
             batch["images"] = np.asarray(data_dict["msr3d_imgs"], np.float32)
             batch["image_masks"] = np.asarray(data_dict["msr3d_img_masks"], bool)
+        elif "img_fts" in data_dict and data_dict["img_fts"] is not None:
+            # LEO-format single ego-view image (msr3d.py:246-268): one 图 per
+            # prompt; the splice masks its attention slot when img_masks=0
+            imgs = np.asarray(data_dict["img_fts"], np.float32)
+            if imgs.ndim == 4:  # (B, H, W, 3) → (B, 1, H, W, 3)
+                imgs = imgs[:, None]
+            batch["images"] = imgs
+            batch["image_masks"] = np.asarray(
+                data_dict.get("img_masks", np.ones(imgs.shape[:2], bool)), bool
+            ).reshape(imgs.shape[0], imgs.shape[1])
         return batch
 
     # -- reference contract -----------------------------------------------

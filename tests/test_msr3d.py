@@ -222,3 +222,38 @@ class TestOSE3DAliases:
                                 "args": {"backbone_name": "convnext_test", "pooling": "avg"}})
         mod = build_module("vision", cfg)
         assert mod.out_channels == 64
+
+
+class TestLeoFormatPath:
+    def test_leo_prompt_parts_with_single_image(self, rng):
+        """LEO-format data (prompt parts + single img_fts) flows through the
+        1-图 prompt with masked image attention."""
+        model = tiny_model()
+        b = 2
+        data = {
+            "prompt_before_obj": ["You are an assistant."] * b,
+            "prompt_middle_1": ["Ego-view image:"] * b,
+            "prompt_middle_2": ["Objects in the scene:"] * b,
+            "prompt_after_obj": ["USER: what do you see? ASSISTANT:"] * b,
+            "text_output": ["a chair", "a desk"],
+            "obj_fts": (rng.normal(size=(b, 6, 32, 6)) * 0.3).astype(np.float32),
+            "obj_masks": np.ones((b, 6), bool),
+            "obj_locs": rng.normal(size=(b, 6, 6)).astype(np.float32),
+            "anchor_locs": rng.normal(size=(b, 3)).astype(np.float32),
+            "anchor_orientation": np.tile(np.array([0, 0, 0, 1], np.float32), (b, 1)),
+            "img_fts": rng.normal(size=(b, 32, 32, 3)).astype(np.float32),
+            "img_masks": np.array([[1], [0]], bool),
+        }
+        prompts = model.build_text_prompt(data)
+        assert prompts[0].count(IMAGE_PLACEHOLDER) == 1
+        assert prompts[0].count(SCENE_PLACEHOLDER) == 5
+
+        ii, am = model._encode_prompts(prompts)
+        oi, om = model._encode_answers(data["text_output"])
+        batch = model._scene_batch(data)
+        assert batch["images"].shape == (b, 1, 32, 32, 3)
+        assert batch["image_masks"].tolist() == [[True], [False]]
+        batch.update(input_ids=ii, attention_mask=am, output_ids=oi, output_mask=om)
+        model.init_params(batch)
+        out = model.forward(dict(data))
+        assert np.isfinite(np.asarray(out["loss"])).all()
