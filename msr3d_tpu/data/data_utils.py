@@ -8,7 +8,7 @@ padding, SQA3D question-type tagging.
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -17,8 +17,6 @@ torch dependency is confined to unpickling ``.pth`` files.
 
 from __future__ import annotations
 
-import os
-from functools import lru_cache
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 

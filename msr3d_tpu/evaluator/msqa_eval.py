@@ -4,7 +4,6 @@ cap_eval.py)."""
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Any, Dict, List
 
 from msr3d_tpu.evaluator.build import BaseEvaluator

@@ -4,8 +4,6 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-import numpy as np
-
 from msr3d_tpu.data.constants import ONESTEPNAVI_ACTION_SPACE_TOKENIZE
 from msr3d_tpu.evaluator.build import BaseEvaluator
 from msr3d_tpu.registry import EVALUATOR_REGISTRY

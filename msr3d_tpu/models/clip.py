@@ -15,7 +15,7 @@ transformer over BPE ids, EOT-token pooled, projected to 1024.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,7 @@ choice, SURVEY.md §2.8).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -390,11 +390,15 @@ class LlamaModel(nn.Module):
         max_cache_len: int,
         *,
         deterministic: bool = True,
+        logits_last_only: bool = False,
     ):
         """Run prefill AND populate a KV cache of length ``max_cache_len``.
 
         Returns (logits, hidden, kv_caches, cache_mask, positions_next).
         The prompt occupies cache slots [0, T); decode continues at T.
+        ``logits_last_only`` computes logits only for the final position —
+        (B, V, fp-size)-scale savings that matter at large batch (decode
+        start needs just the last step).
         """
         cfg = self.cfg
         b, t, _ = inputs_embeds.shape
@@ -424,7 +428,7 @@ class LlamaModel(nn.Module):
             vs.append(updated["v"])
 
         x = self.final_norm(x)
-        logits = self.logits(x)
+        logits = self.logits(x[:, -1:]) if logits_last_only else self.logits(x)
         kv_caches = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
         slot = jnp.arange(max_cache_len)[None, :]
         cache_mask = (slot < t) & (

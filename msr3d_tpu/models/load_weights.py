@@ -15,7 +15,7 @@ peft get_peft_model, timm pretrained=True).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -25,8 +25,7 @@ normalized per sequence.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import flax.linen as nn
 import jax
@@ -219,7 +218,7 @@ class MSR3DNetwork(nn.Module):
         attn = jnp.concatenate([attn, jnp.ones((b, 1), attn.dtype)], axis=1)
 
         logits, _, caches, cache_mask, next_pos = self.llm.prefill_with_cache(
-            embeds, attn, max_cache_len
+            embeds, attn, max_cache_len, logits_last_only=True
         )
         first = logits[:, -1, :].astype(jnp.float32)
         return first, caches, cache_mask, next_pos

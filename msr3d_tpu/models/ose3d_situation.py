@@ -29,7 +29,7 @@ contract); internally flipped to pad-convention for the attention layers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -15,8 +15,7 @@ init (tests, debug configs).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import flax.linen as nn
 import jax

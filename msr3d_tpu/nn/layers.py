@@ -8,7 +8,7 @@ Functional equivalents of the reference's small helpers:
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax

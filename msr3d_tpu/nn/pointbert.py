@@ -14,8 +14,6 @@ deterministic index-0 seed is used (matching the main FPS op).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -82,8 +82,6 @@ def state_shardings(mesh: Mesh, state: Any) -> Any:
 
     Optimizer moments follow their parameters; scalars replicate.
     """
-    import flax
-
     def to_sharding(specs):
         return jax.tree_util.tree_map(
             lambda s: NamedSharding(mesh, s), specs,

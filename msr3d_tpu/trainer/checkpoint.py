@@ -11,12 +11,9 @@ Two mechanisms, mirroring the reference:
 from __future__ import annotations
 
 import dataclasses
-import json
 from pathlib import Path
 from typing import Any, Dict, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

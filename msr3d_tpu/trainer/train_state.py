@@ -15,8 +15,7 @@ common/misc.py:134-243) with single-controller JAX:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import flax.struct
 import jax
