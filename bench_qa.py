@@ -21,6 +21,7 @@ import numpy as np
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="small LLM")
+    parser.add_argument("--int8", action="store_true", help="int8 weight-only base")
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--prompt-len", type=int, default=160)
     parser.add_argument("--new-tokens", type=int, default=32)
@@ -48,6 +49,7 @@ def main() -> None:
             num_hidden_layers=32, num_attention_heads=32,
             max_position_embeddings=2048, lora_rank=16, dtype=jnp.bfloat16,
             param_dtype=jnp.bfloat16,  # frozen base stored bf16: 13.5 GB
+            quantize=args.int8,        # int8 weight-only: ~6.8 GB
         )
 
     tok = ByteTokenizer()
@@ -116,7 +118,8 @@ def main() -> None:
                 "batch": B,
                 "prompt_tokens": int(ii.shape[1]),
                 "new_tokens": args.new_tokens,
-                "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h",
+                "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
+                + ("-int8" if args.int8 else ""),
                 "step_ms": round(dt * 1000, 1),
                 "init_s": round(init_s, 1),
                 "compile_s": round(compile_s, 1),

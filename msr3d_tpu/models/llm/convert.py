@@ -162,3 +162,32 @@ def load_hf_checkpoint(path: str | Path, **config_overrides):
 
     params = params_from_hf_state_dict(sd, cfg)
     return cfg, params
+
+
+def quantize_llm_params(params: Dict[str, Any], cfg: LlamaConfig) -> Dict[str, Any]:
+    """bf16/fp32 base kernels → int8 weight-only (per-output-channel absmax
+    scales). Produces the param layout of ``LoraDense(quantized=True)``:
+    each projection's ``kernel`` is replaced by ``kernel_q`` + ``kernel_scale``.
+    Norms, embeddings, the LM head, and LoRA stay unquantized.
+    """
+
+    def quantize_leaf(kernel: np.ndarray):
+        k = np.asarray(kernel, np.float32)
+        scale = np.abs(k).max(axis=0) / 127.0  # per output channel
+        scale = np.where(scale == 0, 1.0, scale)
+        q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
+        return q, scale.astype(np.float32)
+
+    out = dict(params)
+    for i in range(cfg.num_hidden_layers):
+        layer = out[f"layer_{i}"] = {k: dict(v) for k, v in params[f"layer_{i}"].items()}
+        for block in ("attn", "mlp"):
+            for proj, p in list(layer[block].items()):
+                if "kernel" not in p:
+                    continue
+                p = dict(p)
+                q, scale = quantize_leaf(p.pop("kernel"))
+                p["kernel_q"] = q
+                p["kernel_scale"] = scale
+                layer[block][proj] = p
+    return out

@@ -51,6 +51,7 @@ class LlamaConfig:
     param_dtype: Any = jnp.float32  # storage dtype for the frozen base
     # (bf16 halves HBM for 7B-scale single-chip runs; LoRA stays fp32)
     remat: bool = False  # rematerialize blocks (trade recompute for HBM in training)
+    quantize: bool = False  # int8 weight-only base kernels (inference)
 
     @property
     def kv_heads(self) -> int:
@@ -107,6 +108,11 @@ class LoraDense(nn.Module):
     """Frozen base Dense + optional trainable LoRA delta.
 
     y = stop_grad(W) x + (α/r) · B(A(dropout(x)))  — PEFT semantics.
+
+    ``quantized``: store the base kernel as int8 with a per-output-channel
+    bf16 scale (weight-only quantization). Decode at 7B is HBM-bandwidth
+    bound on the weight read; int8 halves it. XLA fuses the
+    dequant (convert×scale) into the dot's operand load.
     """
 
     features: int
@@ -117,17 +123,36 @@ class LoraDense(nn.Module):
     base_frozen: bool = True
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         in_features = x.shape[-1]
-        kernel = self.param(
-            "kernel", nn.initializers.normal(0.02),
-            (in_features, self.features), self.param_dtype,
-        )
-        if self.base_frozen:
-            kernel = jax.lax.stop_gradient(kernel)
-        y = x @ kernel.astype(self.dtype)
+        if self.quantized:
+            kernel_q = self.param(
+                "kernel_q",
+                nn.initializers.zeros,
+                (in_features, self.features),
+                jnp.int8,
+            )
+            kernel_scale = self.param(
+                "kernel_scale",
+                nn.initializers.ones,
+                (self.features,),
+                jnp.bfloat16,
+            )
+            kernel = jax.lax.stop_gradient(kernel_q).astype(
+                self.dtype
+            ) * jax.lax.stop_gradient(kernel_scale).astype(self.dtype)
+        else:
+            kernel = self.param(
+                "kernel", nn.initializers.normal(0.02),
+                (in_features, self.features), self.param_dtype,
+            )
+            if self.base_frozen:
+                kernel = jax.lax.stop_gradient(kernel)
+            kernel = kernel.astype(self.dtype)
+        y = x @ kernel
         if self.use_lora and self.lora_rank > 0:
             a = self.param(
                 "lora_a",
@@ -172,7 +197,7 @@ class LlamaAttention(nn.Module):
         lora = dict(
             lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
             lora_dropout=cfg.lora_dropout, dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
+            param_dtype=cfg.param_dtype, quantized=cfg.quantize,
         )
 
         def proj(name, features):
@@ -232,7 +257,7 @@ class LlamaMLP(nn.Module):
         lora = dict(
             lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
             lora_dropout=cfg.lora_dropout, dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
+            param_dtype=cfg.param_dtype, quantized=cfg.quantize,
         )
 
         def proj(name, features):

@@ -24,19 +24,16 @@ from jax import lax
 
 
 def apply_repetition_penalty(
-    logits: jax.Array, generated: jax.Array, gen_mask: jax.Array, penalty: float
+    logits: jax.Array, seen: jax.Array, penalty: float
 ) -> jax.Array:
     """CTRL repetition penalty.
 
-    logits (B, V); generated (B, G) token ids so far; gen_mask (B, G)
-    1 = real generated token.
+    logits (B, V); ``seen`` (B, V) bool marks tokens generated so far —
+    maintained incrementally by the decode loop (an O(B) scatter per step;
+    the one-hot-over-history alternative reads B·G·V floats every step).
     """
     if penalty == 1.0:
         return logits
-    b, v = logits.shape
-    # one-hot scatter: seen[b, t] = 1 if token t was generated
-    onehot = jax.nn.one_hot(generated, v, dtype=jnp.float32)
-    seen = jnp.einsum("bgv,bg->bv", onehot, gen_mask.astype(jnp.float32)) > 0
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(seen, penalized, logits)
 
@@ -80,18 +77,19 @@ def greedy_decode(
     """
     b, v = first_token_logits.shape
 
-    def pick(logits, generated, gen_mask, step):
-        logits = apply_repetition_penalty(
-            logits, generated, gen_mask, repetition_penalty
-        )
+    def pick(logits, seen, step):
+        logits = apply_repetition_penalty(logits, seen, repetition_penalty)
         logits = _mask_min_length(logits, step, min_length, eos_id)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
 
+    def mark(seen, tok):
+        return seen.at[jnp.arange(b), tok].set(True)
+
     generated0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
-    gen_mask0 = jnp.zeros((b, max_new_tokens), jnp.float32)
-    tok0 = pick(first_token_logits, generated0, gen_mask0, jnp.int32(0))
+    seen0 = jnp.zeros((b, v), bool)
+    tok0 = pick(first_token_logits, seen0, jnp.int32(0))
     generated0 = generated0.at[:, 0].set(tok0)
-    gen_mask0 = gen_mask0.at[:, 0].set(1.0)
+    seen0 = mark(seen0, tok0)
     finished0 = tok0 == eos_id
 
     def cond(state):
@@ -99,22 +97,22 @@ def greedy_decode(
         return (step < max_new_tokens) & ~jnp.all(finished)
 
     def body(state):
-        step, generated, gen_mask, caches, cmask, positions, finished = state
+        step, generated, seen, caches, cmask, positions, finished = state
         tok = generated[:, step - 1]
         cache_index = prompt_len + step - 1
         cmask = cmask.at[:, cache_index].set(True)
         logits, caches = decode_step(
             tok[:, None], positions[:, None], caches, cache_index, cmask
         )
-        nxt = pick(logits[:, -1, :].astype(jnp.float32), generated, gen_mask, step)
+        nxt = pick(logits[:, -1, :].astype(jnp.float32), seen, step)
         nxt = jnp.where(finished, pad_id, nxt)
         generated = generated.at[:, step].set(nxt)
-        gen_mask = gen_mask.at[:, step].set((~finished).astype(jnp.float32))
+        seen = jnp.where(finished[:, None], seen, mark(seen, nxt))
         finished = finished | (nxt == eos_id)
-        return step + 1, generated, gen_mask, caches, cmask, positions + 1, finished
+        return step + 1, generated, seen, caches, cmask, positions + 1, finished
 
     state = (
-        jnp.int32(1), generated0, gen_mask0, kv_caches, cache_mask,
+        jnp.int32(1), generated0, seen0, kv_caches, cache_mask,
         next_positions.astype(jnp.int32), finished0,
     )
     _, generated, _, _, _, _, _ = lax.while_loop(cond, body, state)
@@ -167,35 +165,33 @@ def beam_search_decode(
     cmask = flat(expand(cache_mask, 1))  # (B·K, S)
     positions = flat(expand(next_positions, 1))  # (B·K,)
 
-    def score_logits(logits, generated, gen_mask, step):
-        logits = apply_repetition_penalty(
-            logits, generated, gen_mask, repetition_penalty
-        )
+    def score_logits(logits, seen, step):
+        logits = apply_repetition_penalty(logits, seen, repetition_penalty)
         logits = _mask_min_length(logits, step, min_length, eos_id)
         return jax.nn.log_softmax(logits, axis=-1)
 
     # --- step 0: pick top-K first tokens per batch from the shared prompt ---
     # (no generated tokens yet → no repetition penalty, only min-length mask)
     generated0 = jnp.full((b * k, max_new_tokens), pad_id, jnp.int32)
-    gen_mask0 = jnp.zeros((b * k, max_new_tokens), jnp.float32)
     logp0 = jax.nn.log_softmax(
         _mask_min_length(first_token_logits, jnp.int32(0), min_length, eos_id),
         axis=-1,
     )  # (B, V)
     top_logp, top_tok = lax.top_k(logp0, k)  # (B, K)
     generated = generated0.at[:, 0].set(flat(top_tok))
-    gen_mask = gen_mask0.at[:, 0].set(1.0)
+    seen = jnp.zeros((b * k, v), bool).at[jnp.arange(b * k), flat(top_tok)].set(True)
+    gen_len = jnp.ones((b * k,), jnp.float32)
     beam_scores = flat(top_logp)  # (B·K,)
     finished = flat(top_tok) == eos_id
 
     neg_inf = jnp.float32(-1e9)
 
     def cond(state):
-        step, _, _, _, _, _, _, finished = state
+        step, _, _, _, _, _, _, _, finished = state
         return (step < max_new_tokens) & ~jnp.all(finished)
 
     def body(state):
-        (step, generated, gen_mask, caches, cmask, positions, beam_scores,
+        (step, generated, seen, gen_len, caches, cmask, positions, beam_scores,
          finished) = state
         tok = generated[:, step - 1]
         cache_index = prompt_len + step - 1
@@ -204,7 +200,7 @@ def beam_search_decode(
             tok[:, None], positions[:, None], caches, cache_index, cmask
         )
         logp = score_logits(
-            logits[:, -1, :].astype(jnp.float32), generated, gen_mask, step
+            logits[:, -1, :].astype(jnp.float32), seen, step
         )  # (B·K, V)
 
         # finished beams: only "pad continuation" allowed at score 0
@@ -222,7 +218,8 @@ def beam_search_decode(
         # reindex state by source beam
         gather = (jnp.arange(b)[:, None] * k + src_beam).reshape(-1)  # (B·K,)
         generated = generated[gather]
-        gen_mask = gen_mask[gather]
+        seen = seen[gather]
+        gen_len = gen_len[gather]
         caches = {
             "k": caches["k"][:, gather],
             "v": caches["v"][:, gather],
@@ -234,25 +231,30 @@ def beam_search_decode(
         new_tok_flat = flat(new_tok)
         emit = jnp.where(finished, pad_id, new_tok_flat)
         generated = generated.at[:, step].set(emit)
-        gen_mask = gen_mask.at[:, step].set((~finished).astype(jnp.float32))
+        seen = jnp.where(
+            finished[:, None],
+            seen,
+            seen.at[jnp.arange(b * k), emit].set(True),
+        )
+        gen_len = gen_len + (~finished).astype(jnp.float32)
         beam_scores = flat(top_scores)
         # finished beams keep their frozen score (pad continuation adds 0)
         finished = finished | (emit == eos_id)
         return (
-            step + 1, generated, gen_mask, caches, cmask, positions + 1,
+            step + 1, generated, seen, gen_len, caches, cmask, positions + 1,
             beam_scores, finished,
         )
 
     state = (
-        jnp.int32(1), generated, gen_mask, caches, cmask, positions,
+        jnp.int32(1), generated, seen, gen_len, caches, cmask, positions,
         beam_scores, finished,
     )
-    (_, generated, gen_mask, _, _, _, beam_scores, finished) = lax.while_loop(
+    (_, generated, seen, gen_len, _, _, _, beam_scores, finished) = lax.while_loop(
         cond, body, state
     )
 
     # final ranking: score / len^length_penalty (HF GenerationMixin)
-    lengths = jnp.sum(unflat(gen_mask), axis=-1)  # (B, K)
+    lengths = unflat(gen_len)  # (B, K)
     norm_scores = unflat(beam_scores) / jnp.power(
         jnp.maximum(lengths, 1.0), length_penalty
     )

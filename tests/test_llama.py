@@ -309,3 +309,32 @@ class TestLoRA:
                 assert total > 0, f"LoRA grad unexpectedly zero: {name}"
             else:
                 assert total == 0, f"frozen param got grad: {name}"
+
+
+class TestQuantized:
+    def test_int8_logits_close_to_fp(self, rng, hf_model):
+        """Weight-only int8 quantization must stay close to the fp model
+        (random tiny weights; tolerance loose but meaningful)."""
+        from msr3d_tpu.models.llm.convert import quantize_llm_params
+
+        cfg_fp = config_from_hf(TINY_HF, dtype=jnp.float32)
+        params_fp = params_from_hf_state_dict(hf_model.state_dict(), cfg_fp)
+        model_fp = LlamaModel(cfg_fp)
+
+        cfg_q = config_from_hf(TINY_HF, dtype=jnp.float32, quantize=True)
+        params_q = quantize_llm_params(params_fp, cfg_q)
+        model_q = LlamaModel(cfg_q)
+
+        ids = rng.integers(5, 120, size=(2, 8)).astype(np.int32)
+        mask = np.ones((2, 8), np.int32)
+        vars_fp = {"params": jax.tree_util.tree_map(jnp.asarray, params_fp)}
+        vars_q = {"params": jax.tree_util.tree_map(jnp.asarray, params_q)}
+        embeds = model_fp.apply(vars_fp, jnp.asarray(ids), method=model_fp.embed_tokens)
+
+        logits_fp, _, _ = model_fp.apply(vars_fp, embeds, jnp.asarray(mask))
+        logits_q, _, _ = model_q.apply(vars_q, embeds, jnp.asarray(mask))
+        lf, lq = np.asarray(logits_fp), np.asarray(logits_q)
+        # top-1 agreement on most positions + bounded logit drift
+        top_match = (lf.argmax(-1) == lq.argmax(-1)).mean()
+        assert top_match > 0.8, top_match
+        assert np.abs(lf - lq).mean() < 0.15 * np.abs(lf).mean()
