@@ -189,10 +189,9 @@ class LlamaAttention(nn.Module):
         positions: jax.Array,  # (B, T)
         attn_bias: jax.Array,  # (B, 1, T, S) additive mask (0 or -inf-ish)
         kv_cache: Optional[Dict[str, jax.Array]] = None,  # {"k","v"}: (B,S,hkv,D)
-        cache_index: Optional[jax.Array] = None,  # unused in append-attend
+        cache_index: Optional[jax.Array] = None,  # scalar write offset
         *,
         deterministic: bool = True,
-        collect_kv: bool = False,
     ):
         cfg = self.cfg
         lora = dict(
@@ -220,55 +219,32 @@ class LlamaAttention(nn.Module):
         q = apply_rope(q, positions, cfg.rope_theta)
         k = apply_rope(k, positions, cfg.rope_theta)
 
-        n_rep = cfg.num_attention_heads // cfg.kv_heads
-        inv_sqrt_d = 1.0 / jnp.sqrt(cfg.head_dim).astype(jnp.float32)
-
+        new_cache = None
         if kv_cache is not None:
-            # APPEND-ATTEND decode: the cache holds PRIOR tokens only; the
-            # current token's k/v never get written into a full-cache copy
-            # here (the model writes the tiny step slice into the stacked
-            # cache) — avoids the per-step full-cache materialization that
-            # dominates decode bandwidth.
-            assert t == 1, "decode path expects a single-token step"
-            k_cache, v_cache = kv_cache["k"], kv_cache["v"]  # (B,S,hkv,D)
-            kc, vc = k_cache, v_cache
-            if n_rep > 1:
-                kc = jnp.repeat(kc, n_rep, axis=2)
-                vc = jnp.repeat(vc, n_rep, axis=2)
-            scores_cache = (
-                jnp.einsum("bthd,bshd->bhts", q, kc).astype(jnp.float32)
-                * inv_sqrt_d
-                + attn_bias
-            )  # (B,h,1,S)
-            k_rep = jnp.repeat(k, n_rep, axis=2) if n_rep > 1 else k
-            v_rep = jnp.repeat(v, n_rep, axis=2) if n_rep > 1 else v
-            score_self = (
-                jnp.sum(q * k_rep, axis=-1).transpose(0, 2, 1)[:, :, :, None]
-                .astype(jnp.float32) * inv_sqrt_d
-            )  # (B,h,1,1)
-            scores = jnp.concatenate([scores_cache, score_self], axis=-1)
-            weights = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
-            out = jnp.einsum(
-                "bhts,bshd->bthd", weights[..., :-1], vc
-            ) + weights[..., -1:].transpose(0, 2, 1, 3) * v_rep
-            out = out.reshape(b, t, cfg.num_attention_heads * cfg.head_dim)
-            out = proj("o_proj", cfg.hidden_size)(out, deterministic=deterministic)
-            return out, {"k": k, "v": v}  # (B,1,hkv,D) step slices
+            # decode: write current k/v at cache_index, attend over full cache
+            k_cache = jax.lax.dynamic_update_slice(
+                kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0)
+            )
+            new_cache = {"k": k_cache, "v": v_cache}
+            k, v = k_cache, v_cache
 
-        # prefill / training
-        kk, vv = k, v
+        # GQA: repeat kv heads
+        n_rep = cfg.num_attention_heads // cfg.kv_heads
         if n_rep > 1:
-            kk = jnp.repeat(kk, n_rep, axis=2)
-            vv = jnp.repeat(vv, n_rep, axis=2)
-        attn = (
-            jnp.einsum("bthd,bshd->bhts", q, kk).astype(jnp.float32) * inv_sqrt_d
-            + attn_bias
+            k = jnp.repeat(k, n_rep, axis=2)
+            v = jnp.repeat(v, n_rep, axis=2)
+
+        attn = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(cfg.head_dim).astype(
+            jnp.float32
         )
+        attn = attn.astype(jnp.float32) + attn_bias
         weights = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", weights, vv)
+        out = jnp.einsum("bhts,bshd->bthd", weights, v)
         out = out.reshape(b, t, cfg.num_attention_heads * cfg.head_dim)
         out = proj("o_proj", cfg.hidden_size)(out, deterministic=deterministic)
-        new_cache = {"k": k, "v": v} if collect_kv else None
         return out, new_cache
 
 
@@ -305,13 +281,12 @@ class LlamaBlock(nn.Module):
     @nn.compact
     def __call__(
         self, x, positions, attn_bias, kv_cache=None, cache_index=None,
-        *, deterministic: bool = True, collect_kv: bool = False,
+        *, deterministic: bool = True,
     ):
         cfg = self.cfg
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="input_norm")(x)
         h, new_cache = LlamaAttention(cfg, name="attn")(
-            h, positions, attn_bias, kv_cache, cache_index,
-            deterministic=deterministic, collect_kv=collect_kv,
+            h, positions, attn_bias, kv_cache, cache_index, deterministic=deterministic
         )
         x = x + h
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="post_attn_norm")(x)
@@ -411,37 +386,26 @@ class LlamaModel(nn.Module):
             ).astype(jnp.float32)
 
         x = inputs_embeds.astype(cfg.dtype)
-        if kv_caches is None:
-            for block in self.blocks:
-                x, _ = block(
-                    x, positions, attn_bias, None, None,
-                    deterministic=deterministic,
-                )
-            new_caches = None
-        else:
-            # append-attend decode: each layer reads its prior-token cache
-            # slice and returns only the current step's k/v; writing that
-            # (1,B,1,h,D) slice into the stacked cache is ~free, vs the old
-            # full-cache restack (GBs/step at 7B)
-            ks, vs = kv_caches["k"], kv_caches["v"]
-            for i, block in enumerate(self.blocks):
-                layer_cache = {"k": ks[i], "v": vs[i]}
-                x, step_kv = block(
-                    x, positions, attn_bias, layer_cache, cache_index,
-                    deterministic=deterministic,
-                )
-                ks = jax.lax.dynamic_update_slice(
-                    ks, step_kv["k"][None].astype(ks.dtype),
-                    (i, 0, cache_index, 0, 0),
-                )
-                vs = jax.lax.dynamic_update_slice(
-                    vs, step_kv["v"][None].astype(vs.dtype),
-                    (i, 0, cache_index, 0, 0),
-                )
-            new_caches = {"k": ks, "v": vs}
+        new_k, new_v = [], []
+        for i, block in enumerate(self.blocks):
+            layer_cache = (
+                None
+                if kv_caches is None
+                else {"k": kv_caches["k"][i], "v": kv_caches["v"][i]}
+            )
+            x, updated = block(
+                x, positions, attn_bias, layer_cache, cache_index,
+                deterministic=deterministic,
+            )
+            if updated is not None:
+                new_k.append(updated["k"])
+                new_v.append(updated["v"])
 
         x = self.final_norm(x)
         logits = self.logits(x)
+        new_caches = (
+            {"k": jnp.stack(new_k), "v": jnp.stack(new_v)} if new_k else None
+        )
         return logits, x, new_caches
 
     def prefill_with_cache(
@@ -473,21 +437,24 @@ class LlamaModel(nn.Module):
         x = inputs_embeds.astype(cfg.dtype)
         ks, vs = [], []
         for block in self.blocks:
-            # normal prefill pass, capturing each layer's post-rope k/v
-            x, kv = block(
-                x, positions, attn_bias, None, None,
-                deterministic=deterministic, collect_kv=True,
+            # run block while capturing its k/v (recomputed here via a
+            # cache-prefill pass: write into zeros cache at index 0)
+            zeros = {
+                "k": jnp.zeros((b, max_cache_len, cfg.kv_heads, cfg.head_dim), cfg.dtype),
+                "v": jnp.zeros((b, max_cache_len, cfg.kv_heads, cfg.head_dim), cfg.dtype),
+            }
+            # decode-style call with a (T,S) bias replicating prefill masking
+            pad = jnp.full((b, 1, t, max_cache_len - t), -1e30, jnp.float32)
+            bias_full = jnp.concatenate([attn_bias, pad], axis=-1)
+            x, updated = block(
+                x, positions, bias_full, zeros, 0, deterministic=deterministic
             )
-            ks.append(kv["k"])
-            vs.append(kv["v"])
+            ks.append(updated["k"])
+            vs.append(updated["v"])
 
         x = self.final_norm(x)
         logits = self.logits(x[:, -1:]) if logits_last_only else self.logits(x)
-        pad_len = max_cache_len - t
-        kv_caches = {
-            "k": jnp.pad(jnp.stack(ks), ((0, 0), (0, 0), (0, pad_len), (0, 0), (0, 0))),
-            "v": jnp.pad(jnp.stack(vs), ((0, 0), (0, 0), (0, pad_len), (0, 0), (0, 0))),
-        }
+        kv_caches = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
         slot = jnp.arange(max_cache_len)[None, :]
         cache_mask = (slot < t) & (
             jnp.pad(attention_mask, ((0, 0), (0, max_cache_len - t))).astype(bool)

@@ -100,12 +100,10 @@ def greedy_decode(
         step, generated, seen, caches, cmask, positions, finished = state
         tok = generated[:, step - 1]
         cache_index = prompt_len + step - 1
-        # append-attend: the current token's kv is handled inside the step;
-        # its cache slot becomes valid for SUBSEQUENT steps only
+        cmask = cmask.at[:, cache_index].set(True)
         logits, caches = decode_step(
             tok[:, None], positions[:, None], caches, cache_index, cmask
         )
-        cmask = cmask.at[:, cache_index].set(True)
         nxt = pick(logits[:, -1, :].astype(jnp.float32), seen, step)
         nxt = jnp.where(finished, pad_id, nxt)
         generated = generated.at[:, step].set(nxt)
@@ -197,10 +195,10 @@ def beam_search_decode(
          finished) = state
         tok = generated[:, step - 1]
         cache_index = prompt_len + step - 1
+        cmask = cmask.at[:, cache_index].set(True)
         logits, caches = decode_step(
             tok[:, None], positions[:, None], caches, cache_index, cmask
         )
-        cmask = cmask.at[:, cache_index].set(True)
         logp = score_logits(
             logits[:, -1, :].astype(jnp.float32), seen, step
         )  # (B·K, V)

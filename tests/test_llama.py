@@ -127,8 +127,7 @@ class TestForwardParity:
         new_embeds = model.apply(
             variables, jnp.asarray(new_ids), method=model.embed_tokens
         )
-        # append-attend: the current token is handled inside the step; its
-        # cache slot is NOT pre-marked
+        cache_mask = cache_mask.at[:, t].set(True)
         step_logits, _, _ = model.apply(
             variables, new_embeds, jnp.ones((b, 1), jnp.int32),
             positions=next_pos[:, None], kv_caches=caches, cache_index=t,
