@@ -22,6 +22,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="small LLM")
     parser.add_argument("--int8", action="store_true", help="int8 weight-only base")
+    parser.add_argument("--beams", type=int, default=1)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--prompt-len", type=int, default=160)
     parser.add_argument("--new-tokens", type=int, default=32)
@@ -60,7 +61,7 @@ def main() -> None:
     )
     model = MSR3D(
         cfg, tok, scene_token_len=60, max_out_len=args.new_tokens,
-        num_beams=1, repetition_penalty=3.0,
+        num_beams=args.beams, repetition_penalty=3.0,
     )
 
     B, N_OBJ, N_PTS = args.batch, 60, 1024
@@ -96,14 +97,15 @@ def main() -> None:
 
     # compile + warm
     t0 = time.time()
-    model.generate(dict(data), use_beam=False, max_new_tokens=args.new_tokens)
+    use_beam = args.beams > 1
+    model.generate(dict(data), use_beam=use_beam, max_new_tokens=args.new_tokens)
     compile_s = time.time() - t0
 
     # steady state with varying data
     t0 = time.perf_counter()
     for i in range(args.iters):
         out = model.generate(
-            dict(make_data(i + 1)), use_beam=False, max_new_tokens=args.new_tokens
+            dict(make_data(i + 1)), use_beam=use_beam, max_new_tokens=args.new_tokens
         )
     dt = (time.perf_counter() - t0) / args.iters
     qa_per_sec = B / dt
@@ -118,6 +120,7 @@ def main() -> None:
                 "batch": B,
                 "prompt_tokens": int(ii.shape[1]),
                 "new_tokens": args.new_tokens,
+                "beams": args.beams,
                 "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
                 + ("-int8" if args.int8 else ""),
                 "step_ms": round(dt * 1000, 1),
