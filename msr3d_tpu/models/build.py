@@ -36,6 +36,13 @@ def build_llm_config(llm_cfg, tokenizer, dtype=jnp.bfloat16) -> LlamaConfig:
             lora_targets=tuple(lora.target_modules),
         )
 
+    # TPU deployment knobs (not in the reference's schema; default off)
+    extra = dict(
+        param_dtype=jnp.bfloat16 if llm_cfg.get("param_dtype", "bf16") == "bf16" else jnp.float32,
+        quantize=bool(llm_cfg.get("quantize", False)),
+        remat=bool(llm_cfg.get("remat", False)),
+    )
+
     cfg_path = llm_cfg.get("cfg_path", "")
     if cfg_path and Path(cfg_path, "config.json").exists():
         import json
@@ -44,10 +51,10 @@ def build_llm_config(llm_cfg, tokenizer, dtype=jnp.bfloat16) -> LlamaConfig:
             hf = json.load(f)
         from msr3d_tpu.models.llm.convert import config_from_hf
 
-        return config_from_hf(hf, dtype=dtype, **lora_kw)
+        return config_from_hf(hf, dtype=dtype, **lora_kw, **extra)
     # debug/test: tiny LLM sized to the tokenizer
     return LlamaConfig.tiny(
-        vocab_size=max(tokenizer.vocab_size, 263), dtype=dtype, **lora_kw
+        vocab_size=max(tokenizer.vocab_size, 263), dtype=dtype, **lora_kw, **extra
     )
 
 

@@ -135,23 +135,26 @@ def beam_search_decode(
     repetition_penalty: float = 1.0,
     length_penalty: float = 1.0,
 ) -> jax.Array:
-    """Beam search (HF-compatible scoring) on static shapes.
+    """Beam search with HF GenerationMixin semantics on static shapes.
 
-    The prompt's KV cache is broadcast over beams; each step expands
-    B·K beams, scores log-probs (+ repetition penalty + min-length mask),
-    and keeps the top-K continuations. Finished beams are frozen with
-    score/len^length_penalty ranking at the end. Returns (B, max_new_tokens).
+    Each step expands the K live beams to 2K candidates; EOS candidates are
+    finalized into a K-slot hypothesis pool (score / len^length_penalty);
+    the best K non-EOS candidates continue. The search stops when no live
+    beam can beat the worst finalized hypothesis (HF early_stopping=False
+    heuristic) or the token budget ends, at which point remaining live
+    beams are finalized too. Matches HF ``generate`` on parity tests
+    (scripts/parity_check.py).
     """
     b, v = first_token_logits.shape
     k = num_beams
+    neg_inf = jnp.float32(-1e9)
 
-    def flat(x):  # (B, K, ...) → (B·K, ...)
+    def flat(x):
         return x.reshape((b * k,) + x.shape[2:])
 
-    def unflat(x):  # (B·K, ...) → (B, K, ...)
+    def unflat(x):
         return x.reshape((b, k) + x.shape[1:])
 
-    # expand caches/masks/positions over beams
     def expand(x, beam_axis):
         reps = [1] * (x.ndim + 1)
         x = jnp.expand_dims(x, beam_axis)
@@ -162,37 +165,57 @@ def beam_search_decode(
         "k": _expand_cache(kv_caches["k"], k),
         "v": _expand_cache(kv_caches["v"], k),
     }
-    cmask = flat(expand(cache_mask, 1))  # (B·K, S)
-    positions = flat(expand(next_positions, 1))  # (B·K,)
+    cmask = flat(expand(cache_mask, 1))  # (B*K, S)
+    positions = flat(expand(next_positions, 1))  # (B*K,)
 
-    def score_logits(logits, seen, step):
-        logits = apply_repetition_penalty(logits, seen, repetition_penalty)
-        logits = _mask_min_length(logits, step, min_length, eos_id)
-        return jax.nn.log_softmax(logits, axis=-1)
-
-    # --- step 0: pick top-K first tokens per batch from the shared prompt ---
-    # (no generated tokens yet → no repetition penalty, only min-length mask)
-    generated0 = jnp.full((b * k, max_new_tokens), pad_id, jnp.int32)
+    # --- step 0: top-K distinct first tokens (HF: only beam 0 is live) ---
     logp0 = jax.nn.log_softmax(
         _mask_min_length(first_token_logits, jnp.int32(0), min_length, eos_id),
         axis=-1,
     )  # (B, V)
     top_logp, top_tok = lax.top_k(logp0, k)  # (B, K)
-    generated = generated0.at[:, 0].set(flat(top_tok))
+    generated = jnp.full((b * k, max_new_tokens), pad_id, jnp.int32)
+    generated = generated.at[:, 0].set(flat(top_tok))
     seen = jnp.zeros((b * k, v), bool).at[jnp.arange(b * k), flat(top_tok)].set(True)
-    gen_len = jnp.ones((b * k,), jnp.float32)
-    beam_scores = flat(top_logp)  # (B·K,)
-    finished = flat(top_tok) == eos_id
+    beam_scores = flat(top_logp)
+    # step-0 EOS candidates finalize immediately
+    is_eos0 = flat(top_tok) == eos_id
+    hyp_tokens = jnp.where(
+        unflat(is_eos0)[..., None], unflat(generated), pad_id
+    )  # (B, K, T)
+    hyp_scores = jnp.where(
+        unflat(is_eos0), unflat(beam_scores) / jnp.float32(1.0) ** length_penalty,
+        neg_inf,
+    )  # (B, K) normalized
+    beam_scores = jnp.where(is_eos0, neg_inf, beam_scores)  # dead live beams
 
-    neg_inf = jnp.float32(-1e9)
+    def score_logits(logits, seen_, step):
+        # HF beam search applies logits processors AFTER log_softmax (unlike
+        # its greedy path, which processes raw logits) and does NOT
+        # re-normalize — the penalty acts on log-probs
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        logp = apply_repetition_penalty(logp, seen_, repetition_penalty)
+        return _mask_min_length(logp, step, min_length, eos_id)
+
+    def running_done(beam_scores_, hyp_scores_, step):
+        # HF early_stopping=False: done when the best live score, optimally
+        # normalized at the CURRENT length, cannot beat the worst hypothesis
+        best_live = jnp.max(unflat(beam_scores_), axis=1) / jnp.power(
+            jnp.float32(step + 1), length_penalty
+        )
+        worst_hyp = jnp.min(hyp_scores_, axis=1)
+        full = jnp.sum(hyp_scores_ > neg_inf / 2, axis=1) >= k
+        return full & (worst_hyp >= best_live)
 
     def cond(state):
-        step, _, _, _, _, _, _, _, finished = state
-        return (step < max_new_tokens) & ~jnp.all(finished)
+        (step, _, _, _, _, _, beam_scores_, hyp_tokens_, hyp_scores_) = state
+        return (step < max_new_tokens) & ~jnp.all(
+            running_done(beam_scores_, hyp_scores_, step)
+        )
 
     def body(state):
-        (step, generated, seen, gen_len, caches, cmask, positions, beam_scores,
-         finished) = state
+        (step, generated, seen, caches, cmask, positions, beam_scores,
+         hyp_tokens, hyp_scores) = state
         tok = generated[:, step - 1]
         cache_index = prompt_len + step - 1
         cmask = cmask.at[:, cache_index].set(True)
@@ -201,66 +224,75 @@ def beam_search_decode(
         )
         logp = score_logits(
             logits[:, -1, :].astype(jnp.float32), seen, step
-        )  # (B·K, V)
+        )  # (B*K, V)
+        total = unflat(beam_scores[:, None] + logp).reshape(b, k * v)
+        cand_scores, cand_idx = lax.top_k(total, 2 * k)  # (B, 2K)
+        cand_beam = cand_idx // v  # (B, 2K) source beams
+        cand_tok = (cand_idx % v).astype(jnp.int32)
+        cand_is_eos = cand_tok == eos_id
 
-        # finished beams: only "pad continuation" allowed at score 0
-        cont = jnp.where(
-            finished[:, None],
-            jnp.where(jnp.arange(v)[None, :] == pad_id, 0.0, neg_inf),
-            logp,
+        # --- finalize EOS candidates into the hypothesis pool -------------
+        # candidate sequences = source beam's tokens with eos at `step`
+        src_gather = (jnp.arange(b)[:, None] * k + cand_beam).reshape(-1)
+        cand_seqs = generated[src_gather].reshape(b, 2 * k, max_new_tokens)
+        cand_seqs = cand_seqs.at[:, :, step].set(
+            jnp.where(cand_is_eos, eos_id, pad_id)
         )
-        total = beam_scores[:, None] + cont  # (B·K, V)
-        total = unflat(total).reshape(b, k * v)
-        top_scores, top_idx = lax.top_k(total, k)  # (B, K)
-        src_beam = top_idx // v  # (B, K) which beam it came from
-        new_tok = (top_idx % v).astype(jnp.int32)
+        cand_norm = cand_scores / jnp.power(
+            jnp.float32(step + 1), length_penalty
+        )
+        cand_norm = jnp.where(cand_is_eos, cand_norm, neg_inf)
+        pool_scores = jnp.concatenate([hyp_scores, cand_norm], axis=1)  # (B,3K)
+        pool_tokens = jnp.concatenate([hyp_tokens, cand_seqs], axis=1)
+        top_pool, pool_idx = lax.top_k(pool_scores, k)
+        hyp_scores = top_pool
+        hyp_tokens = jnp.take_along_axis(
+            pool_tokens, pool_idx[:, :, None], axis=1
+        )
 
-        # reindex state by source beam
-        gather = (jnp.arange(b)[:, None] * k + src_beam).reshape(-1)  # (B·K,)
+        # --- continue with the best K non-EOS candidates -------------------
+        live_rank = jnp.where(cand_is_eos, neg_inf, cand_scores)
+        _, live_pick = lax.top_k(live_rank, k)  # indices into the 2K axis
+        new_scores = jnp.take_along_axis(cand_scores, live_pick, axis=1)
+        new_tok = jnp.take_along_axis(cand_tok, live_pick, axis=1)
+        new_beam = jnp.take_along_axis(cand_beam, live_pick, axis=1)
+        # if fewer than K non-EOS candidates existed, their slots carry
+        # -inf scores and can never win — emit pad for them
+        valid_live = jnp.take_along_axis(~cand_is_eos, live_pick, axis=1)
+        new_tok = jnp.where(valid_live, new_tok, pad_id)
+        new_scores = jnp.where(valid_live, new_scores, neg_inf)
+
+        gather = (jnp.arange(b)[:, None] * k + new_beam).reshape(-1)
         generated = generated[gather]
         seen = seen[gather]
-        gen_len = gen_len[gather]
-        caches = {
-            "k": caches["k"][:, gather],
-            "v": caches["v"][:, gather],
-        }
+        caches = {"k": caches["k"][:, gather], "v": caches["v"][:, gather]}
         cmask = cmask[gather]
         positions = positions[gather]
-        finished = finished[gather]
 
         new_tok_flat = flat(new_tok)
-        emit = jnp.where(finished, pad_id, new_tok_flat)
-        generated = generated.at[:, step].set(emit)
-        seen = jnp.where(
-            finished[:, None],
-            seen,
-            seen.at[jnp.arange(b * k), emit].set(True),
-        )
-        gen_len = gen_len + (~finished).astype(jnp.float32)
-        beam_scores = flat(top_scores)
-        # finished beams keep their frozen score (pad continuation adds 0)
-        finished = finished | (emit == eos_id)
+        generated = generated.at[:, step].set(new_tok_flat)
+        seen = seen.at[jnp.arange(b * k), new_tok_flat].set(True)
+        beam_scores = flat(new_scores)
         return (
-            step + 1, generated, seen, gen_len, caches, cmask, positions + 1,
-            beam_scores, finished,
+            step + 1, generated, seen, caches, cmask, positions + 1,
+            beam_scores, hyp_tokens, hyp_scores,
         )
 
     state = (
-        jnp.int32(1), generated, seen, gen_len, caches, cmask, positions,
-        beam_scores, finished,
+        jnp.int32(1), generated, seen, caches, cmask, positions,
+        beam_scores, hyp_tokens, hyp_scores,
     )
-    (_, generated, seen, gen_len, _, _, _, beam_scores, finished) = lax.while_loop(
-        cond, body, state
-    )
+    (step, generated, seen, caches, cmask, positions, beam_scores,
+     hyp_tokens, hyp_scores) = lax.while_loop(cond, body, state)
 
-    # final ranking: score / len^length_penalty (HF GenerationMixin)
-    lengths = unflat(gen_len)  # (B, K)
-    norm_scores = unflat(beam_scores) / jnp.power(
-        jnp.maximum(lengths, 1.0), length_penalty
+    # finalize: live beams compete at their final length (HF finalize step)
+    live_norm = unflat(beam_scores) / jnp.power(
+        jnp.float32(max_new_tokens), length_penalty
     )
-    best = jnp.argmax(norm_scores, axis=-1)  # (B,)
-    out = unflat(generated)[jnp.arange(b), best]
-    return out
+    all_scores = jnp.concatenate([hyp_scores, live_norm], axis=1)  # (B, 2K)
+    all_tokens = jnp.concatenate([hyp_tokens, unflat(generated)], axis=1)
+    best = jnp.argmax(all_scores, axis=1)  # (B,)
+    return all_tokens[jnp.arange(b), best]
 
 
 def _expand_cache(cache: jax.Array, k: int) -> jax.Array:
