@@ -136,7 +136,88 @@ class ScanDataLoader:
             )
         return out
 
+    # -- multiview (frame bbox) info --------------------------------------
+
+    def _load_rscan_mv_info(self, scan_id: str) -> Dict[int, list]:
+        """3RScan per-instance frame bboxes (scan_data_loader.py:53-81)."""
+        import json
+
+        path = (
+            Path(self.cfg.data.mv_info_base)
+            / "3RScan_caption_with_object" / scan_id / "cap_res.json"
+        )
+        with open(path) as f:
+            mv_all = json.load(f)
+        obj_dict: Dict[int, list] = {}
+        for inst_id, bboxes in mv_all.items():
+            for one in bboxes:
+                obj_dict.setdefault(int(inst_id), []).append(
+                    {
+                        "bbox_2d": one["bbox"],
+                        "inst_id": inst_id,
+                        "frame_name": one["frame"],
+                        "frame_path": one["frame_path"],
+                        "label": one.get("tgt_label", ""),
+                    }
+                )
+        return self._sort_and_trim_mv(obj_dict)
+
+    def _load_arkit_mv_info(self, scan_id: str) -> Dict[int, list]:
+        """ARKit frame bboxes keyed by frame → per-instance
+        (scan_data_loader.py:97-132)."""
+        import json
+
+        base = Path(self.cfg.data.mv_info_base) / "ARkit_caption_for_EQA" / "arkit_unique" / scan_id
+        with open(base / "frame_bbox.json") as f:
+            frame_dict = json.load(f)
+        obj_dict: Dict[int, list] = {}
+        for frame_id, bbox_list in frame_dict.items():
+            for one in bbox_list:
+                inst_id = int(one["inst_id"])
+                frame_name = f"{scan_id}_{one.get('frame_id', frame_id)}.png"
+                obj_dict.setdefault(inst_id, []).append(
+                    {
+                        "bbox_2d": one["bbox"],
+                        "inst_id": inst_id,
+                        "frame_name": frame_name,
+                        "frame_path": str(base / "vga_wide" / "vga_wide" / frame_name),
+                        "label": one.get("cls_label", ""),
+                    }
+                )
+        return self._sort_and_trim_mv(obj_dict)
+
+    def _sort_and_trim_mv(self, obj_dict: Dict[int, list]) -> Dict[int, list]:
+        """Largest-bbox-first, keep top ratio (scan_data_loader.py:76-79)."""
+
+        def area(one):
+            (l, t), (r, b) = one["bbox_2d"]
+            return (r - l) * (b - t)
+
+        for inst_id, lst in obj_dict.items():
+            lst.sort(key=area, reverse=True)
+            keep = max(self.min_keep_num, int(len(lst) * self.bbox_keep_ratio)) + 1
+            obj_dict[inst_id] = lst[:keep]
+        return obj_dict
+
     # -- object crop images ---------------------------------------------
+
+    def get_one_img(self, one_bbox: Dict[str, Any]) -> np.ndarray:
+        """Crop an object from its frame by (expanded) 2D bbox and
+        normalize (scan_data_loader.py:206-234)."""
+        from PIL import Image
+
+        img = Image.open(one_bbox["frame_path"]).convert("RGB")
+        img_w, img_h = img.size
+        (l, t), (r, b) = one_bbox["bbox_2d"]
+        bw, bh = r - l, b - t
+        l -= bw * self.bbox_expand
+        r += bw * self.bbox_expand
+        t -= bh * self.bbox_expand
+        b += bh * self.bbox_expand
+        l, t = int(max(0, l)), int(max(0, t))
+        r, b = int(min(img_w - 1, r)), int(min(img_h - 1, b))
+        crop = np.asarray(img.crop((l, t, r, b)))
+        return preprocess_2d(crop, size=self.tgt_img_size)
 
     def get_one_certain_img(
         self, scan_id: str, inst_id: int, label: str

@@ -291,3 +291,44 @@ class TestBoxUtils:
         np.testing.assert_allclose(
             center, (pts[:, :3].min(0) + pts[:, :3].max(0)) / 2
         )
+
+
+class TestMVInfoAndCrop:
+    def test_get_one_img_crop(self, cfg, tmp_path, rng):
+        from PIL import Image
+
+        from msr3d_tpu.data.scan_loader import ScanDataLoader
+
+        frame = (rng.random((100, 120, 3)) * 255).astype(np.uint8)
+        path = tmp_path / "frame.jpg"
+        Image.fromarray(frame).save(path)
+
+        loader = ScanDataLoader(cfg, dataset="3RScan")
+        out = loader.get_one_img(
+            {"bbox_2d": [[20, 30], [80, 70]], "frame_path": str(path)}
+        )
+        assert out.shape == (32, 32, 3)  # cfg tgt_img_size
+        assert out.dtype == np.float32
+
+    def test_rscan_mv_info_sorting(self, cfg, tmp_path):
+        import json
+
+        from msr3d_tpu.data.scan_loader import ScanDataLoader
+
+        mv_dir = tmp_path / "3RScan_caption_with_object" / "rscanX"
+        mv_dir.mkdir(parents=True)
+        json.dump(
+            {
+                "3": [
+                    {"bbox": [[0, 0], [10, 10]], "frame": "f1", "frame_path": "p1", "tgt_label": "chair"},
+                    {"bbox": [[0, 0], [50, 50]], "frame": "f2", "frame_path": "p2", "tgt_label": "chair"},
+                    {"bbox": [[0, 0], [20, 20]], "frame": "f3", "frame_path": "p3", "tgt_label": "chair"},
+                ]
+            },
+            open(mv_dir / "cap_res.json", "w"),
+        )
+        cfg.data["mv_info_base"] = str(tmp_path)
+        loader = ScanDataLoader(cfg, dataset="3RScan")
+        info = loader._load_rscan_mv_info("rscanX")
+        # sorted by bbox area, largest first; keep max(1, 3*0.5)+1 = 2
+        assert [b["frame_name"] for b in info[3]] == ["f2", "f3"]
