@@ -102,6 +102,50 @@ class DataLoader:
         t.join()
 
 
+class GrainDataLoader:
+    """grain-backed loader (optional alternative to the thread loader):
+    deterministic global shuffling + multi-worker prefetch via
+    ``grain.MapDataset`` when heavier host parallelism is wanted."""
+
+    def __init__(self, dataset, batch_size=4, shuffle=False, drop_last=False,
+                 collate_fn=None, seed=42, num_workers=0):
+        import grain.python as grain
+
+        self._grain = grain
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn or (lambda x: x)
+        self.seed = seed
+        self.num_workers = num_workers
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __iter__(self):
+        grain = self._grain
+        ds = grain.MapDataset.source(self.dataset)
+        if self.shuffle:
+            ds = ds.shuffle(seed=self.seed + self.epoch)
+        it = ds.to_iter_dataset(
+            grain.ReadOptions(num_threads=max(self.num_workers, 1), prefetch_buffer_size=4)
+        )
+        batch = []
+        for item in it:
+            batch.append(item)
+            if len(batch) == self.batch_size:
+                yield self.collate_fn(batch)
+                batch = []
+        if batch and not self.drop_last:
+            yield self.collate_fn(batch)
+
+
 def build_dataloader_leo(
     cfg, dataset_name: str, dataset_wrapper_name: str,
     dataset_wrapper_args, dataloader_args, split: str,
@@ -116,13 +160,19 @@ def build_dataloader_leo(
             cfg, dataset, dataset_wrapper_args
         )
     collate = getattr(wrapper, "collate_fn", None)
-    return DataLoader(
+    loader_cls = (
+        GrainDataLoader
+        if dataloader_args.get("backend", "") == "grain"
+        else DataLoader
+    )
+    return loader_cls(
         wrapper,
         batch_size=dataloader_args.get("batchsize", 4),
         shuffle=(split == "train"),
         drop_last=(split == "train"),
         collate_fn=collate,
         seed=int(cfg.get("rng_seed", 42)),
+        num_workers=dataloader_args.get("num_workers", 0),
     )
 
 

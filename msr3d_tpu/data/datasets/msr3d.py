@@ -143,6 +143,22 @@ class MSR3DBase:
                 raise ValueError(f"Key {key} is missing in data_dict.")
         return data_dict
 
+    def _split_sentence(self, sentence: str, max_length: int, prefix: str = "") -> List[str]:
+        """Split long captions into ≤max_length chunks on sentence bounds,
+        train-split only (msr3d.py:243-264)."""
+        if self.split == "train" and len(prefix + sentence) > max_length:
+            chunks = []
+            sents = sentence.split(". ")
+            current = prefix
+            for sent in sents:
+                if len(current + sent + ". ") > max_length:
+                    chunks.append(current)
+                    current = prefix
+                current += sent + ". "
+            chunks.append(current)
+            return [c for c in chunks if len(c) <= max_length]
+        return [prefix + sentence]
+
     @staticmethod
     def cluster_data_with_type(data: List[Dict]) -> Dict[str, Dict[str, List]]:
         clustered: Dict[str, Dict[str, List]] = {}

@@ -332,3 +332,34 @@ class TestMVInfoAndCrop:
         info = loader._load_rscan_mv_info("rscanX")
         # sorted by bbox area, largest first; keep max(1, 3*0.5)+1 = 2
         assert [b["frame_name"] for b in info[3]] == ["f2", "f3"]
+
+
+class TestSplitSentenceAndGrain:
+    def test_split_sentence(self):
+        from msr3d_tpu.data.datasets.msr3d import MSR3DBase
+
+        base = MSR3DBase.__new__(MSR3DBase)
+        base.split = "train"
+        long = "First sentence here. Second sentence follows. Third one too. Fourth closes"
+        chunks = base._split_sentence(long, max_length=45, prefix="C: ")
+        assert len(chunks) >= 2
+        assert all(len(c) <= 45 for c in chunks)
+        assert chunks[0].startswith("C: First")
+        # eval split: no splitting
+        base.split = "val"
+        assert base._split_sentence(long, 45, "C: ") == ["C: " + long]
+
+    def test_grain_loader(self, cfg):
+        from msr3d_tpu.data.build import build_dataloader_leo
+
+        loader = build_dataloader_leo(
+            cfg, "MSR3DMix", "LeoScanFamilyDatasetWrapper",
+            {"max_obj_len": 6, "msr3d_max_img_num": 4},
+            {"batchsize": 2, "backend": "grain", "num_workers": 1}, "train",
+        )
+        batches = list(loader)
+        assert len(batches) == len(loader) == 2
+        assert batches[0]["obj_fts"].shape == (2, 6, 64, 6)
+        loader.set_epoch(1)
+        b2 = list(loader)
+        assert len(b2) == 2
