@@ -228,15 +228,22 @@ class LeoTrainer:
         return {k: np.stack([s[k] for s in stacked]) for k in keys}
 
     def _shard(self, batch: Dict[str, np.ndarray]):
-        sharding = batch_sharding(self.mesh)
-        ndev = self.mesh.devices.size
+        """dp-shard the batch dimension over the mesh (axis 1 when the
+        leading axis is the grad-accum stack). Non-divisible shapes fall
+        back to replication (safe; XLA just computes redundantly)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from msr3d_tpu.parallel.mesh import DATA_AXIS
+
+        dp = self.mesh.shape[DATA_AXIS]
 
         def put(x):
-            # batch-dim sharding requires divisibility; replicate otherwise
-            axis = 1 if x.ndim > 1 and self.accum_steps > 1 else 0
-            if x.shape[0] % ndev == 0 and axis == 0:
-                return jax.device_put(x, sharding)
-            return jnp.asarray(x)
+            batch_axis = 1 if self.accum_steps > 1 else 0
+            if x.ndim > batch_axis and x.shape[batch_axis] % dp == 0:
+                spec = [None] * (batch_axis + 1)
+                spec[batch_axis] = DATA_AXIS
+                return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+            return jax.device_put(x, NamedSharding(self.mesh, P()))
 
         return {k: put(v) for k, v in batch.items()}
 
@@ -253,7 +260,7 @@ class LeoTrainer:
             group.append(data_dict)
             if len(group) < self.accum_steps:
                 continue
-            batch = self._device_batch(group)
+            batch = self._shard(self._device_batch(group))
             group = []
             self._rng, step_rng = jax.random.split(self._rng)
             self.timer.tic()

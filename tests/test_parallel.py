@@ -137,3 +137,26 @@ class TestDryrunEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestTrainerSharding:
+    def test_trainer_shard_layouts(self, cpu_devices):
+        """LeoTrainer._shard places the batch axis on dp (axis 1 under grad
+        accumulation) and replicates non-divisible leaves."""
+        import types
+
+        import numpy as np
+        from msr3d_tpu.trainer.leo_trainer import LeoTrainer
+
+        t = types.SimpleNamespace(mesh=make_mesh(MeshConfig(dp=8, tp=1)), accum_steps=2)
+        batch = {
+            "big": np.ones((2, 16, 4), np.float32),   # divisible by dp on axis 1
+            "small": np.ones((2, 3, 4), np.float32),  # not divisible → replicated
+        }
+        out = LeoTrainer._shard(t, batch)
+        assert not out["big"].sharding.is_fully_replicated
+        assert out["small"].sharding.is_fully_replicated
+
+        t2 = types.SimpleNamespace(mesh=t.mesh, accum_steps=1)
+        out2 = LeoTrainer._shard(t2, {"x": np.ones((16, 4), np.float32)})
+        assert not out2["x"].sharding.is_fully_replicated
