@@ -23,8 +23,9 @@ from msr3d_tpu.data.datasets import msr3d as _msr3d  # noqa: F401
 
 
 def _register_optional_datasets() -> None:
-    # sqa3d / one_step_navi import lazily (they pull the scan loader)
+    # sqa3d / one_step_navi / legacy import lazily (they pull the scan loader)
     from msr3d_tpu.data.datasets import one_step_navi as _osn  # noqa: F401
+    from msr3d_tpu.data.datasets import scannet_legacy as _legacy  # noqa: F401
     from msr3d_tpu.data.datasets import sqa3d as _sqa  # noqa: F401
 
 

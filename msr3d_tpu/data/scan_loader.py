@@ -246,13 +246,17 @@ class ScanCache:
     @classmethod
     def get(
         cls, loader: ScanDataLoader, dataset_name: str, scan_id: str,
-        data_type_list: List[str],
+        data_type_list: List[str], pc_type: str = "gt",
     ) -> Dict[str, Any]:
+        # pred loads add extra keys (obj_pcds_pred, ...) — cache separately
+        key = scan_id if pc_type == "gt" else f"{scan_id}:{pc_type}"
         ds_cache = cls._store.setdefault(dataset_name, {})
-        scan_cache = ds_cache.setdefault(scan_id, {})
+        scan_cache = ds_cache.setdefault(key, {})
         missing = [t for t in data_type_list if t not in scan_cache]
         if missing:
-            scan_cache.update(loader.get_data(dataset_name, scan_id, missing))
+            scan_cache.update(
+                loader.get_data(dataset_name, scan_id, missing, pc_type=pc_type)
+            )
         return scan_cache
 
     @classmethod

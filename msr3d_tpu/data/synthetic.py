@@ -232,3 +232,136 @@ def build_full_tree(tmp_path: Path, rng):
     build_arkit_tree(root, rng)
     build_msnn_annotations(root, ["scene0000_00"])
     return root
+
+
+def build_legacy_annotations(base: Path, scan_ids):
+    """Legacy-task annotation fixtures in the reference formats
+    (scannet.py loaders): ScanRefer/Referit3D jsonl, ScanQA json, SGQA json,
+    ssg captions, labels TSV. ``base`` is the scan_family tree root."""
+    refer_dir = base / "annotations" / "refer"
+    qa_dir = base / "annotations" / "qa"
+    refer_dir.mkdir(parents=True, exist_ok=True)
+    qa_dir.mkdir(parents=True, exist_ok=True)
+
+    # labels TSV aligned with scannetv2_raw_categories.json row order
+    categories = json.load(
+        open(base / "annotations" / "meta_data" / "scannetv2_raw_categories.json")
+    )
+    nyu40 = {"wall": ("wall", 1), "floor": ("floor", 2), "ceiling": ("ceiling", 22),
+             "chair": ("chair", 5), "table": ("table", 7), "lamp": ("lamp", 35),
+             "sofa": ("sofa", 6)}
+    with open(base / "annotations" / "meta_data" / "scannetv2-labels.combined.tsv", "w") as f:
+        f.write("id\traw_category\tcategory\tcount\tnyu40id\teigen13id\tnyuClass\tnyu40class\n")
+        for cat in categories:
+            name, nid = nyu40.get(cat, ("otherprop", 40))
+            f.write(f"1\t{cat}\t{cat}\t1\t{nid}\t1\t{cat}\t{name}\n")
+
+    # ScanRefer: target instance 0 is 'chair' in every synthetic scan
+    with open(refer_dir / "scanrefer.jsonl", "w") as f:
+        for i, scan_id in enumerate(scan_ids):
+            for j in range(2):
+                f.write(json.dumps({
+                    "item_id": f"scanrefer_{i}_{j}",
+                    "scan_id": scan_id,
+                    "target_id": 0,
+                    "instance_type": "chair",
+                    "utterance": "the chair next to the table on the left",
+                }) + "\n")
+
+    # Referit3D (nr3d + sr3d+): tokens field, ≤24 tokens
+    for fname in ("nr3d.jsonl", "sr3d+.jsonl"):
+        with open(refer_dir / fname, "w") as f:
+            for i, scan_id in enumerate(scan_ids):
+                utt = "find the table behind the chair"
+                f.write(json.dumps({
+                    "item_id": f"{fname[:-6]}_{i}",
+                    "scan_id": scan_id,
+                    "target_id": 1,
+                    "instance_type": "table",
+                    "utterance": utt,
+                    "tokens": utt.split(),
+                }) + "\n")
+
+    # ScanQA
+    for split in ("train", "val", "test"):
+        json.dump(
+            [
+                {
+                    "question_id": f"{split}-{scan_id}-{k}",
+                    "scene_id": scan_id,
+                    "question": "What is next to the chair?",
+                    "object_ids": [1],
+                    "object_names": ["table"],
+                    "answers": ["table", "a table"],
+                }
+                for scan_id in scan_ids
+                for k in range(2)
+            ],
+            open(qa_dir / f"ScanQA_v1.0_{split}.json", "w"),
+        )
+
+    # SGQA (scene-graph situated QA)
+    sgqa_dir = base / "annotations" / "sgqa"
+    sgqa_dir.mkdir(parents=True, exist_ok=True)
+    for split in ("train", "val", "test"):
+        payload = {
+            scan_id: {
+                "response": [
+                    {
+                        "Q": "What is the color of the chair in front of me?",
+                        "A": [" gray "],
+                        "T": f"{scan_id}-0, {scan_id}-1",
+                        "type": "attribute-color",
+                        "situation": "A chair is to my left.",
+                        "location": [0.1, -0.2, 0.0],
+                        "orientation": [0.6, 0.77, 0],
+                        "query_type": "qa_4_directions",
+                        "mode": "txt",
+                    }
+                ]
+            }
+            for scan_id in scan_ids
+        }
+        json.dump(payload, open(sgqa_dir / f"sgqa_{split}.json", "w"))
+
+    # pretrain scene captions
+    json.dump(
+        [{"scan_id": s, "utterance": "a room with a chair and a table"} for s in scan_ids],
+        open(refer_dir / "ssg_caption_gpt.json", "w"),
+    )
+    return base
+
+
+def legacy_config_dict(base: Path):
+    """Config slice for the legacy datasets (keys per scannet.py inits)."""
+    common = {
+        "pc_type": "gt", "sem_type": "607", "max_obj_len": 10,
+        "num_points": 64, "filter_lang": False, "max_seq_len": 32,
+    }
+    return {
+        "rng_seed": 42,
+        "debug": {"flag": False, "debug_size": -1},
+        "data": {
+            "scan_family_base": str(base),
+            "process_args": {"img_process_args": {"tgt_img_size": [32, 32]}},
+            "pretrain": {"args": {
+                "pc_type": "gt", "max_obj_len": 10, "num_points": 64,
+                "max_seq_len": 32, "txt_mask_ratio": 0.15, "pc_mask_ratio": 0.1,
+                "scannet_train": {"anno_type": ["gpt"]},
+                "scannet_val": {"anno_type": ["gpt"]},
+            }},
+            "scanrefer": {"args": dict(common)},
+            "referit3d": {"args": dict(common, anno_type="nr3d", sr3d_plus_aug=True)},
+            "spatialrefer": {"args": dict(
+                common,
+                scannet_train={"sources": ["referit3d", "scanrefer"],
+                               "referit3d": {"anno_type": ["nr3d"]}},
+                scannet_val={"sources": ["scanrefer"]},
+            )},
+            "scanqa": {"args": dict(common, use_unanswer=True)},
+            "scannet_sgqa": {"args": {
+                "pc_type": "gt", "max_obj_len": 10, "num_points": 64,
+                "anno_dir": str(base / "annotations" / "sgqa"),
+            }},
+        },
+    }
