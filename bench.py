@@ -47,17 +47,36 @@ def main() -> None:
         ),
     )
 
-    variables = model.init(jax.random.key(0), **batch)
-    fwd = jax.jit(lambda v, b: model.apply(v, **b)["obj_tokens"])
+    variables = jax.jit(lambda k, b: model.init(k, **b))(jax.random.key(0), batch)
 
-    # warmup/compile
-    fwd(variables, batch).block_until_ready()
-
+    # Iterations chain on-device (each feeds a perturbation of its output
+    # into the next input) so neither result caching nor async dispatch can
+    # fake the timing; sync is a VALUE fetch — on the tunneled axon backend
+    # block_until_ready can return before remote execution finishes.
     iters = 10
+
+    @jax.jit
+    def run(v, b):
+        def body(i, carry):
+            fts, acc = carry
+            out = model.apply(
+                v,
+                obj_fts=fts,
+                obj_masks=b["obj_masks"],
+                obj_locs=b["obj_locs"],
+                anchor_locs=b["anchor_locs"],
+                anchor_orientation=b["anchor_orientation"],
+            )["obj_tokens"]
+            bump = jnp.mean(out).astype(fts.dtype) * jnp.float32(1e-6)
+            return fts + bump, acc + jnp.sum(out.astype(jnp.float32))
+        import jax.lax as lax
+        _, acc = lax.fori_loop(0, iters, body, (b["obj_fts"], jnp.float32(0)))
+        return acc
+
+    float(run(variables, batch))  # compile + sync
+    batch2 = dict(batch, obj_fts=batch["obj_fts"] + 0.01)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, batch)
-    out.block_until_ready()
+    float(run(variables, batch2))
     dt = time.perf_counter() - t0
 
     ms_per_scene = dt / (iters * B) * 1000.0
