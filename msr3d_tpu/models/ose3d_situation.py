@@ -96,6 +96,12 @@ class OSE3DConfig:
     )
     vision_dropout: float = 0.1
     vision_freeze: bool = True
+    # compute dtype of the frozen PointNet++ MLPs. The reference runs its
+    # encoders under torch.autocast(bf16) (modules/utils.py:39-54) while the
+    # spatial encoder is forced fp32 (ose3d_situation.py:377) — mirrored
+    # here: bf16 object encoder (2x MXU rate), fp32 spatial attention.
+    # Parity tests pin "float32" to compare bit-for-bit against fp32 torch.
+    obj_encoder_dtype: str = "bfloat16"
     use_attn_flat: bool = False
     attn_flat_mlp_size: int = 512
     attn_flat_glimpses: int = 1
@@ -183,6 +189,7 @@ class OSE3DSituation(nn.Module):
                 sa_mlps=cfg.sa_mlps,
                 dropout=cfg.vision_dropout,
                 freeze=cfg.vision_freeze,
+                compute_dtype=jnp.dtype(cfg.obj_encoder_dtype),
                 name="obj_encoder",
             )(obj_fts, deterministic=deterministic)
         object_feat = nn.Dense(H, name="obj_linear_projection")(obj_embeds)

@@ -19,7 +19,7 @@ for from-scratch runs.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -39,16 +39,19 @@ class SharedMLP(nn.Module):
 
     widths: Sequence[int]
     bn: bool = True
+    dtype: Any = jnp.float32  # compute dtype; fp32 params (autocast semantics)
 
     @nn.compact
     def __call__(self, x, *, use_running_average: bool = True):
+        x = x.astype(self.dtype)
         for i, w in enumerate(self.widths):
-            x = nn.Dense(w, use_bias=not self.bn, name=f"dense_{i}")(x)
+            x = nn.Dense(w, use_bias=not self.bn, dtype=self.dtype, name=f"dense_{i}")(x)
             if self.bn:
                 x = nn.BatchNorm(
                     use_running_average=use_running_average,
                     momentum=0.9,
                     epsilon=1e-5,
+                    dtype=self.dtype,
                     name=f"bn_{i}",
                 )(x)
             x = nn.relu(x)
@@ -64,6 +67,7 @@ class PointnetSAModule(nn.Module):
     mlp: Sequence[int]  # hidden widths AFTER the input width
     use_xyz: bool = True
     bn: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -86,7 +90,7 @@ class PointnetSAModule(nn.Module):
             new_xyz = None
             grouped = group_all(xyz, features, use_xyz=self.use_xyz)  # (B,1,N,C_in)
 
-        h = SharedMLP(self.mlp, bn=self.bn, name="mlp")(
+        h = SharedMLP(self.mlp, bn=self.bn, dtype=self.dtype, name="mlp")(
             grouped, use_running_average=use_running_average
         )
         pooled = jnp.max(h, axis=2)  # max over the group (nsample) axis
@@ -102,6 +106,9 @@ class PointNetPP(nn.Module):
     sa_mlps: Sequence[Sequence[int]]
     bn: bool = True
     use_xyz: bool = True
+    dtype: Any = jnp.float32  # MLP compute dtype (reference runs the pcd
+    # encoder under bf16 autocast, modules/utils.py:39-54; FPS/ball-query
+    # geometry stays fp32 so sampled indices are dtype-independent)
 
     @nn.compact
     def __call__(self, pc: jax.Array, *, use_running_average: bool = True) -> jax.Array:
@@ -123,11 +130,12 @@ class PointNetPP(nn.Module):
                 mlp=hidden,
                 use_xyz=self.use_xyz,
                 bn=self.bn,
+                dtype=self.dtype,
                 name=f"sa_{i}",
             )(xyz, features, use_running_average=use_running_average)
 
         flat = features.reshape(features.shape[0], -1)
-        return nn.Dense(self.sa_mlps[-1][-1], name="fc")(flat)
+        return nn.Dense(self.sa_mlps[-1][-1], name="fc")(flat).astype(jnp.float32)
 
 
 class PcdObjEncoder(nn.Module):
@@ -150,6 +158,7 @@ class PcdObjEncoder(nn.Module):
     dropout: float = 0.1
     freeze: bool = True
     num_semantic_classes: int = 607
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, obj_pcds: jax.Array, *, deterministic: bool = True):
@@ -162,6 +171,7 @@ class PcdObjEncoder(nn.Module):
             sa_n_samples=self.sa_n_samples,
             sa_radii=self.sa_radii,
             sa_mlps=self.sa_mlps,
+            dtype=self.compute_dtype,
             name="pcd_net",
         )(flat, use_running_average=self.freeze or deterministic)
         embeds = embeds.reshape(b, o, -1)

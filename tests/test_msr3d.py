@@ -22,6 +22,7 @@ TINY_PROMPTER = OSE3DConfig(
     sa_n_samples=(8, 8, None),
     sa_radii=(0.4, 0.8, None),
     sa_mlps=((3, 8, 8, 16), (16, 16, 16, 32), (32, 32, 32, 64)),
+    obj_encoder_dtype="float32",  # bit-parity vs fp32 torch reference
 )
 
 
