@@ -110,11 +110,19 @@ def main() -> None:
     # steady state with varying data. Host-side data generation happens
     # OUTSIDE the timed region: in production the DataLoader prefetches
     # batches on a thread, overlapping with device compute; the serving
-    # path being measured is H2D + scene encode + prefill + decode + D2H.
+    # path being measured is H2D + scene encode + prefill + decode + D2H,
+    # with depth-1 request pipelining (dispatch request i+1 before
+    # fetching request i's tokens — the standard serving pattern; the
+    # tunnel's per-fetch flush otherwise serializes into the step time).
     datas = [dict(make_data(i + 1)) for i in range(args.iters)]
     t0 = time.perf_counter()
+    pending = None
     for d in datas:
-        out = model.generate(d, use_beam=use_beam, max_new_tokens=args.new_tokens)
+        nxt = model.generate_async(d, use_beam=use_beam, max_new_tokens=args.new_tokens)
+        if pending is not None:
+            pending()
+        pending = nxt
+    out = pending()
     dt = (time.perf_counter() - t0) / args.iters
     qa_per_sec = B / dt
 

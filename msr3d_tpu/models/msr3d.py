@@ -456,8 +456,53 @@ class MSR3D:
             _to_jax({"input_ids": input_ids, "attention_mask": attn, **batch}),
         )
         data_dict["output_tokens"] = np.asarray(tokens)
-        data_dict["output_text"] = self.batch_detokenize(np.asarray(tokens))
+        data_dict["output_text"] = self.batch_detokenize(data_dict["output_tokens"])
         return data_dict
+
+    def generate_async(
+        self,
+        data_dict: Dict[str, Any],
+        *,
+        use_beam: Optional[bool] = None,
+        max_new_tokens: Optional[int] = None,
+    ):
+        """Non-blocking ``generate``: dispatches the device program and
+        returns a ``finalize()`` callable that fetches tokens and
+        detokenizes. Lets a serving loop overlap the next request's host
+        work + dispatch with the current request's device compute and
+        result transfer (the standard request-pipelining pattern)."""
+        assert self.params is not None
+        prompts = self.build_text_prompt(data_dict)
+        input_ids, attn = self._encode_prompts(prompts)
+        pad_to = max(32, -(-input_ids.shape[1] // 32) * 32)
+        if input_ids.shape[1] < pad_to:
+            b = input_ids.shape[0]
+            pad = pad_to - input_ids.shape[1]
+            input_ids = np.concatenate(
+                [np.full((b, pad), self.tokenizer.pad_id, input_ids.dtype), input_ids],
+                axis=1,
+            )
+            attn = np.concatenate([np.zeros((b, pad), attn.dtype), attn], axis=1)
+        batch = self._scene_batch(data_dict)
+        max_new = max_new_tokens or self.max_out_len
+        prompt_len = input_ids.shape[1] + 1
+        beams = self.num_beams if use_beam is None else (self.num_beams if use_beam else 1)
+        key = (prompt_len, max_new, beams, input_ids.shape[0], tuple(sorted(batch)))
+        if not hasattr(self, "_generate_cache"):
+            self._generate_cache = {}
+        if key not in self._generate_cache:
+            self._generate_cache[key] = self._make_generate_fn(prompt_len, max_new, beams)
+        tokens = self._generate_cache[key](
+            self.params,
+            _to_jax({"input_ids": input_ids, "attention_mask": attn, **batch}),
+        )
+
+        def finalize() -> Dict[str, Any]:
+            data_dict["output_tokens"] = np.asarray(tokens)
+            data_dict["output_text"] = self.batch_detokenize(data_dict["output_tokens"])
+            return data_dict
+
+        return finalize
 
     def predict_answers(
         self,
