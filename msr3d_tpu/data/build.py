@@ -26,6 +26,7 @@ def _register_optional_datasets() -> None:
     # sqa3d / one_step_navi / legacy import lazily (they pull the scan loader)
     from msr3d_tpu.data.datasets import one_step_navi as _osn  # noqa: F401
     from msr3d_tpu.data.datasets import scannet_legacy as _legacy  # noqa: F401
+    from msr3d_tpu.data.datasets import scannet_mv as _mv  # noqa: F401
     from msr3d_tpu.data.datasets import sqa3d as _sqa  # noqa: F401
 
 
@@ -87,11 +88,14 @@ class DataLoader:
         sentinel = object()
 
         def producer():
+            # exceptions must reach the consumer — a silently-dead producer
+            # would otherwise truncate the epoch to an empty iterator
             try:
                 for chunk in self._batches():
                     q.put(self.collate_fn([self.dataset[i] for i in chunk]))
-            finally:
                 q.put(sentinel)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                q.put(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -99,6 +103,9 @@ class DataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()
 

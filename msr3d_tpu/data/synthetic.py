@@ -365,3 +365,58 @@ def legacy_config_dict(base: Path):
             }},
         },
     }
+
+
+def build_multiview_tree(base: Path, scan_ids, n_frames=3, feat_len=16):
+    """MultiViewInfo_numpy fixture (scannet_base.py:234-256 format):
+    per scan a multiview_info_refined.json whose instance entries index
+    rows of clip.npy, plus identity camera poses."""
+    rng = np.random.default_rng(0)
+    for scan_id in scan_ids:
+        d = base / "ScanNetV2-RGBD" / "MultiViewInfo_numpy" / scan_id
+        d.mkdir(parents=True, exist_ok=True)
+        feats, mv = [], {}
+        for f in range(n_frames):
+            insts = []
+            # frame f sees instances f..f+2 (org ids are 1-based)
+            for org in range(f + 1, f + 4):
+                insts.append({
+                    "org_inst_id": org,
+                    "is_need_process": True,
+                    "clip": len(feats),
+                })
+                feats.append(rng.normal(size=feat_len).astype(np.float32))
+            mv[f"frame_{f:04d}"] = {
+                "instance_info": insts,
+                "camera_pose": list(np.eye(4).reshape(-1)),
+            }
+        json.dump({"multiview_info": mv}, open(d / "multiview_info_refined.json", "w"))
+        np.save(d / "clip.npy", np.stack(feats, 0))
+    return base
+
+
+def mv_config_dict(base: Path):
+    """Config slice for the MV datasets (cfg.data.mvdatasettings +
+    mvpretrain/mvreferit3d args)."""
+    cfg = legacy_config_dict(base)
+    cfg["data"]["mvdatasettings"] = {
+        "pc_type": "gt",
+        "max_inst_per_frame": 4,
+        "max_frame_num": 2,
+        "inst_feat_type": "clip",
+        "inst_feat_len": 16,
+        "frame_sample_mode": "even",
+        "inst_sample_mode": "even",
+        "inst_position_type": "pc_gt",
+        "is_pool_obj_feature": True,
+        "pooling_strategy": "average_all",
+        "use_cache": False,
+        "use_multi_process": False,
+        "process_num": 0,
+    }
+    cfg["data"]["mvpretrain"] = {"scan_caption": {"anno_type": ["gpt"]}}
+    cfg["data"]["mvreferit3d"] = {"args": {
+        "max_obj_len": 3, "sem_type": "607", "anno_type": "nr3d",
+        "filter_lang": False, "num_points": 64, "max_seq_len": 32,
+    }}
+    return cfg
