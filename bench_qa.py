@@ -31,6 +31,11 @@ def main() -> None:
         "--merged-lora", action="store_true",
         help="deployment mode: LoRA merged into the base (rank 0 at inference)",
     )
+    parser.add_argument(
+        "--pipeline-depth", type=int, default=1,
+        help="outstanding requests before fetching (0 = fully serial); "
+        "deeper pipelines hide the tunnel dispatch+fetch latency",
+    )
     args = parser.parse_args()
 
     import jax
@@ -115,14 +120,25 @@ def main() -> None:
     # fetching request i's tokens — the standard serving pattern; the
     # tunnel's per-fetch flush otherwise serializes into the step time).
     datas = [dict(make_data(i + 1)) for i in range(args.iters)]
+    depth = max(0, args.pipeline_depth)
     t0 = time.perf_counter()
-    pending = None
-    for d in datas:
-        nxt = model.generate_async(d, use_beam=use_beam, max_new_tokens=args.new_tokens)
-        if pending is not None:
-            pending()
-        pending = nxt
-    out = pending()
+    if depth == 0:
+        for d in datas:
+            model.generate(d, use_beam=use_beam, max_new_tokens=args.new_tokens)
+    else:
+        from collections import deque
+
+        pending = deque()
+        for d in datas:
+            pending.append(
+                model.generate_async(
+                    d, use_beam=use_beam, max_new_tokens=args.new_tokens
+                )
+            )
+            if len(pending) > depth:
+                pending.popleft()()
+        while pending:
+            pending.popleft()()
     dt = (time.perf_counter() - t0) / args.iters
     qa_per_sec = B / dt
 
@@ -140,6 +156,7 @@ def main() -> None:
                 "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
                 + ("-int8" if args.int8 else ""),
                 "step_ms": round(dt * 1000, 1),
+                "pipeline_depth": depth,
                 "init_s": round(init_s, 1),
                 "compile_s": round(compile_s, 1),
                 "device": str(jax.devices()[0]),

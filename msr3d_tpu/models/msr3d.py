@@ -570,6 +570,12 @@ class MSR3D:
         answer_ids = topk_ids[np.arange(bsz), best]
         data_dict["answers_id"] = answer_ids
         data_dict["answers"] = [answer_list[int(i)] for i in answer_ids]
+        # full-vocabulary scores for the SQA3D EM@1/EM@10 evaluator
+        # (sqa3d_eval.py:75-121): −loss at scored candidates, −inf-ish at
+        # candidates pruned by the first-token filter
+        scores = np.full((bsz, len(answer_list)), -1e9, np.float32)
+        np.put_along_axis(scores, topk_ids, -losses, axis=1)
+        data_dict["answer_scores"] = scores
         return data_dict
 
     def batch_detokenize(self, tokens: np.ndarray) -> List[str]:

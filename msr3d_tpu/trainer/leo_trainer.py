@@ -47,6 +47,21 @@ from msr3d_tpu.utils.logging import MetricLogger, StepTimer, get_logger
 logger = get_logger("msr3d_tpu.trainer")
 
 
+def _find_answer_cands(loader) -> Optional[List[str]]:
+    """Walk the loader's dataset chain looking for the SQA3D answer
+    vocabulary (``answer_cands`` on ScanNetSQA3D / legacy ScanQA)."""
+    obj = loader
+    for _ in range(8):
+        cands = getattr(obj, "answer_cands", None)
+        if cands is not None:
+            return list(cands)
+        nxt = getattr(obj, "dataset", None)
+        if nxt is None or nxt is obj:
+            return None
+        obj = nxt
+    return None
+
+
 def _round_up(n: int, m: int) -> int:
     return int(math.ceil(n / m) * m)
 
@@ -71,6 +86,11 @@ class LeoTrainer:
         self.exp_dir = Path(cfg.get("exp_dir") or "./exp_default")
         self.exp_dir.mkdir(parents=True, exist_ok=True)
         self.mode = cfg.get("mode", "train")
+        # generation (the live path, msr3d.yaml:239) vs retrieval scoring
+        # over the answer vocabulary (trainer/build.py:127-143 semantics)
+        self.inference_mode = (
+            cfg.get("model", {}).get("llm", {}).get("inference_mode", "generation")
+        )
 
         self.mesh = make_mesh()
         self.epochs = int(cfg.solver.epochs)
@@ -299,16 +319,31 @@ class LeoTrainer:
         evaluator = self.evaluators.get(task)
         if evaluator is not None:
             evaluator.reset()
+        generation = self.inference_mode == "generation"
+        answer_cands = None if generation else _find_answer_cands(loader)
         for i, data_dict in enumerate(loader):
             if self.num_batch_eval and i >= self.num_batch_eval:
                 break
-            out = self.model.generate(dict(data_dict))
-            if evaluator is not None:
+            if generation:
+                out = self.model.generate(dict(data_dict))
                 record = {"output_text": out["output_text"]}
+            else:
+                # retrieval scoring over the answer vocabulary
+                # (trainer/build.py:127-143 → msr3d.py predict_answers)
+                assert answer_cands is not None, (
+                    "retrieval inference_mode needs a dataset exposing "
+                    "answer_cands (e.g. ScanNetSQA3D)"
+                )
+                out = self.model.predict_answers(dict(data_dict), answer_cands)
+                record = {
+                    "answer_scores": out["answer_scores"],
+                    "answers_id": out["answers_id"],
+                }
+            if evaluator is not None:
                 for k in (
-                    "answer_list", "text_output", "data_idx", "sqa_type",
-                    "source", "scan_id", "index", "type", "prompt",
-                    "prompt_after_obj",
+                    "answer_list", "answer_label", "text_output", "data_idx",
+                    "sqa_type", "source", "scan_id", "index", "type", "prompt",
+                    "prompt_after_obj", "obj_labels", "obj_masks",
                 ):
                     if k in data_dict:
                         record[k] = data_dict[k]

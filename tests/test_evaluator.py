@@ -189,6 +189,145 @@ class TestSQA3DEval:
         np.testing.assert_allclose(results["ans1_acc_llm"], 0.0)
 
 
+class TestSQA3DVocabEval:
+    """Answer-vocabulary EM@1/EM@10 evaluator vs the reference
+    implementation (evaluator/sqa3d_eval.py:13-152), run on canned
+    predictions."""
+
+    A = 31  # vocab size (includes the 'u' unknown token)
+    B = 6
+
+    def _canned(self, seed):
+        rng = np.random.default_rng(seed)
+        scores = rng.normal(size=(self.B, self.A)).astype(np.float32)
+        labels = np.zeros((self.B, self.A), np.int64)
+        for i in range(self.B):
+            labels[i, rng.choice(self.A, size=3, replace=False)] = 1
+        types = rng.integers(0, 6, size=(self.B,))
+        n_obj = 8
+        obj = {
+            f"obj_cls_{k}_logits": rng.normal(size=(self.B, n_obj, 5)).astype(
+                np.float32
+            )
+            for k in ("raw", "pre", "post")
+        }
+        return dict(
+            answer_scores=scores,
+            answer_label=labels,
+            sqa_type=types,
+            obj_labels=rng.integers(0, 5, size=(self.B, n_obj)),
+            obj_masks=rng.random((self.B, n_obj)) > 0.3,
+            **obj,
+        )
+
+    def _ref_evaluator(self, tmp_path):
+        import json as _json
+        import sys
+        import types as _types
+
+        import torch  # noqa: F401  (reference evaluator needs it)
+
+        from msr3d_tpu.evaluator.text_utils import clean_answer as _ca
+        from ref_loader import load_ref_file
+
+        # minimal shims for the reference module's imports (data_utils pulls
+        # in open3d/cv2/quaternion/trimesh, absent in this image)
+        missing = {}
+        import importlib.machinery as _machinery
+
+        for name in ("open3d", "cv2", "quaternion", "trimesh"):
+            if name not in sys.modules:
+                stub = _types.ModuleType(name)
+                stub.__spec__ = _machinery.ModuleSpec(name, None)
+                missing[name] = stub
+                sys.modules[name] = stub
+        try:
+            ref_du = load_ref_file("data/data_utils.py", "ref_data_utils_sqa")
+        finally:
+            for name in missing:
+                sys.modules.pop(name, None)
+        dpkg = _types.ModuleType("data")
+        ddu = _types.ModuleType("data.data_utils")
+        ddu.SQA3DAnswer = ref_du.SQA3DAnswer
+        ddu.clean_answer = _ca
+        sys.modules["data"] = dpkg
+        sys.modules["data.data_utils"] = ddu
+        epkg = _types.ModuleType("evaluator")
+        ebuild = _types.ModuleType("evaluator.build")
+
+        class _Reg:
+            def register(self, *a, **k):
+                return lambda cls: cls
+
+        ebuild.EVALUATOR_REGISTRY = _Reg()
+        sys.modules["evaluator"] = epkg
+        sys.modules["evaluator.build"] = ebuild
+        try:
+            mod = load_ref_file("evaluator/sqa3d_eval.py", "ref_sqa3d_eval")
+        finally:
+            for name in ("data", "data.data_utils", "evaluator", "evaluator.build"):
+                sys.modules.pop(name, None)
+        if mod is None:
+            return None
+
+        anno = tmp_path / "fam" / "annotations" / "sqa_task"
+        anno.mkdir(parents=True, exist_ok=True)
+        # sorted vocab of A entries including the required 'u' token
+        names = sorted(["u"] + [f"ans{i:02d}" for i in range(self.A - 1)])
+        with open(anno / "answer_dict.json", "w") as f:
+            _json.dump([{n: i for i, n in enumerate(names)}], f)
+        cfg = _types.SimpleNamespace(
+            data=_types.SimpleNamespace(scan_family_base=str(tmp_path / "fam")),
+            eval=_types.SimpleNamespace(save=False),
+            exp_dir=str(tmp_path),
+        )
+        return mod.SQA3DEval(cfg, "sqa")
+
+    def test_parity_with_reference(self, tmp_path):
+        import torch
+
+        from msr3d_tpu.evaluator.sqa3d_eval import SQA3DEval
+
+        ref = self._ref_evaluator(tmp_path)
+        ours = SQA3DEval(None, task_name="sqa", save_dir=tmp_path / "ours")
+
+        for seed in (0, 1):
+            d = self._canned(seed)
+            ours.update(d)
+            ref.update(
+                {
+                    **{k: torch.as_tensor(np.asarray(v)) for k, v in d.items()},
+                }
+            )
+        _, ours_rec = ours.record("val")
+        _, ref_rec = ref.record("val")
+        for key in (
+            "ans1_acc", "ans10_acc", "target_metric",
+            "obj_cls_raw_acc", "obj_cls_pre_acc", "obj_cls_post_acc",
+            *[f"type{t}_acc" for t in range(6)],
+        ):
+            np.testing.assert_allclose(
+                ours_rec[key], ref_rec[key], atol=1e-6, err_msg=key
+            )
+
+    def test_em10_semantics(self, tmp_path):
+        from msr3d_tpu.evaluator.sqa3d_eval import SQA3DEval
+
+        ev = SQA3DEval(None, task_name="sqa", save_dir=tmp_path)
+        scores = np.zeros((1, 20), np.float32)
+        scores[0, 5] = 10.0  # argmax wrong
+        scores[0, 7] = 9.0  # rank 2 — inside top-10
+        labels = np.zeros((1, 20), np.int64)
+        labels[0, 7] = 1
+        ev.update(
+            {"answer_scores": scores, "answer_label": labels,
+             "sqa_type": np.array([0])}
+        )
+        _, rec = ev.record("val")
+        assert rec["ans1_acc"] == 0.0
+        assert rec["ans10_acc"] == 1.0
+
+
 class TestOneStepEval:
     def test_accuracy_and_invalid(self):
         ev = OneStepNavInstructionEval(None, task_name="msnn")

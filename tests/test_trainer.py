@@ -219,6 +219,58 @@ class TestLeoTrainer:
         assert t2.tracker.epoch == trainer.tracker.epoch
 
 
+class TestRetrievalEval:
+    def test_eval_task_retrieval_mode(self, tmp_path):
+        """inference_mode: retrieval routes eval through predict_answers
+        and the SQA3D answer-vocab evaluator (reference trainer/build.py:
+        127-143 + evaluator/sqa3d_eval.py:75-121)."""
+        from msr3d_tpu.evaluator.sqa3d_eval import SQA3DEval
+        from msr3d_tpu.trainer.leo_trainer import LeoTrainer
+        from tests.test_msr3d import tiny_data_dict, tiny_model
+
+        cands = ["yes", "no", "a chair", "two", "red"]
+
+        class RetrievalLoader(SyntheticLoader):
+            answer_cands = cands
+
+            def __iter__(self):
+                rng = np.random.default_rng(self.seed)
+                for _ in range(self.n):
+                    dd = tiny_data_dict(rng)
+                    label = np.zeros((2, len(cands)), np.int64)
+                    label[0, 2] = 1  # "a chair"
+                    label[1, 0] = 1  # "yes"
+                    dd["answer_label"] = label
+                    dd["sqa_type"] = np.array([0, 1])
+                    yield dd
+
+        cfg = config_from_dict(
+            {
+                "exp_dir": str(tmp_path / "exp"),
+                "mode": "eval",
+                "model": {"llm": {"inference_mode": "retrieval"}},
+                "solver": {
+                    "gradient_accumulation_steps": 1,
+                    "grad_norm": 5.0,
+                    "epochs": 1,
+                    "optim": {"name": "AdamW", "args": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 0.0}},
+                    "sched": {"name": "warmup_cosine_instructblip", "args": {"warmup_steps": 2}},
+                },
+            }
+        )
+        loaders = {"sqa3d": {"val": RetrievalLoader(1)}}
+        evaluators = {
+            "sqa3d": SQA3DEval(None, "sqa3d", save_dir=tmp_path / "eval")
+        }
+        trainer = LeoTrainer(
+            cfg, loaders=loaders, evaluators=evaluators, model=tiny_model()
+        )
+        results = trainer.eval_task("sqa3d", "val")
+        assert 0.0 <= results["ans1_acc"] <= 1.0
+        assert 0.0 <= results["ans10_acc"] <= 1.0
+        assert results["target_metric"] == results["ans1_acc"]
+
+
 class TestPartitionedTrainStep:
     def test_partition_combine_roundtrip(self, rng):
         from msr3d_tpu.trainer.train_state import combine_params, partition_params
