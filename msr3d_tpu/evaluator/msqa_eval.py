@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 from typing import Any, Dict, List
 
+import numpy as np
+
 from msr3d_tpu.evaluator.build import BaseEvaluator
 from msr3d_tpu.evaluator.capeval import (
     BleuScorer,
@@ -48,6 +50,72 @@ class GenerationEval(BaseEvaluator):
             "meteor": self.meteor_scorer.compute_score(gts, res)[0],
             "rouge": self.rouge_scorer.compute_score(gts, res)[0],
         }
+
+
+@EVALUATOR_REGISTRY.register(name="GenerationEval")
+class GenerationEvalFull(GenerationEval):
+    """The reference's registered GenerationEval (cap_eval.py:18-145):
+    target metric = sentence-transformer cosine similarity between each
+    prediction and its ground truth (MiniLM when available; documented
+    hashing-cosine substitute otherwise — see evaluator/sentence_sim.py),
+    plus corpus CIDEr/BLEU/METEOR/ROUGE at ``record``."""
+
+    def __init__(self, cfg=None, task_name: str = "", save_dir=".",
+                 sentence_encoder=None):
+        from msr3d_tpu.evaluator.sentence_sim import build_sentence_encoder
+
+        self.sentence_encoder = sentence_encoder or build_sentence_encoder()
+        super().__init__(cfg, task_name, save_dir)
+
+    def reset(self) -> None:
+        super().reset()
+        self.eval_dict = {"target_metric": [], "sentence_sim": []}
+
+    def update(self, data_dict: Dict[str, Any]) -> None:
+        from msr3d_tpu.evaluator.sentence_sim import sentence_cos_sim
+
+        preds = list(data_dict["output_text"])
+        gts = [
+            (g.split("[answer_seq]")[0] if isinstance(g, str) else list(g)[0])
+            for g in data_dict.get("text_output", data_dict.get("answer_list", preds))
+        ]
+        self.collect_sentences(
+            {"output_text": preds, "answer_list": data_dict.get(
+                "text_output", data_dict.get("answer_list", preds))}
+        )
+        sims = sentence_cos_sim(self.sentence_encoder, preds, gts)
+        n = len(preds)
+        self.total_count += n
+        sim = float(np.mean(sims)) if n else 0.0
+        self.eval_dict["sentence_sim"].append(sim * n)
+        self.eval_dict["target_metric"].append(sim * n)
+        if self.save:
+            for i in range(n):
+                self.eval_results.append(
+                    {
+                        "source": _get(data_dict, "source", i),
+                        "scan_id": _get(data_dict, "scan_id", i),
+                        "instruction": _get(data_dict, "prompt", i)
+                        or _get(data_dict, "prompt_after_obj", i),
+                        "response_gt": gts[i],
+                        "response_pred": preds[i],
+                    }
+                )
+
+    def record(self, split: str = "val"):
+        results = {
+            k: (sum(v) / self.total_count if self.total_count else 0.0)
+            for k, v in self.eval_dict.items()
+        }
+        results.update(self.caption_metrics())
+        is_best = results["target_metric"] > self.best_result
+        if is_best:
+            self.best_result = results["target_metric"]
+        if self.save and (is_best or split == "test"):
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+            with open(self.save_dir / "results.json", "w") as f:
+                json.dump(self.eval_results, f, default=str)
+        return is_best, results
 
 
 @EVALUATOR_REGISTRY.register(name="MSQAEval")

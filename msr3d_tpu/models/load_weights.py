@@ -204,6 +204,55 @@ def load_all(
     model.params = variables
 
 
+def load_pretrained_from_config(model, cfg) -> list:
+    """Honor the reference config's checkpoint fields after param init:
+
+      - ``pretrain_ckpt_path`` → learnable-only ``pytorch_model.bin``
+        (LoRA + projections + spatial encoder; reference
+        trainer/build.py:98-99,191-198 ``load_model(strict=False)``)
+      - ``model.prompter.model.vision.args.path`` → pretrained PointNet++
+        (reference pcd_pointnet_encoder.py:34-35 / ose3d_orig.py:571-585,
+        which also freezes the encoder — freezing here is the config's
+        ``vision.args.freeze`` via the optimizer mask)
+      - ``model.llm.cfg_path`` with weights present → HF Llama base
+
+    Returns the list of sources loaded (for logging).
+    """
+    loaded = []
+    kw: Dict[str, str] = {}
+
+    pretrain = str(cfg.get("pretrain_ckpt_path", "") or "")
+    if pretrain:
+        p = Path(pretrain)
+        if p.is_dir():
+            p = p / "pytorch_model.bin"
+        if p.exists():
+            kw["scene_encoder_path"] = str(p)
+            loaded.append(f"pretrain_ckpt:{p}")
+
+    try:
+        vis_args = cfg.model.prompter.model.vision.args
+        pn_path = str(vis_args.get("path", "") or "")
+    except Exception:
+        pn_path = ""
+    if pn_path and Path(pn_path).exists():
+        kw["pointnet_path"] = pn_path
+        loaded.append(f"pointnet:{pn_path}")
+
+    llm_path = str(cfg.get("model", {}).get("llm", {}).get("cfg_path", "") or "")
+    if llm_path and Path(llm_path).is_dir():
+        has_weights = list(Path(llm_path).glob("*.bin")) or list(
+            Path(llm_path).glob("*.safetensors")
+        )
+        if has_weights:
+            kw["llm_path"] = llm_path
+            loaded.append(f"llm:{llm_path}")
+
+    if kw:
+        load_all(model, **kw)
+    return loaded
+
+
 def _tree_to_mutable(tree):
     if isinstance(tree, dict) or hasattr(tree, "items"):
         return {k: _tree_to_mutable(v) for k, v in tree.items()}

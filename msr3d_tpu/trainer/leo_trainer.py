@@ -137,6 +137,14 @@ class LeoTrainer:
             sample = self._peek_sample_batch()
             if sample is not None:
                 self.model.init_params(sample)
+        # config-driven pretrained weights: pretrain_ckpt_path (reference
+        # trainer/build.py:98-99,191-198), vision.args.path PointNet++, HF
+        # Llama base weights when cfg_path carries them
+        if self.model.params is not None and hasattr(self.model, "network"):
+            from msr3d_tpu.models.load_weights import load_pretrained_from_config
+
+            for src in load_pretrained_from_config(self.model, cfg):
+                logger.info(f"loaded pretrained weights: {src}")
         self.trainable_mask = (
             self.model.get_opt_params_mask()["params"]
             if self.model.params is not None

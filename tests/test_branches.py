@@ -132,6 +132,7 @@ class TestDataBranches:
         assert float(sched(jnp.float32(50))) < float(sched(jnp.float32(20)))
 
 
+@pytest.mark.slow
 class TestPredictAnswersEdges:
     def test_candidates_clamped_to_list(self, rng):
         from tests.test_msr3d import tiny_data_dict, tiny_model

@@ -173,6 +173,7 @@ class TestMixAndWrapper:
         assert len(first) == len(second) == 2
 
 
+@pytest.mark.slow
 class TestEndToEndWithModel:
     def test_real_data_through_tiny_model(self, cfg):
         """Fixture data → wrapper → collate → MSR3D forward + generate."""

@@ -418,3 +418,39 @@ class TestGPTBaseline:
         from msr3d_tpu.evaluator.offline_msqa import score_results
         out = score_results({"scannet": results})
         assert out["EM-R_overall"] == 1.0
+
+
+class TestGenerationEval:
+    def test_sentence_sim_target(self, tmp_path):
+        from msr3d_tpu.evaluator.msqa_eval import GenerationEvalFull
+        from msr3d_tpu.registry import EVALUATOR_REGISTRY
+
+        assert EVALUATOR_REGISTRY.get("GenerationEval") is GenerationEvalFull
+        ev = GenerationEvalFull(None, task_name="gen", save_dir=tmp_path)
+        ev.update(
+            {
+                "output_text": ["a red chair", "two tables"],
+                "text_output": ["a red chair", "a blue window"],
+            }
+        )
+        is_best, rec = ev.record("val")
+        # identical sentence scores 1.0; disjoint ~0 -> mean in (0.4, 0.75)
+        assert rec["target_metric"] == rec["sentence_sim"]
+        assert 0.4 < rec["sentence_sim"] < 0.75
+        assert "cider" in rec and "rouge" in rec
+
+    def test_hashing_encoder_properties(self):
+        from msr3d_tpu.evaluator.sentence_sim import (
+            HashingSentenceEncoder,
+            sentence_cos_sim,
+        )
+
+        enc = HashingSentenceEncoder()
+        sims = sentence_cos_sim(
+            enc,
+            ["the chair is red", "nothing here", "table by window"],
+            ["the chair is red", "completely disjoint words", "a table near the window"],
+        )
+        np.testing.assert_allclose(sims[0], 1.0, atol=1e-6)
+        assert sims[1] < 0.1
+        assert 0.2 < sims[2] < 0.9

@@ -140,3 +140,126 @@ class TestLoadWeights:
         variables = {k: v for k, v in model.params.items()}
         with pytest.raises(AssertionError, match="shape mismatch"):
             load_scene_encoder_weights(variables, path)
+
+
+class TestOSE3DORIGCheckpointPath:
+    """Pins the OSE3DORIG registry path + pretrained-PointNet load/freeze
+    semantics (reference model/ose3d_orig.py:518,571-585)."""
+
+    def _prompter_cfg_dict(self, pn_path=""):
+        return {
+            "hidden_size": 32,
+            "use_spatial_attn": True,
+            "use_anchor": True,
+            "use_orientation": True,
+            "fourier_size": 84,
+            "vision": {
+                "name": "PcdObjEncoder",
+                "args": {
+                    "sa_n_points": [8, 4, None],
+                    "sa_n_samples": [8, 8, None],
+                    "sa_radii": [0.4, 0.8, None],
+                    "sa_mlps": [[3, 8, 8, 16], [16, 16, 16, 32], [32, 32, 32, 64]],
+                    "dropout": 0.1,
+                    "freeze": True,
+                    "path": pn_path,
+                },
+            },
+            "spatial_encoder": {
+                "dim_loc": 6, "num_attention_heads": 4,
+                "dim_feedforward": 64, "dropout": 0.0, "activation": "gelu",
+                "spatial_multihead": True, "spatial_dim": 5,
+                "spatial_dist_norm": True, "spatial_attn_fusion": "cond",
+                "num_layers": 1, "obj_loc_encoding": "same_all",
+                "pairwise_rel_type": "center",
+            },
+            "attn_flat": {
+                "use_attn_flat": False, "mcan_flat_mlp_size": 512,
+                "mcan_flat_glimpses": 1, "mcan_flat_out_size": 1024,
+            },
+        }
+
+    def test_registry_builds_as_object(self):
+        import msr3d_tpu.models.build  # noqa: F401  registry side effects
+        from msr3d_tpu.config import config_from_dict
+        from msr3d_tpu.registry import MODEL_REGISTRY
+
+        cfg = config_from_dict({"model": self._prompter_cfg_dict()})
+        prompter = MODEL_REGISTRY.get("OSE3DORIG")(cfg)
+        assert prompter.cfg.situation_type == "as_object"
+        assert prompter.cfg.vision_freeze is True
+
+    def _make_pointnet_ckpt(self, tmp_path, sa_mlps, fc_out):
+        """Reference pointnetpp.pt format: SharedMLP Conv2d+BN stacks + fc
+        (modules/layers/pointnet.py:22-63 naming)."""
+        import torch
+
+        torch.manual_seed(0)
+        sd = {}
+        for i, mlp in enumerate(sa_mlps):
+            in_dim = mlp[0] + 3  # QueryAndGroup concats centered xyz
+            for j in range(len(mlp) - 1):
+                out_dim = mlp[j + 1]
+                p = f"encoder.{i}.mlps.0.layer{j}"
+                sd[f"{p}.conv.weight"] = torch.randn(out_dim, in_dim, 1, 1)
+                sd[f"{p}.bn.bn.weight"] = torch.rand(out_dim) + 0.5
+                sd[f"{p}.bn.bn.bias"] = torch.randn(out_dim)
+                sd[f"{p}.bn.bn.running_mean"] = torch.randn(out_dim)
+                sd[f"{p}.bn.bn.running_var"] = torch.rand(out_dim) + 0.5
+                in_dim = out_dim
+        flat = sa_mlps[-1][-1]
+        sd["fc.weight"] = torch.randn(fc_out, flat)
+        sd["fc.bias"] = torch.randn(fc_out)
+        path = tmp_path / "pointnetpp.pt"
+        torch.save(sd, path)
+        return sd, path
+
+    def test_vision_path_loads_and_freezes(self, tmp_path, model_and_batch):
+        """vision.args.path flows through load_pretrained_from_config into
+        the obj_encoder subtree; the frozen encoder stays out of the
+        optimizer mask."""
+        from msr3d_tpu.config import config_from_dict
+        from msr3d_tpu.models.load_weights import load_pretrained_from_config
+
+        model, data, batch = model_and_batch
+        sa_mlps = model.cfg.prompter.sa_mlps
+        fc_out = model.params["params"]["visual_prompter"]["obj_encoder"][
+            "pcd_net"]["fc"]["kernel"].shape[1]
+        sd, path = self._make_pointnet_ckpt(tmp_path, sa_mlps, fc_out)
+
+        # fc kernel differs before the load (random init)
+        def fc_kernel():
+            return np.asarray(
+                model.params["params"]["visual_prompter"]["obj_encoder"]
+                ["pcd_net"]["fc"]["kernel"]
+            )
+
+        want = sd["fc.weight"].numpy().T
+        assert not np.allclose(fc_kernel(), want)
+
+        cfg = config_from_dict(
+            {
+                "pretrain_ckpt_path": "",
+                "model": {
+                    "llm": {"cfg_path": ""},
+                    "prompter": {"model": self._prompter_cfg_dict(str(path))},
+                },
+            }
+        )
+        loaded = load_pretrained_from_config(model, cfg)
+        assert any("pointnet" in s for s in loaded)
+        np.testing.assert_allclose(fc_kernel(), want, atol=1e-6)
+        # BN running stats landed in batch_stats
+        got_mean = np.asarray(
+            model.params["batch_stats"]["visual_prompter"]["obj_encoder"]
+            ["pcd_net"]["sa_0"]["mlp"]["bn_0"]["mean"]
+        )
+        np.testing.assert_allclose(
+            got_mean, sd["encoder.0.mlps.0.layer0.bn.bn.running_mean"].numpy(),
+            atol=1e-6,
+        )
+        # freeze semantics (ose3d_orig.py:583-585): obj_encoder excluded
+        # from the trainable mask
+        mask = model.get_opt_params_mask()["params"]
+        enc_mask = mask["visual_prompter"]["obj_encoder"]
+        assert not any(jax.tree_util.tree_leaves(enc_mask))

@@ -162,6 +162,7 @@ class TestMSR3DEndToEnd:
         assert len(frozen) > 0
 
 
+@pytest.mark.slow
 class TestPredictAnswers:
     def test_ranks_trained_answer_highest(self, rng):
         """predict_answers should prefer candidates whose LM loss is lowest;
@@ -225,6 +226,7 @@ class TestOSE3DAliases:
         assert mod.out_channels == 64
 
 
+@pytest.mark.slow
 class TestLeoFormatPath:
     def test_leo_prompt_parts_with_single_image(self, rng):
         """LEO-format data (prompt parts + single img_fts) flows through the

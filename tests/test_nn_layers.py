@@ -264,6 +264,7 @@ class TestPointBERT:
             assert g in idx[0, g]
 
 
+@pytest.mark.slow
 class TestCLIP:
     def test_rn50_towers_shapes(self, rng):
         from msr3d_tpu.models.clip import CLIPRN50

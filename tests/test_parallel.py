@@ -128,6 +128,7 @@ class TestTensorParallelLLM:
             )
 
 
+@pytest.mark.slow
 class TestDryrunEntry:
     def test_dryrun_multichip_8(self, cpu_devices):
         import sys

@@ -153,6 +153,7 @@ class SyntheticLoader:
             yield dd
 
 
+@pytest.mark.slow
 class TestLeoTrainer:
     @pytest.fixture()
     def trainer(self, tmp_path):
@@ -219,6 +220,7 @@ class TestLeoTrainer:
         assert t2.tracker.epoch == trainer.tracker.epoch
 
 
+@pytest.mark.slow
 class TestRetrievalEval:
     def test_eval_task_retrieval_mode(self, tmp_path):
         """inference_mode: retrieval routes eval through predict_answers
