@@ -69,9 +69,9 @@ def submitit_launch(args) -> None:
         os.environ["JAX_COORDINATOR_ADDRESS"] = f"{env.hostnames[0]}:{args.port}"
         os.environ["JAX_NUM_PROCESSES"] = str(env.num_nodes)
         os.environ["JAX_PROCESS_ID"] = str(env.node)
-        import jax
+        from msr3d_tpu.parallel.mesh import initialize_distributed_from_env
 
-        jax.distributed.initialize()
+        initialize_distributed_from_env()
         import run
 
         run.main(["--config", args.config] + args.opts)

@@ -190,6 +190,7 @@ class LlamaAttention(nn.Module):
         attn_bias: jax.Array,  # (B, 1, T, S) additive mask (0 or -inf-ish)
         kv_cache: Optional[Dict[str, jax.Array]] = None,  # {"k","v"}: (B,S,hkv,D)
         cache_index: Optional[jax.Array] = None,  # scalar write offset
+        shared_prompt_kv: Optional[Dict[str, jax.Array]] = None,  # (B,S_p,hkv,D)
         *,
         deterministic: bool = True,
     ):
@@ -233,16 +234,43 @@ class LlamaAttention(nn.Module):
 
         # GQA: repeat kv heads
         n_rep = cfg.num_attention_heads // cfg.kv_heads
-        if n_rep > 1:
-            k = jnp.repeat(k, n_rep, axis=2)
-            v = jnp.repeat(v, n_rep, axis=2)
 
-        attn = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(cfg.head_dim).astype(
-            jnp.float32
-        )
-        attn = attn.astype(jnp.float32) + attn_bias
-        weights = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", weights, v)
+        def rep(arr):
+            return jnp.repeat(arr, n_rep, axis=2) if n_rep > 1 else arr
+
+        k, v = rep(k), rep(v)
+
+        scale = 1.0 / jnp.sqrt(cfg.head_dim).astype(jnp.float32)
+        attn = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) * scale
+
+        if shared_prompt_kv is not None:
+            # split-cache decode: a prompt KV segment shared across beams
+            # (batch B, queries batch B·K). Beam search with a monolithic
+            # cache materializes the prompt ×K and gathers all of it on
+            # every reorder; sharing keeps it at batch B, read-only. Same
+            # math as the fused cache (softmax over the concatenated score
+            # vector) — token-exact vs the monolithic path in tests.
+            k_p = rep(shared_prompt_kv["k"])  # (B, S_p, H, D)
+            v_p = rep(shared_prompt_kv["v"])
+            bp = k_p.shape[0]
+            k_rep = b // bp
+            qr = q.reshape(bp, k_rep * t, cfg.num_attention_heads, cfg.head_dim)
+            lp = jnp.einsum("bkhd,bshd->bkhs", qr, k_p).astype(jnp.float32) * scale
+            lp = lp.reshape(b, t, cfg.num_attention_heads, -1).transpose(0, 2, 1, 3)
+            s_p = k_p.shape[1]
+            logits = jnp.concatenate([lp, attn], axis=-1) + attn_bias
+            weights = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
+            w_p = weights[..., :s_p].transpose(0, 2, 1, 3).reshape(
+                bp, k_rep * t, cfg.num_attention_heads, s_p
+            )
+            out_p = jnp.einsum("bkhs,bshd->bkhd", w_p, v_p).reshape(
+                b, t, cfg.num_attention_heads, cfg.head_dim
+            )
+            out = out_p + jnp.einsum("bhts,bshd->bthd", weights[..., s_p:], v)
+        else:
+            attn = attn + attn_bias
+            weights = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
+            out = jnp.einsum("bhts,bshd->bthd", weights, v)
         out = out.reshape(b, t, cfg.num_attention_heads * cfg.head_dim)
         out = proj("o_proj", cfg.hidden_size)(out, deterministic=deterministic)
         return out, new_cache
@@ -281,12 +309,13 @@ class LlamaBlock(nn.Module):
     @nn.compact
     def __call__(
         self, x, positions, attn_bias, kv_cache=None, cache_index=None,
-        *, deterministic: bool = True,
+        shared_prompt_kv=None, *, deterministic: bool = True,
     ):
         cfg = self.cfg
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="input_norm")(x)
         h, new_cache = LlamaAttention(cfg, name="attn")(
-            h, positions, attn_bias, kv_cache, cache_index, deterministic=deterministic
+            h, positions, attn_bias, kv_cache, cache_index, shared_prompt_kv,
+            deterministic=deterministic,
         )
         x = x + h
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="post_attn_norm")(x)
@@ -407,6 +436,45 @@ class LlamaModel(nn.Module):
             {"k": jnp.stack(new_k), "v": jnp.stack(new_v)} if new_k else None
         )
         return logits, x, new_caches
+
+    def decode_step_shared(
+        self,
+        inputs_embeds: jax.Array,  # (B·K, 1, H)
+        positions: jax.Array,  # (B·K, 1)
+        prompt_kv: Dict[str, jax.Array],  # k/v: (L, B, S_p, hkv, D) frozen
+        prompt_mask: jax.Array,  # (B, S_p)
+        gen_kv: Dict[str, jax.Array],  # k/v: (L, B·K, S_g, hkv, D)
+        gen_index,  # scalar write offset into the generated segment
+        gen_mask: jax.Array,  # (B·K, S_g)
+    ):
+        """One decode step over a split cache: shared prompt segment
+        (batch B, never copied per beam) + per-beam generated segment.
+        Returns (logits (B·K, 1, V), new gen_kv)."""
+        cfg = self.cfg
+        bk = inputs_embeds.shape[0]
+        b = prompt_kv["k"].shape[1]
+        bias_p = jnp.where(
+            jnp.repeat(prompt_mask, bk // b, axis=0)[:, None, None, :].astype(bool),
+            0.0, -1e30,
+        ).astype(jnp.float32)
+        bias_g = jnp.where(
+            gen_mask[:, None, None, :].astype(bool), 0.0, -1e30
+        ).astype(jnp.float32)
+        attn_bias = jnp.concatenate([bias_p, bias_g], axis=-1)
+
+        x = inputs_embeds.astype(cfg.dtype)
+        new_k, new_v = [], []
+        for i, block in enumerate(self.blocks):
+            x, updated = block(
+                x, positions, attn_bias,
+                {"k": gen_kv["k"][i], "v": gen_kv["v"][i]},
+                gen_index,
+                {"k": prompt_kv["k"][i], "v": prompt_kv["v"][i]},
+            )
+            new_k.append(updated["k"])
+            new_v.append(updated["v"])
+        x = self.final_norm(x)
+        return self.logits(x), {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
 
     def prefill_with_cache(
         self,

@@ -33,7 +33,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from msr3d_tpu.models.llm.llama import LlamaConfig, LlamaModel
-from msr3d_tpu.models.llm.sampling import beam_search_decode, greedy_decode
+from msr3d_tpu.models.llm.sampling import (
+    beam_search_decode,
+    beam_search_decode_shared,
+    greedy_decode,
+)
 from msr3d_tpu.models.llm.tokenizer import (
     BaseTokenizer,
     IMAGE_PLACEHOLDER,
@@ -234,6 +238,18 @@ class MSR3DNetwork(nn.Module):
         )
         return logits, new_caches
 
+    def decode_step_shared(
+        self, token_ids, positions, prompt_kv, prompt_mask, gen_kv,
+        gen_index, gen_mask,
+    ):
+        """Split-cache decode step: shared prompt KV (batch B) + per-beam
+        generated KV (batch B·K). See LlamaModel.decode_step_shared."""
+        embeds = self.llm.embed_tokens(token_ids)
+        return self.llm.decode_step_shared(
+            embeds, positions, prompt_kv, prompt_mask, gen_kv, gen_index,
+            gen_mask,
+        )
+
 
 # ---------------------------------------------------------------------------
 # Host-side model: prompts, tokenization, decode orchestration
@@ -395,8 +411,43 @@ class MSR3D:
         )
         length_penalty = self.length_penalty
 
+        llm_cfg = self.cfg.llm
+
         @jax.jit
         def generate_fn(variables, batch):
+            if beams > 1:
+                # split cache: prefill only the prompt segment (shared across
+                # beams); the per-beam generated segment starts empty
+                first, prompt_kv, prompt_mask, next_pos = network.apply(
+                    variables, **batch, bos_id=bos_id, max_cache_len=prompt_len,
+                    method=network.prefill,
+                )
+                bk = first.shape[0] * beams
+                gen_kv = {
+                    "k": jnp.zeros(
+                        (llm_cfg.num_hidden_layers, bk, max_new,
+                         llm_cfg.kv_heads, llm_cfg.head_dim), llm_cfg.dtype,
+                    ),
+                    "v": jnp.zeros(
+                        (llm_cfg.num_hidden_layers, bk, max_new,
+                         llm_cfg.kv_heads, llm_cfg.head_dim), llm_cfg.dtype,
+                    ),
+                }
+
+                def decode_shared(token_ids, positions, gkv, gidx, gmask):
+                    return network.apply(
+                        variables, token_ids, positions, prompt_kv,
+                        prompt_mask, gkv, gidx, gmask,
+                        method=network.decode_step_shared,
+                    )
+
+                return beam_search_decode_shared(
+                    decode_shared, next_pos, first, gen_kv,
+                    num_beams=beams, length_penalty=length_penalty,
+                    max_new_tokens=max_new, eos_id=eos_id, pad_id=eos_id,
+                    min_length=1, repetition_penalty=self.repetition_penalty,
+                )
+
             first, caches, cache_mask, next_pos = network.apply(
                 variables, **batch, bos_id=bos_id, max_cache_len=cache_len,
                 method=network.prefill,
@@ -408,11 +459,6 @@ class MSR3D:
                     method=network.decode_step,
                 )
 
-            if beams > 1:
-                return beam_search_decode(
-                    decode_step, caches, cache_mask, next_pos, first,
-                    num_beams=beams, length_penalty=length_penalty, **common,
-                )
             return greedy_decode(
                 decode_step, caches, cache_mask, next_pos, first, **common
             )

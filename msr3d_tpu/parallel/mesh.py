@@ -87,6 +87,24 @@ def pad_to_multiple(n: int, multiple: int) -> int:
     return int(math.ceil(n / multiple) * multiple)
 
 
+def initialize_distributed_from_env() -> bool:
+    """Initialize multi-process JAX from the launcher's env contract
+    (launch.py submitit path: JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID — the analog of the reference's accelerate rendezvous,
+    common/launch_utils.py:45-60). Returns True when initialized."""
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS", "")
+    if not addr:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=int(os.environ["JAX_PROCESS_ID"]),
+    )
+    return True
+
+
 def process_allgather_objects(objs: list) -> list:
     """Multi-host gather of non-tensor python objects.
 

@@ -255,6 +255,61 @@ class TestGeneration:
                     break
 
 
+    def test_beam_shared_prompt_cache_matches_monolithic(
+        self, rng, hf_model, jax_setup
+    ):
+        """The split-cache beam path (shared prompt KV, per-beam generated
+        KV) must be token-exact vs the monolithic-cache beam search — and
+        transitively vs HF."""
+        from msr3d_tpu.models.llm.sampling import beam_search_decode_shared
+
+        cfg, model, variables = jax_setup
+        ids, mask, embeds = make_inputs(rng, hf_model, b=2, t=8, left_pad=2)
+        first, caches, cache_mask, next_pos = self._ours_prefill(
+            model, variables, embeds, mask
+        )
+        want = np.asarray(
+            beam_search_decode(
+                _decode_fixture(model, variables), caches, cache_mask, next_pos,
+                first, num_beams=3, max_new_tokens=12, eos_id=2, pad_id=0,
+                prompt_len=8, repetition_penalty=2.0, length_penalty=1.0,
+            )
+        )
+
+        # split cache: prefill only the prompt segment
+        logits, _, prompt_kv, prompt_mask, next_pos2 = model.apply(
+            variables, jnp.asarray(embeds), jnp.asarray(mask), embeds.shape[1],
+            method=model.prefill_with_cache,
+        )
+        first2 = jnp.asarray(
+            np.asarray(logits)[np.arange(embeds.shape[0]), -1]
+        )
+        beams, max_new = 3, 12
+        bk = embeds.shape[0] * beams
+        gen_kv = {
+            "k": jnp.zeros((cfg.num_hidden_layers, bk, max_new, cfg.kv_heads,
+                            cfg.head_dim), cfg.dtype),
+            "v": jnp.zeros((cfg.num_hidden_layers, bk, max_new, cfg.kv_heads,
+                            cfg.head_dim), cfg.dtype),
+        }
+
+        def decode_shared(tok, pos, gkv, gidx, gmask):
+            emb = model.apply(variables, tok, method=model.embed_tokens)
+            return model.apply(
+                variables, emb, pos, prompt_kv, prompt_mask, gkv, gidx, gmask,
+                method=model.decode_step_shared,
+            )
+
+        got = np.asarray(
+            beam_search_decode_shared(
+                decode_shared, next_pos2, first2, gen_kv,
+                num_beams=beams, max_new_tokens=max_new, eos_id=2, pad_id=0,
+                repetition_penalty=2.0, length_penalty=1.0,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+
 class TestLoRA:
     def test_lora_zero_delta_at_init(self, rng, hf_model):
         cfg = config_from_hf(TINY_HF, dtype=jnp.float32, lora_rank=4)
