@@ -18,10 +18,12 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def parse_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="small LLM")
     parser.add_argument("--int8", action="store_true", help="int8 weight-only base")
+    parser.add_argument("--act-quant", action="store_true",
+                        help="s8xs8: also quantize activations (needs --int8)")
     parser.add_argument("--beams", type=int, default=1)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--prompt-len", type=int, default=160)
@@ -36,7 +38,11 @@ def main() -> None:
         help="outstanding requests before fetching (0 = fully serial); "
         "deeper pipelines hide the tunnel dispatch+fetch latency",
     )
-    args = parser.parse_args()
+    return parser.parse_args(argv)
+
+
+def run(args) -> dict:
+    """Run the benchmark, returning the record dict (importable by bench.py)."""
 
     import jax
     import jax.numpy as jnp
@@ -62,6 +68,7 @@ def main() -> None:
             dtype=jnp.bfloat16,
             param_dtype=jnp.bfloat16,  # frozen base stored bf16: 13.5 GB
             quantize=args.int8,        # int8 weight-only: ~6.8 GB
+            act_quantize=getattr(args, "act_quant", False),
         )
 
     tok = ByteTokenizer()
@@ -142,9 +149,7 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / args.iters
     qa_per_sec = B / dt
 
-    print(
-        json.dumps(
-            {
+    return {
                 "metric": "qa_pairs_per_sec_per_chip",
                 "value": round(qa_per_sec, 3),
                 "unit": "QA pairs/s/chip",
@@ -154,15 +159,18 @@ def main() -> None:
                 "new_tokens": args.new_tokens,
                 "beams": args.beams,
                 "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
-                + ("-int8" if args.int8 else ""),
+                + ("-int8" if args.int8 else "")
+                + ("-s8s8" if getattr(args, "act_quant", False) else ""),
                 "step_ms": round(dt * 1000, 1),
                 "pipeline_depth": depth,
                 "init_s": round(init_s, 1),
                 "compile_s": round(compile_s, 1),
                 "device": str(jax.devices()[0]),
             }
-        )
-    )
+
+
+def main() -> None:
+    print(json.dumps(run(parse_args())))
 
 
 if __name__ == "__main__":

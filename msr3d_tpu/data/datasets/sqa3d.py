@@ -31,6 +31,10 @@ from msr3d_tpu.data.datasets.msr3d import MSR3DBase
 from msr3d_tpu.data.scan_loader import ScanCache, ScanDataLoader
 from msr3d_tpu.registry import DATASET_REGISTRY
 
+# The only live entry of the reference's text_pool.py: the multi-entry
+# situation pool is commented out there (text_pool.py:182-183), and the
+# objcap/scenecap/plan instruction pools have zero consumers anywhere in
+# the reference tree — dead code, deliberately not carried over.
 Leo_situation_pool = ["You are at a selected location in the 3D scene."]
 
 _BACKGROUND = ("wall", "floor", "ceiling")

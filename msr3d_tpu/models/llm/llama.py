@@ -52,6 +52,10 @@ class LlamaConfig:
     # (bf16 halves HBM for 7B-scale single-chip runs; LoRA stays fp32)
     remat: bool = False  # rematerialize blocks (trade recompute for HBM in training)
     quantize: bool = False  # int8 weight-only base kernels (inference)
+    act_quantize: bool = False  # s8×s8: also quantize activations per-token
+    # (native int8 MXU dot, skips the int8→bf16 weight dequant on the VPU;
+    # requires quantize=True; accuracy-affecting — deployment knob, off by
+    # default; round-1 microbench measured ~1.7×/dot, gate on end-to-end)
 
     @property
     def kv_heads(self) -> int:
@@ -124,6 +128,7 @@ class LoraDense(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     quantized: bool = False
+    act_quant: bool = False  # s8×s8 dot (needs quantized=True)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -141,9 +146,36 @@ class LoraDense(nn.Module):
                 (self.features,),
                 jnp.bfloat16,
             )
-            kernel = jax.lax.stop_gradient(kernel_q).astype(
-                self.dtype
-            ) * jax.lax.stop_gradient(kernel_scale).astype(self.dtype)
+            kernel_q = jax.lax.stop_gradient(kernel_q)
+            kernel_scale = jax.lax.stop_gradient(kernel_scale)
+            if self.act_quant:
+                # s8×s8: per-token absmax activation quantization feeds the
+                # MXU a native int8×int8 dot — the int8→bf16 weight dequant
+                # (a VPU pass over every weight element, the decode-path
+                # bottleneck behind the round-1 3×-off-roofline gap) is
+                # replaced by one output-side rescale
+                lead = x.shape[:-1]
+                x2 = x.reshape(-1, in_features)
+                amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+                x_scale = jnp.maximum(amax, 1e-6).astype(jnp.float32) / 127.0
+                xq = jnp.clip(
+                    jnp.round(x2.astype(jnp.float32) / x_scale), -127, 127
+                ).astype(jnp.int8)
+                y32 = jax.lax.dot_general(
+                    xq, kernel_q, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = (
+                    y32.astype(jnp.float32)
+                    * x_scale
+                    * kernel_scale.astype(jnp.float32)[None, :]
+                ).astype(self.dtype)
+                y = y.reshape(*lead, self.features)
+            else:
+                kernel = kernel_q.astype(self.dtype) * kernel_scale.astype(
+                    self.dtype
+                )
+                y = x @ kernel
         else:
             kernel = self.param(
                 "kernel", nn.initializers.normal(0.02),
@@ -152,7 +184,7 @@ class LoraDense(nn.Module):
             if self.base_frozen:
                 kernel = jax.lax.stop_gradient(kernel)
             kernel = kernel.astype(self.dtype)
-        y = x @ kernel
+            y = x @ kernel
         if self.use_lora and self.lora_rank > 0:
             a = self.param(
                 "lora_a",
@@ -199,6 +231,7 @@ class LlamaAttention(nn.Module):
             lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
             lora_dropout=cfg.lora_dropout, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, quantized=cfg.quantize,
+            act_quant=cfg.act_quantize,
         )
 
         def proj(name, features):
@@ -286,6 +319,7 @@ class LlamaMLP(nn.Module):
             lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
             lora_dropout=cfg.lora_dropout, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, quantized=cfg.quantize,
+            act_quant=cfg.act_quantize,
         )
 
         def proj(name, features):

@@ -163,6 +163,11 @@ class MultiHeadAttentionSpatial(nn.Module):
                 fused_attn = loc_attn + attn
             fused_attn = jax.nn.softmax(fused_attn, axis=3)
 
+        # opt-in NaN guard, the reference's fused-attention assert analog
+        # (transformers.py:246) — identity unless MSR3D_NAN_CHECKS=1
+        from msr3d_tpu.utils.debug import assert_finite
+
+        fused_attn = assert_finite(fused_attn, "spatial fused_attn")
         out = jnp.einsum("bhlt,bhtv->bhlv", fused_attn, v)
         out = nn.Dense(self.d_model, name="fc")(_merge_heads(out))
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

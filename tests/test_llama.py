@@ -393,3 +393,54 @@ class TestQuantized:
         top_match = (lf.argmax(-1) == lq.argmax(-1)).mean()
         assert top_match > 0.8, top_match
         assert np.abs(lf - lq).mean() < 0.15 * np.abs(lf).mean()
+
+
+class TestActQuant:
+    def test_s8s8_logits_close_to_weight_only(self, rng, hf_model):
+        """s8xs8 activation quantization perturbs logits only mildly vs
+        weight-only int8 (same quantized weights, per-token absmax acts)."""
+        import dataclasses
+
+        from msr3d_tpu.models.llm.llama import LlamaConfig, LlamaModel
+
+        cfg_wo = LlamaConfig.tiny(vocab_size=128, dtype=jnp.float32,
+                                  quantize=True)
+        cfg_aq = dataclasses.replace(cfg_wo, act_quantize=True)
+        b, t = 2, 6
+        embeds = rng.normal(size=(b, t, cfg_wo.hidden_size)).astype(np.float32)
+        mask = np.ones((b, t), np.int32)
+
+        model_wo = LlamaModel(cfg_wo)
+        v = jax.jit(lambda: model_wo.init(
+            jax.random.key(0), jnp.asarray(embeds), jnp.asarray(mask)
+        ))()
+        # fill quantized kernels with real values (init is zeros)
+        import flax
+
+        params = flax.core.unfreeze(v["params"]) if hasattr(v, "unfreeze") else dict(v["params"])
+
+        def fill(tree, key):
+            for k, sub in tree.items():
+                if isinstance(sub, dict):
+                    fill(sub, key)
+                elif k == "kernel_q":
+                    tree[k] = jnp.asarray(
+                        np.random.default_rng(7).integers(
+                            -80, 80, size=sub.shape
+                        ), jnp.int8,
+                    )
+                elif k == "kernel_scale":
+                    tree[k] = jnp.full(sub.shape, 0.02, jnp.bfloat16)
+
+        fill(params, None)
+        v = {"params": params}
+
+        model_aq = LlamaModel(cfg_aq)
+        lo_wo, _, _ = jax.jit(lambda vv: model_wo.apply(
+            vv, jnp.asarray(embeds), jnp.asarray(mask)))(v)
+        lo_aq, _, _ = jax.jit(lambda vv: model_aq.apply(
+            vv, jnp.asarray(embeds), jnp.asarray(mask)))(v)
+        a = np.asarray(lo_wo, np.float32).reshape(-1)
+        q = np.asarray(lo_aq, np.float32).reshape(-1)
+        cos = float(a @ q / (np.linalg.norm(a) * np.linalg.norm(q) + 1e-9))
+        assert cos > 0.99, cos

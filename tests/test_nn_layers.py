@@ -288,3 +288,25 @@ class TestCLIP:
         g = jax.grad(loss)(variables["params"])
         total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
         assert total == 0.0
+
+
+class TestNaNGuard:
+    def test_assert_finite_flags_nans(self, monkeypatch):
+        import importlib
+
+        import msr3d_tpu.utils.debug as dbg
+
+        monkeypatch.setattr(dbg, "_ENABLED", True)
+        x = jnp.array([1.0, jnp.nan])
+        with pytest.raises(FloatingPointError):
+            jax.block_until_ready(dbg.assert_finite(x, "t"))
+        ok = jnp.array([1.0, 2.0])
+        np.testing.assert_array_equal(
+            np.asarray(dbg.assert_finite(ok, "t")), np.asarray(ok)
+        )
+
+    def test_disabled_is_identity(self):
+        from msr3d_tpu.utils.debug import assert_finite
+
+        x = jnp.array([jnp.nan])
+        assert assert_finite(x, "t") is x
