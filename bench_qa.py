@@ -24,6 +24,8 @@ def parse_args(argv=None):
     parser.add_argument("--int8", action="store_true", help="int8 weight-only base")
     parser.add_argument("--act-quant", action="store_true",
                         help="s8xs8: also quantize activations (needs --int8)")
+    parser.add_argument("--kv-quant", action="store_true",
+                        help="int8 KV cache in the decode loop")
     parser.add_argument("--beams", type=int, default=1)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--prompt-len", type=int, default=160)
@@ -69,6 +71,7 @@ def run(args) -> dict:
             param_dtype=jnp.bfloat16,  # frozen base stored bf16: 13.5 GB
             quantize=args.int8,        # int8 weight-only: ~6.8 GB
             act_quantize=getattr(args, "act_quant", False),
+            kv_quantize=getattr(args, "kv_quant", False),
         )
 
     tok = ByteTokenizer()
@@ -160,7 +163,8 @@ def run(args) -> dict:
                 "beams": args.beams,
                 "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
                 + ("-int8" if args.int8 else "")
-                + ("-s8s8" if getattr(args, "act_quant", False) else ""),
+                + ("-s8s8" if getattr(args, "act_quant", False) else "")
+                + ("-kv8" if getattr(args, "kv_quant", False) else ""),
                 "step_ms": round(dt * 1000, 1),
                 "pipeline_depth": depth,
                 "init_s": round(init_s, 1),

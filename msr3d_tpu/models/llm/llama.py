@@ -53,6 +53,9 @@ class LlamaConfig:
     remat: bool = False  # rematerialize blocks (trade recompute for HBM in training)
     quantize: bool = False  # int8 weight-only base kernels (inference)
     act_quantize: bool = False  # s8×s8: also quantize activations per-token
+    kv_quantize: bool = False  # int8 KV cache (decode): halves KV HBM traffic
+    # and footprint; prefill stays bf16 and the caller quantizes the cache
+    # once before the decode loop (quantize_kv_cache)
     # (native int8 MXU dot, skips the int8→bf16 weight dequant on the VPU;
     # requires quantize=True; accuracy-affecting — deployment knob, off by
     # default; round-1 microbench measured ~1.7×/dot, gate on end-to-end)
@@ -205,10 +208,80 @@ class LoraDense(nn.Module):
 def _make_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
     dtype = dtype or cfg.dtype
     shape = (cfg.num_hidden_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
-    return {
+    cache = {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
     }
+    if cfg.kv_quantize:
+        return quantize_kv_cache(cache)
+    return cache
+
+
+def _quantize_kv(arr: jax.Array):
+    """(..., h, d) bf16 → (int8 values, per-(...,h) bf16 scale).
+
+    Per-head-per-position absmax quantization: decode reads the whole KV
+    cache every step, so int8 halves that HBM traffic and the cache
+    footprint; the dequant (convert × scale) fuses into the attention
+    dot's operand load like the int8 weight path."""
+    amax = jnp.max(jnp.abs(arr.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(
+        jnp.round(arr.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
+
+
+def quantize_kv_cache(cache: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """bf16 {"k","v"} cache → int8 {"k","v","k_scale","v_scale"} layout."""
+    kq, ks = _quantize_kv(cache["k"])
+    vq, vs = _quantize_kv(cache["v"])
+    return {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+
+
+def _read_kv(cache: Dict[str, jax.Array], key: str, dtype):
+    """Dequantize (or pass through) one side of a cache dict."""
+    val = cache[key]
+    scale = cache.get(f"{key}_scale")
+    if scale is None:
+        return val
+    return val.astype(dtype) * scale[..., None].astype(dtype)
+
+
+def _stack_layer_caches(layers):
+    """[{key: (B, S, ...)}] per layer → {key: (L, B, S, ...)} or None."""
+    if not layers:
+        return None
+    return {key: jnp.stack([l[key] for l in layers]) for key in layers[0]}
+
+
+def _cache_write(cache, k, v, cache_index):
+    """Write new k/v (B, T, h, d) into a (possibly int8) cache at
+    ``cache_index`` along the sequence axis."""
+    out = dict(cache)
+    if "k_scale" in cache:
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        out["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], kq, (0, cache_index, 0, 0)
+        )
+        out["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], vq, (0, cache_index, 0, 0)
+        )
+        out["k_scale"] = jax.lax.dynamic_update_slice(
+            cache["k_scale"], ks, (0, cache_index, 0)
+        )
+        out["v_scale"] = jax.lax.dynamic_update_slice(
+            cache["v_scale"], vs, (0, cache_index, 0)
+        )
+    else:
+        out["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0)
+        )
+        out["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0)
+        )
+    return out
 
 
 class LlamaAttention(nn.Module):
@@ -256,14 +329,9 @@ class LlamaAttention(nn.Module):
         new_cache = None
         if kv_cache is not None:
             # decode: write current k/v at cache_index, attend over full cache
-            k_cache = jax.lax.dynamic_update_slice(
-                kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0)
-            )
-            new_cache = {"k": k_cache, "v": v_cache}
-            k, v = k_cache, v_cache
+            new_cache = _cache_write(kv_cache, k, v, cache_index)
+            k = _read_kv(new_cache, "k", cfg.dtype)
+            v = _read_kv(new_cache, "v", cfg.dtype)
 
         # GQA: repeat kv heads
         n_rep = cfg.num_attention_heads // cfg.kv_heads
@@ -283,8 +351,8 @@ class LlamaAttention(nn.Module):
             # every reorder; sharing keeps it at batch B, read-only. Same
             # math as the fused cache (softmax over the concatenated score
             # vector) — token-exact vs the monolithic path in tests.
-            k_p = rep(shared_prompt_kv["k"])  # (B, S_p, H, D)
-            v_p = rep(shared_prompt_kv["v"])
+            k_p = rep(_read_kv(shared_prompt_kv, "k", cfg.dtype))  # (B,S_p,H,D)
+            v_p = rep(_read_kv(shared_prompt_kv, "v", cfg.dtype))
             bp = k_p.shape[0]
             k_rep = b // bp
             qr = q.reshape(bp, k_rep * t, cfg.num_attention_heads, cfg.head_dim)
@@ -449,26 +517,23 @@ class LlamaModel(nn.Module):
             ).astype(jnp.float32)
 
         x = inputs_embeds.astype(cfg.dtype)
-        new_k, new_v = [], []
+        updated_layers = []
         for i, block in enumerate(self.blocks):
             layer_cache = (
                 None
                 if kv_caches is None
-                else {"k": kv_caches["k"][i], "v": kv_caches["v"][i]}
+                else {key: val[i] for key, val in kv_caches.items()}
             )
             x, updated = block(
                 x, positions, attn_bias, layer_cache, cache_index,
                 deterministic=deterministic,
             )
             if updated is not None:
-                new_k.append(updated["k"])
-                new_v.append(updated["v"])
+                updated_layers.append(updated)
 
         x = self.final_norm(x)
         logits = self.logits(x)
-        new_caches = (
-            {"k": jnp.stack(new_k), "v": jnp.stack(new_v)} if new_k else None
-        )
+        new_caches = _stack_layer_caches(updated_layers)
         return logits, x, new_caches
 
     def decode_step_shared(
@@ -497,18 +562,17 @@ class LlamaModel(nn.Module):
         attn_bias = jnp.concatenate([bias_p, bias_g], axis=-1)
 
         x = inputs_embeds.astype(cfg.dtype)
-        new_k, new_v = [], []
+        updated_layers = []
         for i, block in enumerate(self.blocks):
             x, updated = block(
                 x, positions, attn_bias,
-                {"k": gen_kv["k"][i], "v": gen_kv["v"][i]},
+                {key: val[i] for key, val in gen_kv.items()},
                 gen_index,
-                {"k": prompt_kv["k"][i], "v": prompt_kv["v"][i]},
+                {key: val[i] for key, val in prompt_kv.items()},
             )
-            new_k.append(updated["k"])
-            new_v.append(updated["v"])
+            updated_layers.append(updated)
         x = self.final_norm(x)
-        return self.logits(x), {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+        return self.logits(x), _stack_layer_caches(updated_layers)
 
     def prefill_with_cache(
         self,

@@ -161,10 +161,9 @@ def beam_search_decode(
         reps[beam_axis] = k
         return jnp.tile(x, reps)
 
-    caches = {
-        "k": _expand_cache(kv_caches["k"], k),
-        "v": _expand_cache(kv_caches["v"], k),
-    }
+    caches = jax.tree_util.tree_map(
+        lambda c: _expand_cache(c, k), kv_caches
+    )
     cmask = flat(expand(cache_mask, 1))  # (B*K, S)
     positions = flat(expand(next_positions, 1))  # (B*K,)
 
@@ -265,7 +264,7 @@ def beam_search_decode(
         gather = (jnp.arange(b)[:, None] * k + new_beam).reshape(-1)
         generated = generated[gather]
         seen = seen[gather]
-        caches = {"k": caches["k"][:, gather], "v": caches["v"][:, gather]}
+        caches = jax.tree_util.tree_map(lambda c: c[:, gather], caches)
         cmask = cmask[gather]
         positions = positions[gather]
 
@@ -296,8 +295,7 @@ def beam_search_decode(
 
 
 def _expand_cache(cache: jax.Array, k: int) -> jax.Array:
-    """(L, B, S, h, d) → (L, B·K, S, h, d) by repeating each batch row K times."""
-    l, b, s, h, d = cache.shape
+    """(L, B, S, ...) → (L, B·K, S, ...) by repeating each batch row K times."""
     return jnp.repeat(cache, k, axis=1)
 
 
@@ -419,7 +417,7 @@ def beam_search_decode_shared(
         generated = generated[gather]
         seen = seen[gather]
         # only the generated segment reorders — the prompt KV is untouched
-        caches = {"k": caches["k"][:, gather], "v": caches["v"][:, gather]}
+        caches = jax.tree_util.tree_map(lambda c: c[:, gather], caches)
 
         new_tok_flat = flat(new_tok)
         generated = generated.at[:, step].set(new_tok_flat)

@@ -415,6 +415,8 @@ class MSR3D:
 
         @jax.jit
         def generate_fn(variables, batch):
+            from msr3d_tpu.models.llm.llama import _make_cache, quantize_kv_cache
+
             if beams > 1:
                 # split cache: prefill only the prompt segment (shared across
                 # beams); the per-beam generated segment starts empty
@@ -422,17 +424,11 @@ class MSR3D:
                     variables, **batch, bos_id=bos_id, max_cache_len=prompt_len,
                     method=network.prefill,
                 )
+                if llm_cfg.kv_quantize:
+                    # prefill stays bf16 (exact); quantize once for decode
+                    prompt_kv = quantize_kv_cache(prompt_kv)
                 bk = first.shape[0] * beams
-                gen_kv = {
-                    "k": jnp.zeros(
-                        (llm_cfg.num_hidden_layers, bk, max_new,
-                         llm_cfg.kv_heads, llm_cfg.head_dim), llm_cfg.dtype,
-                    ),
-                    "v": jnp.zeros(
-                        (llm_cfg.num_hidden_layers, bk, max_new,
-                         llm_cfg.kv_heads, llm_cfg.head_dim), llm_cfg.dtype,
-                    ),
-                }
+                gen_kv = _make_cache(llm_cfg, bk, max_new)
 
                 def decode_shared(token_ids, positions, gkv, gidx, gmask):
                     return network.apply(
@@ -452,6 +448,8 @@ class MSR3D:
                 variables, **batch, bos_id=bos_id, max_cache_len=cache_len,
                 method=network.prefill,
             )
+            if llm_cfg.kv_quantize:
+                caches = quantize_kv_cache(caches)
 
             def decode_step(token_ids, positions, kv, idx, cmask):
                 return network.apply(

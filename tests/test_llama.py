@@ -444,3 +444,40 @@ class TestActQuant:
         q = np.asarray(lo_aq, np.float32).reshape(-1)
         cos = float(a @ q / (np.linalg.norm(a) * np.linalg.norm(q) + 1e-9))
         assert cos > 0.99, cos
+
+
+class TestKVQuant:
+    def test_quantize_roundtrip_error_bound(self, rng):
+        from msr3d_tpu.models.llm.llama import _quantize_kv, _read_kv
+
+        arr = jnp.asarray(rng.normal(size=(2, 5, 4, 16)).astype(np.float32) * 3)
+        q, scale = _quantize_kv(arr)
+        deq = np.asarray(_read_kv({"k": q, "k_scale": scale}, "k", jnp.float32))
+        amax = np.max(np.abs(np.asarray(arr)), axis=-1, keepdims=True)
+        assert np.all(np.abs(deq - np.asarray(arr)) <= amax / 127.0 + 1e-5)
+
+    def test_greedy_with_kv_quant_close_to_exact(self, rng, hf_model, jax_setup):
+        """int8 KV decode stays close to the exact decode on a short
+        horizon (identical first token; >=75% of 12 tokens)."""
+        import dataclasses
+
+        from msr3d_tpu.models.llm.llama import LlamaModel, quantize_kv_cache
+
+        cfg, model, variables = jax_setup
+        ids, mask, embeds = make_inputs(rng, hf_model, b=2, t=8, left_pad=0)
+        logits, _, caches, cache_mask, next_pos = model.apply(
+            variables, jnp.asarray(embeds), jnp.asarray(mask), 24,
+            method=model.prefill_with_cache,
+        )
+        first = jnp.asarray(np.asarray(logits)[np.arange(2), -1])
+        exact = np.asarray(greedy_decode(
+            _decode_fixture(model, variables), caches, cache_mask, next_pos,
+            first, max_new_tokens=12, eos_id=2, pad_id=0, prompt_len=8,
+        ))
+        qcaches = quantize_kv_cache(caches)
+        quant = np.asarray(greedy_decode(
+            _decode_fixture(model, variables), qcaches, cache_mask, next_pos,
+            first, max_new_tokens=12, eos_id=2, pad_id=0, prompt_len=8,
+        ))
+        assert np.all(exact[:, 0] == quant[:, 0])
+        assert np.mean(exact == quant) >= 0.75, (exact, quant)
