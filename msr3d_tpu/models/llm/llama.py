@@ -297,6 +297,7 @@ class LlamaAttention(nn.Module):
         cache_index: Optional[jax.Array] = None,  # scalar write offset
         shared_prompt_kv: Optional[Dict[str, jax.Array]] = None,  # (B,S_p,hkv,D)
         *,
+        return_kv: bool = False,  # prefill: also return this call's raw k/v
         deterministic: bool = True,
     ):
         cfg = self.cfg
@@ -332,6 +333,11 @@ class LlamaAttention(nn.Module):
             new_cache = _cache_write(kv_cache, k, v, cache_index)
             k = _read_kv(new_cache, "k", cfg.dtype)
             v = _read_kv(new_cache, "v", cfg.dtype)
+        elif return_kv:
+            # prefill capture: this call's rope'd k/v become the prompt
+            # segment of the decode cache — attention itself runs plainly
+            # over the prompt (no padded cache slots)
+            new_cache = {"k": k, "v": v}
 
         # GQA: repeat kv heads
         n_rep = cfg.num_attention_heads // cfg.kv_heads
@@ -411,13 +417,14 @@ class LlamaBlock(nn.Module):
     @nn.compact
     def __call__(
         self, x, positions, attn_bias, kv_cache=None, cache_index=None,
-        shared_prompt_kv=None, *, deterministic: bool = True,
+        shared_prompt_kv=None, *, return_kv: bool = False,
+        deterministic: bool = True,
     ):
         cfg = self.cfg
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="input_norm")(x)
         h, new_cache = LlamaAttention(cfg, name="attn")(
             h, positions, attn_bias, kv_cache, cache_index, shared_prompt_kv,
-            deterministic=deterministic,
+            return_kv=return_kv, deterministic=deterministic,
         )
         x = x + h
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="post_attn_norm")(x)
@@ -590,6 +597,13 @@ class LlamaModel(nn.Module):
         ``logits_last_only`` computes logits only for the final position —
         (B, V, fp-size)-scale savings that matter at large batch (decode
         start needs just the last step).
+
+        Attention runs plainly over the prompt (T×T causal) and each
+        block's rope'd k/v are captured and padded into the cache after
+        the fact — never a decode-style pass over padded cache slots, and
+        with ``cfg.kv_quantize`` the padded cache materializes directly in
+        int8 (the earlier full-length bf16 transient was the batch-64
+        compile-OOM: two 4 GB cache copies inside the program).
         """
         cfg = self.cfg
         b, t, _ = inputs_embeds.shape
@@ -601,26 +615,28 @@ class LlamaModel(nn.Module):
         attn_bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
 
         x = inputs_embeds.astype(cfg.dtype)
-        ks, vs = [], []
+        layers = []
         for block in self.blocks:
-            # run block while capturing its k/v (recomputed here via a
-            # cache-prefill pass: write into zeros cache at index 0)
-            zeros = {
-                "k": jnp.zeros((b, max_cache_len, cfg.kv_heads, cfg.head_dim), cfg.dtype),
-                "v": jnp.zeros((b, max_cache_len, cfg.kv_heads, cfg.head_dim), cfg.dtype),
-            }
-            # decode-style call with a (T,S) bias replicating prefill masking
-            pad = jnp.full((b, 1, t, max_cache_len - t), -1e30, jnp.float32)
-            bias_full = jnp.concatenate([attn_bias, pad], axis=-1)
-            x, updated = block(
-                x, positions, bias_full, zeros, 0, deterministic=deterministic
+            x, captured = block(
+                x, positions, attn_bias, return_kv=True,
+                deterministic=deterministic,
             )
-            ks.append(updated["k"])
-            vs.append(updated["v"])
+            layer = dict(captured)
+            if cfg.kv_quantize:
+                layer = quantize_kv_cache(layer)
+            pad = max_cache_len - t
+            layers.append(
+                {
+                    key: jnp.pad(
+                        val, [(0, 0), (0, pad)] + [(0, 0)] * (val.ndim - 2)
+                    )
+                    for key, val in layer.items()
+                }
+            )
 
         x = self.final_norm(x)
         logits = self.logits(x[:, -1:]) if logits_last_only else self.logits(x)
-        kv_caches = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+        kv_caches = _stack_layer_caches(layers)
         slot = jnp.arange(max_cache_len)[None, :]
         cache_mask = (slot < t) & (
             jnp.pad(attention_mask, ((0, 0), (0, max_cache_len - t))).astype(bool)

@@ -415,7 +415,7 @@ class MSR3D:
 
         @jax.jit
         def generate_fn(variables, batch):
-            from msr3d_tpu.models.llm.llama import _make_cache, quantize_kv_cache
+            from msr3d_tpu.models.llm.llama import _make_cache
 
             if beams > 1:
                 # split cache: prefill only the prompt segment (shared across
@@ -424,9 +424,6 @@ class MSR3D:
                     variables, **batch, bos_id=bos_id, max_cache_len=prompt_len,
                     method=network.prefill,
                 )
-                if llm_cfg.kv_quantize:
-                    # prefill stays bf16 (exact); quantize once for decode
-                    prompt_kv = quantize_kv_cache(prompt_kv)
                 bk = first.shape[0] * beams
                 gen_kv = _make_cache(llm_cfg, bk, max_new)
 
@@ -448,9 +445,6 @@ class MSR3D:
                 variables, **batch, bos_id=bos_id, max_cache_len=cache_len,
                 method=network.prefill,
             )
-            if llm_cfg.kv_quantize:
-                caches = quantize_kv_cache(caches)
-
             def decode_step(token_ids, positions, kv, idx, cmask):
                 return network.apply(
                     variables, token_ids, positions, kv, idx, cmask,
