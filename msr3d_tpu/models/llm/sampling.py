@@ -119,6 +119,72 @@ def greedy_decode(
     return generated
 
 
+def greedy_decode_shared(
+    decode_step_shared: Callable,
+    next_positions: jax.Array,  # (B,)
+    first_token_logits: jax.Array,  # (B, V)
+    gen_kv: Dict[str, jax.Array],  # k/v: (L, B, max_new, h, d) zeros
+    *,
+    max_new_tokens: int,
+    eos_id: int,
+    pad_id: int,
+    min_length: int = 1,
+    repetition_penalty: float = 1.0,
+) -> jax.Array:
+    """Greedy decode over a SPLIT KV cache: the prompt segment is a
+    loop-invariant closure operand (never copied into the while-loop
+    carry — the monolithic layout forced a full-cache layout copy at loop
+    entry plus a double-buffered carry, the HBM ceiling at batch ≥64);
+    only the (B, max_new) generated segment is loop state.
+
+    ``decode_step_shared(token_ids (B,1), positions (B,1), gen_kv,
+    gen_index, gen_mask) → (logits, new_gen_kv)``.
+    Same output contract as ``greedy_decode`` (token-exact in tests).
+    """
+    b, v = first_token_logits.shape
+    slot = jnp.arange(max_new_tokens)[None, :]
+
+    def pick(logits, seen, step):
+        logits = apply_repetition_penalty(logits, seen, repetition_penalty)
+        logits = _mask_min_length(logits, step, min_length, eos_id)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def mark(seen, tok):
+        return seen.at[jnp.arange(b), tok].set(True)
+
+    generated0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
+    seen0 = jnp.zeros((b, v), bool)
+    tok0 = pick(first_token_logits, seen0, jnp.int32(0))
+    generated0 = generated0.at[:, 0].set(tok0)
+    seen0 = mark(seen0, tok0)
+    finished0 = tok0 == eos_id
+
+    def cond(state):
+        step, _, _, _, _, finished = state
+        return (step < max_new_tokens) & ~jnp.all(finished)
+
+    def body(state):
+        step, generated, seen, caches, positions, finished = state
+        tok = generated[:, step - 1]
+        gen_mask = jnp.broadcast_to(slot < step, (b, max_new_tokens))
+        logits, caches = decode_step_shared(
+            tok[:, None], positions[:, None], caches, step - 1, gen_mask
+        )
+        nxt = pick(logits[:, -1, :].astype(jnp.float32), seen, step)
+        nxt = jnp.where(finished, pad_id, nxt)
+        generated = generated.at[:, step].set(nxt)
+        seen = jnp.where(finished[:, None], seen, mark(seen, nxt))
+        finished = finished | (nxt == eos_id)
+        return step + 1, generated, seen, caches, positions + 1, finished
+
+    state = (
+        jnp.int32(1), generated0, seen0, gen_kv,
+        next_positions.astype(jnp.int32), finished0,
+    )
+    _, generated, _, _, _, _ = lax.while_loop(cond, body, state)
+    return generated
+
+
 def beam_search_decode(
     decode_step: Callable,
     kv_caches: Dict[str, jax.Array],

@@ -37,6 +37,7 @@ from msr3d_tpu.models.llm.sampling import (
     beam_search_decode,
     beam_search_decode_shared,
     greedy_decode,
+    greedy_decode_shared,
 )
 from msr3d_tpu.models.llm.tokenizer import (
     BaseTokenizer,
@@ -441,18 +442,27 @@ class MSR3D:
                     min_length=1, repetition_penalty=self.repetition_penalty,
                 )
 
-            first, caches, cache_mask, next_pos = network.apply(
-                variables, **batch, bos_id=bos_id, max_cache_len=cache_len,
+            # greedy uses the split cache too: the prompt segment is a
+            # loop-invariant operand (the monolithic layout incurred a
+            # full-cache layout copy at loop entry and a double-buffered
+            # carry — the HBM ceiling at batch ≥64)
+            first, prompt_kv, prompt_mask, next_pos = network.apply(
+                variables, **batch, bos_id=bos_id, max_cache_len=prompt_len,
                 method=network.prefill,
             )
-            def decode_step(token_ids, positions, kv, idx, cmask):
+            gen_kv = _make_cache(llm_cfg, first.shape[0], max_new)
+
+            def decode_shared(token_ids, positions, gkv, gidx, gmask):
                 return network.apply(
-                    variables, token_ids, positions, kv, idx, cmask,
-                    method=network.decode_step,
+                    variables, token_ids, positions, prompt_kv,
+                    prompt_mask, gkv, gidx, gmask,
+                    method=network.decode_step_shared,
                 )
 
-            return greedy_decode(
-                decode_step, caches, cache_mask, next_pos, first, **common
+            return greedy_decode_shared(
+                decode_shared, next_pos, first,
+                gen_kv, max_new_tokens=max_new, eos_id=eos_id, pad_id=eos_id,
+                min_length=1, repetition_penalty=self.repetition_penalty,
             )
 
         return generate_fn

@@ -481,3 +481,47 @@ class TestKVQuant:
         ))
         assert np.all(exact[:, 0] == quant[:, 0])
         assert np.mean(exact == quant) >= 0.75, (exact, quant)
+
+
+class TestGreedySharedCache:
+    def test_greedy_shared_prompt_matches_monolithic(self, rng, hf_model, jax_setup):
+        from msr3d_tpu.models.llm.sampling import greedy_decode_shared
+
+        cfg, model, variables = jax_setup
+        ids, mask, embeds = make_inputs(rng, hf_model, b=2, t=8, left_pad=2)
+
+        logits, _, caches, cache_mask, next_pos = model.apply(
+            variables, jnp.asarray(embeds), jnp.asarray(mask), 24,
+            method=model.prefill_with_cache,
+        )
+        first = jnp.asarray(np.asarray(logits)[np.arange(2), -1])
+        want = np.asarray(greedy_decode(
+            _decode_fixture(model, variables), caches, cache_mask, next_pos,
+            first, max_new_tokens=12, eos_id=2, pad_id=0, prompt_len=8,
+            repetition_penalty=2.0,
+        ))
+
+        logits2, _, prompt_kv, prompt_mask, next_pos2 = model.apply(
+            variables, jnp.asarray(embeds), jnp.asarray(mask), 8,
+            method=model.prefill_with_cache,
+        )
+        first2 = jnp.asarray(np.asarray(logits2)[np.arange(2), -1])
+        gen_kv = {
+            "k": jnp.zeros((cfg.num_hidden_layers, 2, 12, cfg.kv_heads,
+                            cfg.head_dim), cfg.dtype),
+            "v": jnp.zeros((cfg.num_hidden_layers, 2, 12, cfg.kv_heads,
+                            cfg.head_dim), cfg.dtype),
+        }
+
+        def decode_shared(tok, pos, gkv, gidx, gmask):
+            emb = model.apply(variables, tok, method=model.embed_tokens)
+            return model.apply(
+                variables, emb, pos, prompt_kv, prompt_mask, gkv, gidx, gmask,
+                method=model.decode_step_shared,
+            )
+
+        got = np.asarray(greedy_decode_shared(
+            decode_shared, next_pos2, first2, gen_kv,
+            max_new_tokens=12, eos_id=2, pad_id=0, repetition_penalty=2.0,
+        ))
+        np.testing.assert_array_equal(got, want)
