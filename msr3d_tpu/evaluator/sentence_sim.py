@@ -65,7 +65,20 @@ class SentenceTransformerEncoder:
 
 
 def build_sentence_encoder():
+    # Probe the local HF cache BEFORE importing: the sentence_transformers
+    # import alone costs ~18 s (it pulls in TF), and constructing the model
+    # without cached weights stalls in hub retries on an egress-less box.
+    import os
+    from pathlib import Path
+
+    cache = Path(os.environ.get("HF_HOME", Path.home() / ".cache/huggingface")) / "hub"
+    cached = cache.exists() and any(
+        cache.glob("models--sentence-transformers--all-MiniLM-L6-v2*")
+    )
+    if not cached:
+        return HashingSentenceEncoder()
     try:
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
         return SentenceTransformerEncoder()
     except Exception:
         return HashingSentenceEncoder()

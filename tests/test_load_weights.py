@@ -9,10 +9,12 @@ import jax
 import jax.numpy as jnp
 
 
-@pytest.fixture()
-def model_and_batch(rng):
+@pytest.fixture(scope="module")
+def _pristine_model_and_batch():
+    """Build + init once per module (~25 s); tests get restored params."""
     from tests.test_msr3d import tiny_data_dict, tiny_model
 
+    rng = np.random.default_rng(42)
     model = tiny_model()
     data = tiny_data_dict(rng)
     prompts = model.build_text_prompt(data)
@@ -21,6 +23,17 @@ def model_and_batch(rng):
     batch = model._scene_batch(data)
     batch.update(input_ids=ii, attention_mask=am, output_ids=oi, output_mask=om)
     model.init_params(batch)
+    pristine = jax.tree_util.tree_map(lambda x: x, model.params)
+    return model, data, batch, pristine
+
+
+@pytest.fixture()
+def model_and_batch(_pristine_model_and_batch):
+    model, data, batch, pristine = _pristine_model_and_batch
+    # restore pristine params + force recompile so weight-loading tests
+    # start from the same state the old per-test fixture produced
+    model.params = jax.tree_util.tree_map(lambda x: x, pristine)
+    model._loss_fn = None
     return model, data, batch
 
 
