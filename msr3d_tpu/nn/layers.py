@@ -22,6 +22,8 @@ def get_activation(name: str) -> Callable:
     return {
         "relu": nn.relu,
         "gelu": lambda x: nn.gelu(x, approximate=False),
+        # HF "gelu_new": the tanh-approximate form (flax approximate=True)
+        "gelu_new": lambda x: nn.gelu(x, approximate=True),
         "glu": nn.glu,
         "silu": nn.silu,
     }[name]
