@@ -171,8 +171,4 @@ class RougeScorer:
         return mean, scores
 
 
-class MeteorScorer:
-    """Stub: the METEOR jar is a missing large blob in the reference too."""
-
-    def compute_score(self, gts, res):
-        return 0.0, [0.0] * len(gts)
+from msr3d_tpu.evaluator.meteor import MeteorScorer  # noqa: E402  (re-export)
