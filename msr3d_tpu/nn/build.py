@@ -41,6 +41,30 @@ def build_pointbert_encoder(cfg):
     )
 
 
+@VISION_REGISTRY.register(name="PCDSwin3DEncoder")
+def build_swin3d_encoder(cfg):
+    """Sparse-voxel Swin3D UNet (reference pcd_swin3d_encoder.py:18-52)."""
+    from msr3d_tpu.nn.swin3d import PCDSwin3DEncoder
+
+    args = cfg.args
+    return PCDSwin3DEncoder(
+        depths=tuple(args.depths),
+        channels=tuple(args.channels),
+        num_heads=tuple(args.num_heads),
+        window_sizes=tuple(args.window_sizes),
+        up_k=args.get("up_k", 3),
+        quant_size=args.get("quant_size", 4),
+        num_layers=args.get("num_layers", 4),
+        num_classes=args.get("num_classes", 13),
+        stem_transformer=args.get("stem_transformer", False),
+        upsample=args.get("upsample", "deconv"),
+        down_stride=args.get("down_stride", 2),
+        signal=args.get("signal", True),
+        in_channels=args.get("in_channels", 6),
+        use_offset=args.get("use_offset", False),
+    )
+
+
 @VISION_REGISTRY.register(name="Backbone2D")
 def build_backbone2d(cfg):
     args = cfg.args

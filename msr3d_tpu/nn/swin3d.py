@@ -1,0 +1,687 @@
+"""Swin3D sparse-voxel transformer, TPU-native (flax + host index plans).
+
+From-scratch rebuild of the reference's vendored Microsoft Swin3D tree
+(``/root/reference/modules/third_party/swin3d/Swin3D/``): the UNet
+(``models/Swin3D.py:42-152``), window attention with contextual relative
+signal encoding — cRSE — (``modules/swin3d_layers.py:382-576`` plus the
+``self_attn_aio`` CUDA kernels under ``src/attn/``), grid/KNN
+downsampling (``swin3d_layers.py:179-316``), KNN upsampling (:318-380),
+and the Minkowski stem convolutions (``modules/mink_layers.py:20-155``),
+surfaced through the registry wrapper ``PCDSwin3DEncoder``
+(``modules/vision/pcd_swin3d_encoder.py:18-52``). The reference leaves
+this encoder unused by every shipped config; it is rebuilt for
+component completeness. Bit-parity with the CUDA op is untestable here
+(MinkowskiEngine + CUDA only), so tests pin semantics to this module's
+own NumPy oracle.
+
+Architecture split (same philosophy as ops/softgroup.py): all
+*combinatorial geometry* — voxel dedup, window partition, shifted
+partition, stride pooling maps, KNN graphs, nearest-to-centroid
+representative selection — is feature-independent and computed once per
+scene on the host as integer "plans"; the device program is a pure
+function (features, plans) → features made of gathers, matmuls (MXU)
+and masked softmax, fully jit-able with static shapes per plan. This is
+how a TPU wants a sparse 3D net: the sparsity pattern lives in the data
+pipeline, the math is dense.
+
+cRSE semantics follow the CUDA kernel exactly
+(``src/attn/attn_utils.cuh:432-470``, ``self_attn_aio_fwd.cu:16-52``):
+per signal channel c (x,y,z in window-voxel units ×quant_size; r,g,b in
+[-1,1] ×2·quant_size), the relative index is
+``clamp(floor(rel + L), 0, 2L-1)`` with L the per-group quant grid
+length; attention logits are ``q·k + q·Σ_c Tq_c[idx] + k·Σ_c Tk_c[idx]``
+(query pre-scaled by head_dim^-0.5, swin3d_layers.py:509) and values get
+``v + Σ_c Tv_c[idx]`` inside the softmax average.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "build_swin3d_plans",
+    "WindowAttentionCRSE",
+    "SwinTransformerBlock3D",
+    "BasicLayer3D",
+    "Swin3DUNet",
+    "PCDSwin3DEncoder",
+]
+
+# 3x3x3 neighbor offsets in a fixed order (the conv kernel tap order)
+_CONV_OFFSETS = np.array(
+    [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    np.int64,
+)
+
+
+# ---------------------------------------------------------------------------
+# Host plans (numpy)
+# ---------------------------------------------------------------------------
+
+
+def _window_partition(
+    coords: np.ndarray, stride: int, window_size: int, shift: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Group voxels into (window_size³)-cubes.
+
+    coords: (N, 4) int [batch, x, y, z] at tensor stride ``stride``.
+    Returns (windows (W, K) int32 padded with -1, mask (W, K) bool,
+    w_w_xyz (N, 3) int32 — each voxel's cell inside its window), where
+    the shifted partition adds ``shift`` voxel units before flooring
+    (reference get_shifted_sp, swin3d_layers.py:823-838).
+    """
+    vox = coords[:, 1:] // stride + shift  # voxel units
+    win = vox // window_size
+    w_w_xyz = (vox - win * window_size).astype(np.int32)  # == vox % ws for any sign
+    keys = {}
+    groups: List[List[int]] = []
+    for i in range(coords.shape[0]):
+        k = (int(coords[i, 0]), int(win[i, 0]), int(win[i, 1]), int(win[i, 2]))
+        g = keys.get(k)
+        if g is None:
+            g = len(groups)
+            keys[k] = g
+            groups.append([])
+        groups[g].append(i)
+    kmax = max((len(g) for g in groups), default=1)
+    windows = np.full((len(groups), kmax), -1, np.int32)
+    for g, members in enumerate(groups):
+        windows[g, : len(members)] = members
+    return windows, windows >= 0, w_w_xyz
+
+
+def _conv_neighbor_plan(coords: np.ndarray, stride: int) -> np.ndarray:
+    """(N, 27) neighbor index per voxel for a 3³ conv at the given
+    stride; -1 where the neighbor voxel does not exist."""
+    table = {tuple(c): i for i, c in enumerate(coords.tolist())}
+    n = coords.shape[0]
+    out = np.full((n, 27), -1, np.int32)
+    for i in range(n):
+        b, x, y, z = coords[i]
+        for t, (dx, dy, dz) in enumerate(_CONV_OFFSETS):
+            j = table.get((b, x + dx * stride, y + dy * stride, z + dz * stride))
+            if j is not None:
+                out[i, t] = j
+    return out
+
+
+def _pool_groups(coords: np.ndarray, stride_in: int, factor: int = 2):
+    """Stride pooling map: coarse voxel = floor(voxel/factor).
+
+    Returns (coarse_coords (M,4) int at stride stride_in*factor,
+    group_idx (M, Kp) int32 padded -1) — coarse voxels in first-
+    occurrence order (matches the ME pooling coordinate map we only use
+    as a *set*).
+    """
+    vox = coords[:, 1:] // stride_in
+    coarse_key = vox // factor
+    keys: Dict[tuple, int] = {}
+    groups: List[List[int]] = []
+    coarse_rows: List[tuple] = []
+    for i in range(coords.shape[0]):
+        k = (int(coords[i, 0]), *(int(v) for v in coarse_key[i]))
+        g = keys.get(k)
+        if g is None:
+            g = len(groups)
+            keys[k] = g
+            groups.append([])
+            coarse_rows.append(k)
+        groups[g].append(i)
+    kmax = max(len(g) for g in groups)
+    gidx = np.full((len(groups), kmax), -1, np.int32)
+    for g, members in enumerate(groups):
+        gidx[g, : len(members)] = members
+    stride_out = stride_in * factor
+    coarse = np.array(
+        [(b, x * stride_out, y * stride_out, z * stride_out) for b, x, y, z in coarse_rows],
+        np.int64,
+    )
+    return coarse, gidx
+
+
+def _grid_coords_down(
+    coords_f: np.ndarray, group_idx: np.ndarray
+) -> np.ndarray:
+    """GridCoordsDown (swin3d_layers.py:179-243): per coarse voxel, keep
+    the member whose continuous position is nearest the group mean.
+    Returns the representative fine index per coarse voxel (M,)."""
+    reps = np.zeros(group_idx.shape[0], np.int64)
+    xyz = coords_f[:, 1:4]
+    for g in range(group_idx.shape[0]):
+        members = group_idx[g][group_idx[g] >= 0]
+        center = xyz[members].mean(0)
+        d = np.linalg.norm(xyz[members] - center, axis=1)
+        reps[g] = members[int(np.argmin(d))]
+    return reps
+
+
+def _knn(
+    query_xyz: np.ndarray,
+    query_batch: np.ndarray,
+    support_xyz: np.ndarray,
+    support_batch: np.ndarray,
+    k: int,
+) -> np.ndarray:
+    """Per-batch brute-force KNN: (Nq, k) support indices (nearest
+    first; short batches repeat the nearest — torch KNN backfill)."""
+    out = np.zeros((query_xyz.shape[0], k), np.int32)
+    for b in np.unique(query_batch):
+        qm = np.nonzero(query_batch == b)[0]
+        sm = np.nonzero(support_batch == b)[0]
+        d = np.linalg.norm(
+            query_xyz[qm][:, None, :] - support_xyz[sm][None, :, :], axis=-1
+        )
+        order = np.argsort(d, axis=1, kind="stable")
+        take = order[:, :k]
+        if take.shape[1] < k:  # fewer support points than k: repeat nearest
+            pad = np.repeat(take[:, :1], k - take.shape[1], axis=1)
+            take = np.concatenate([take, pad], axis=1)
+        out[qm] = sm[take]
+    return out
+
+
+def _stage_window_plans(
+    coords: np.ndarray,
+    coords_f: np.ndarray,
+    stride: int,
+    window_size: int,
+    quant_size: int,
+) -> Dict[str, Any]:
+    """Both (plain, shifted) window partitions + the scaled cRSE signal
+    coordinates for one resolution."""
+    local_xyz = coords_f[:, 1:4] / stride - coords[:, 1:4] / stride  # in [0,1)
+    colors = coords_f[:, 4:7]
+    plans = {}
+    for name, shift in (("win", 0), ("win_shift", window_size // 2)):
+        windows, mask, w_w_xyz = _window_partition(coords, stride, window_size, shift)
+        n_xyz = (w_w_xyz + local_xyz) * quant_size  # CUDA pre-scale (layers.py:514)
+        n_rgb = colors * (2 * quant_size)  # color_quant_size = 2*quant (:448)
+        plans[name] = {
+            "windows": windows,
+            "mask": mask,
+            "n_coords": np.concatenate([n_xyz, n_rgb], axis=1).astype(np.float32),
+        }
+    return plans
+
+
+def build_swin3d_plans(
+    coords: np.ndarray,
+    coords_f: np.ndarray,
+    *,
+    window_sizes: Sequence[int],
+    quant_size: int,
+    num_layers: int,
+    stem_transformer: bool = True,
+    first_down_stride: int = 2,
+    knn_k: int = 16,
+    up_k: int = 3,
+) -> Dict[str, Any]:
+    """Build every index plan the UNet needs for one scene batch.
+
+    coords: (N, 4) int64 unique voxels [batch, x, y, z] (tensor stride 1).
+    coords_f: (N, 7) float32 [batch, x, y, z, r, g, b] continuous signal
+    (the reference's ``coords_sp.F``, Swin3D.py:124-133).
+    """
+    plans: Dict[str, Any] = {"stem_conv": _conv_neighbor_plan(coords, 1), "stages": []}
+
+    stride = 1
+    layer_start = 0
+    fine_history: List[tuple] = []
+    if not stem_transformer:
+        # stem ResBlock shares the stride-1 conv plan; then an immediate
+        # downsample precedes the first BasicLayer (Swin3D.py:63-82).
+        # The stem resolution joins the skip stack: the final upsample
+        # returns to it (Swin3D.py:136-149).
+        fine_history.append((coords, coords_f, stride))
+        coarse, gidx = _pool_groups(coords, stride, first_down_stride)
+        reps = _grid_coords_down(coords_f, gidx)
+        knn_idx = _knn(
+            coords_f[reps][:, 1:4], coarse[:, 0], coords_f[:, 1:4], coords[:, 0], knn_k
+        )
+        plans["pre_down"] = {"knn": knn_idx, "reps": reps}
+        coords, coords_f = coarse, coords_f[reps]
+        stride *= first_down_stride
+        layer_start = 1
+
+    n_stages = num_layers - layer_start
+    for s in range(n_stages):
+        ws = window_sizes[layer_start + s]
+        stage = _stage_window_plans(coords, coords_f, stride, ws, quant_size)
+        fine_history.append((coords, coords_f, stride))
+        if s < n_stages - 1:
+            factor = first_down_stride if (layer_start + s) == 0 else 2
+            coarse, gidx = _pool_groups(coords, stride, factor)
+            reps = _grid_coords_down(coords_f, gidx)
+            knn_idx = _knn(
+                coords_f[reps][:, 1:4], coarse[:, 0], coords_f[:, 1:4], coords[:, 0], knn_k
+            )
+            stage["down"] = {"knn": knn_idx, "reps": reps}
+            coords, coords_f = coarse, coords_f[reps]
+            stride *= factor
+        plans["stages"].append(stage)
+
+    # upsample plans: from each coarse stage back to the next finer one
+    ups = []
+    for s in range(len(fine_history) - 1, 0, -1):
+        c_coords, c_f, _ = fine_history[s]
+        f_coords, f_f, _ = fine_history[s - 1]
+        idx = _knn(f_f[:, 1:4], f_coords[:, 0], c_f[:, 1:4], c_coords[:, 0], up_k)
+        d = np.linalg.norm(f_f[:, None, 1:4] - c_f[idx][:, :, 1:4], axis=-1)
+        w = 1.0 / (d + 1e-8)
+        ups.append({"knn": idx, "weights": (w / w.sum(1, keepdims=True)).astype(np.float32)})
+    plans["ups"] = ups
+    return plans
+
+
+# ---------------------------------------------------------------------------
+# Device modules (flax)
+# ---------------------------------------------------------------------------
+
+
+def _masked_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather rows of x by idx, zeros where idx < 0."""
+    safe = jnp.maximum(idx, 0)
+    out = x[safe]
+    return jnp.where((idx >= 0)[..., None], out, 0.0)
+
+
+class WindowAttentionCRSE(nn.Module):
+    """W-MSA with contextual relative signal encoding
+    (swin3d_layers.py:382-576 + src/attn CUDA semantics)."""
+
+    dim: int
+    window_size: int
+    quant_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    cRSE: str = "XYZ_RGB"
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, plan: Dict[str, jax.Array]) -> jax.Array:
+        H = self.num_heads
+        hd = self.dim // H
+        scale = hd**-0.5
+        windows, mask = plan["windows"], plan["mask"]
+        n_coords = plan["n_coords"]  # (N, 6) pre-scaled
+        W, K = windows.shape
+
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, name="qkv")(feats)
+        q, k, v = jnp.split(qkv.reshape(-1, 3, H, hd), 3, axis=1)
+        q = q[:, 0] * scale  # pre-scaled query (swin3d_layers.py:509)
+        k, v = k[:, 0], v[:, 0]
+
+        qg = _masked_gather(q.reshape(-1, H * hd), windows).reshape(W, K, H, hd)
+        kg = _masked_gather(k.reshape(-1, H * hd), windows).reshape(W, K, H, hd)
+        vg = _masked_gather(v.reshape(-1, H * hd), windows).reshape(W, K, H, hd)
+        nc = _masked_gather(n_coords, windows)  # (W, K, 6)
+
+        # per-channel quant grid length L (table dim1 = 2L):
+        groups = []
+        if "XYZ" in self.cRSE:
+            L_xyz = self.window_size * self.quant_size
+            groups += [("xyz", 3, L_xyz, slice(0, 3))]
+        if "RGB" in self.cRSE:
+            L_rgb = 2 * (2 * self.quant_size)  # color_windowsize * color_quant
+            groups += [("rgb", 3, L_rgb, slice(3, 6))]
+        if "NORM" in self.cRSE:
+            L_nrm = 2 * (2 * self.quant_size)
+            groups += [("norm", 3, L_nrm, slice(6, 9))]
+
+        rel = nc[:, :, None, :] - nc[:, None, :, :]  # (W, K, K, 6) q minus k
+
+        bias_q = jnp.zeros((W, K, K, H, hd), feats.dtype)
+        bias_k = jnp.zeros((W, K, K, H, hd), feats.dtype)
+        bias_v = jnp.zeros((W, K, K, H, hd), feats.dtype)
+        for gname, n_axes, L, sl in groups:
+            # idx = clamp(floor(rel + L), 0, 2L-1)  (attn_utils.cuh:448-450)
+            idx = jnp.clip(jnp.floor(rel[..., sl] + L), 0, 2 * L - 1).astype(jnp.int32)
+            for t, pname in (("q", "query"), ("k", "key"), ("v", "value")):
+                table = self.param(
+                    f"{pname}_{gname}_table",
+                    nn.initializers.truncated_normal(0.02),
+                    (n_axes, 2 * L, H, hd),
+                )
+                # per-axis gather: table (axes, 2L, H, hd), idx (W,K,K,axes)
+                contrib = jnp.sum(
+                    jax.vmap(lambda tab, ix: tab[ix], in_axes=(0, 3))(table, idx),
+                    axis=0,
+                )  # (W, K, K, H, hd)
+                if t == "q":
+                    bias_q = bias_q + contrib
+                elif t == "k":
+                    bias_k = bias_k + contrib
+                else:
+                    bias_v = bias_v + contrib
+
+        logits = (
+            jnp.einsum("wihd,wjhd->wijh", qg, kg)
+            + jnp.einsum("wihd,wijhd->wijh", qg, bias_q)
+            + jnp.einsum("wjhd,wijhd->wijh", kg, bias_k)
+        )  # coff = q·k + q·Tq + k·Tk (self_attn_aio_fwd.cu:43)
+        neg = jnp.finfo(logits.dtype).min
+        logits = jnp.where(mask[:, None, :, None], logits, neg)
+        attn = jax.nn.softmax(logits, axis=2)
+        attn = jnp.where(mask[:, :, None, None], attn, 0.0)  # dead query rows
+
+        out = jnp.einsum("wijh,wjhd->wihd", attn, vg) + jnp.einsum(
+            "wijh,wijhd->wihd", attn, bias_v
+        )
+        out = out.reshape(W, K, self.dim)
+
+        # scatter back: every voxel appears in exactly one window cell
+        n = feats.shape[0]
+        flat_idx = jnp.where(mask, windows, n).reshape(-1)
+        scattered = jnp.zeros((n + 1, self.dim), out.dtype).at[flat_idx].set(
+            out.reshape(-1, self.dim)
+        )[:n]
+        return nn.Dense(self.dim, name="proj")(scattered)
+
+
+class _Mlp(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, name="fc2")(x)
+
+
+class SwinTransformerBlock3D(nn.Module):
+    """norm→W-MSA→residual; norm→MLP→residual (swin3d_layers.py:578-626).
+    Stochastic depth is omitted (inference-parity; the reference only
+    uses it in training and MSR3D never trains this encoder)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    quant_size: int
+    mlp_ratio: float = 4.0
+    cRSE: str = "XYZ_RGB"
+
+    @nn.compact
+    def __call__(self, feats, plan):
+        h = nn.LayerNorm(name="norm1")(feats)
+        h = WindowAttentionCRSE(
+            self.dim, self.window_size, self.quant_size, self.num_heads,
+            cRSE=self.cRSE, name="attn",
+        )(h, plan)
+        feats = feats + h
+        h = nn.LayerNorm(name="norm2")(feats)
+        h = _Mlp(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(h)
+        return feats + h
+
+
+class GridKNNDownsample(nn.Module):
+    """KNN max-pool downsample (swin3d_layers.py:272-316): gather k=16
+    nearest fine voxels per coarse voxel, LayerNorm → Linear(no bias) →
+    max over k."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, feats, knn_idx):
+        g = feats[knn_idx]  # (M, k, Cin)
+        g = nn.LayerNorm(name="norm")(g)
+        g = nn.Dense(self.out_channels, use_bias=False, name="linear")(g)
+        return jnp.max(g, axis=1)
+
+
+class Upsample3D(nn.Module):
+    """KNN inverse-distance upsample: linear1(skip) + interp(linear2(x))
+    (swin3d_layers.py:318-380); optional attention refinement."""
+
+    out_channels: int
+    num_heads: int = 0
+    window_size: int = 0
+    quant_size: int = 1
+    attn: bool = False
+    cRSE: str = "XYZ_RGB"
+
+    @nn.compact
+    def __call__(self, coarse_feats, skip_feats, up_plan, win_plan=None):
+        a = nn.LayerNorm(name="ln1")(skip_feats)
+        a = nn.Dense(self.out_channels, name="linear1")(a)
+        b = nn.LayerNorm(name="ln2")(coarse_feats)
+        b = nn.Dense(self.out_channels, name="linear2")(b)
+        interp = jnp.sum(b[up_plan["knn"]] * up_plan["weights"][..., None], axis=1)
+        feats = a + interp
+        if self.attn and win_plan is not None:
+            feats = SwinTransformerBlock3D(
+                self.out_channels, self.num_heads, self.window_size,
+                self.quant_size, cRSE=self.cRSE, name="block",
+            )(feats, win_plan)
+        return feats
+
+
+class SparseConvBNRelu(nn.Module):
+    """3³ submanifold conv + BN + ReLU (mink_layers.py:50-81), as a
+    neighbor-plan gather + per-tap matmul on the MXU."""
+
+    out_channels: int
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, feats, neighbor_idx, *, train: bool = False):
+        cin = feats.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(), (27, cin, self.out_channels)
+        )
+        g = _masked_gather(feats, neighbor_idx)  # (N, 27, Cin)
+        out = jnp.einsum("nkc,kco->no", g, kernel)
+        out = nn.BatchNorm(
+            use_running_average=not train, momentum=0.98, epsilon=1e-5, name="bn"
+        )(out)
+        return nn.relu(out) if self.relu else out
+
+
+class SparseResBlock(nn.Module):
+    """MinkResBlock (mink_layers.py:114-155): conv-bn-relu, conv-bn, +skip, relu."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, feats, neighbor_idx, *, train: bool = False):
+        h = SparseConvBNRelu(self.channels, name="conv1")(feats, neighbor_idx, train=train)
+        h = SparseConvBNRelu(self.channels, relu=False, name="conv2")(h, neighbor_idx, train=train)
+        return nn.relu(feats + h)
+
+
+class BasicLayer3D(nn.Module):
+    """One resolution stage: depth blocks alternating plain/shifted
+    windows (swin3d_layers.py:628-874), optional KNN downsample."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    quant_size: int
+    out_channels: Optional[int] = None
+    cRSE: str = "XYZ_RGB"
+
+    @nn.compact
+    def __call__(self, feats, stage_plan):
+        for i in range(self.depth):
+            plan = stage_plan["win"] if i % 2 == 0 else stage_plan["win_shift"]
+            feats = SwinTransformerBlock3D(
+                self.dim, self.num_heads, self.window_size, self.quant_size,
+                cRSE=self.cRSE, name=f"blocks_{i}",
+            )(feats, plan)
+        if self.out_channels is not None and "down" in stage_plan:
+            down = GridKNNDownsample(self.out_channels, name="downsample")(
+                feats, stage_plan["down"]["knn"]
+            )
+            return feats, down
+        return feats, feats
+
+
+class Swin3DUNet(nn.Module):
+    """Encoder-decoder over voxel stages (models/Swin3D.py:42-152)."""
+
+    depths: Sequence[int]
+    channels: Sequence[int]
+    num_heads: Sequence[int]
+    window_sizes: Sequence[int]
+    quant_size: int
+    num_layers: int = 4
+    num_classes: int = 13
+    stem_transformer: bool = True
+    up_k: int = 3
+    up_attn: bool = False
+    cRSE: str = "XYZ_RGB"
+
+    @nn.compact
+    def __call__(self, feats, plans, *, train: bool = False):
+        feats = SparseConvBNRelu(self.channels[0], name="stem")(
+            feats, plans["stem_conv"], train=train
+        )
+        layer_start = 0
+        skips = []
+        if not self.stem_transformer:
+            assert not self.up_attn, "up_attn with a conv stem is not supported"
+            feats = SparseResBlock(self.channels[0], name="stem_res")(
+                feats, plans["stem_conv"], train=train
+            )
+            skips.append(feats)  # stem resolution joins the skip stack
+            feats = GridKNNDownsample(self.channels[1], name="pre_down")(
+                feats, plans["pre_down"]["knn"]
+            )
+            layer_start = 1
+
+        for s in range(self.num_layers - layer_start):
+            i = layer_start + s
+            last = i == self.num_layers - 1
+            kept, feats = BasicLayer3D(
+                dim=self.channels[i],
+                depth=self.depths[i],
+                num_heads=self.num_heads[i],
+                window_size=self.window_sizes[i],
+                quant_size=self.quant_size,
+                out_channels=None if last else self.channels[i + 1],
+                cRSE=self.cRSE,
+                name=f"layers_{s}",
+            )(feats, plans["stages"][s])
+            skips.append(kept)
+
+        feats = skips.pop()
+        for u, up_plan in enumerate(plans["ups"]):
+            skip = skips.pop()
+            i = self.num_layers - 1 - u  # coarse stage index
+            feats = Upsample3D(
+                out_channels=self.channels[i - 1],
+                num_heads=self.num_heads[i - 1],
+                window_size=self.window_sizes[i - 1],
+                quant_size=self.quant_size,
+                attn=self.up_attn,
+                cRSE=self.cRSE,
+                name=f"upsamples_{u}",
+            )(
+                feats,
+                skip,
+                up_plan,
+                win_plan=plans["stages"][len(skips)]["win"] if self.up_attn else None,
+            )
+
+        h = nn.Dense(self.channels[0], name="cls_fc1")(feats)
+        h = nn.BatchNorm(use_running_average=not train, name="cls_bn")(h)
+        h = nn.relu(h)
+        logits = nn.Dense(self.num_classes, name="cls_fc2")(h)
+        return feats, logits
+
+
+class PCDSwin3DEncoder:
+    """Registry wrapper (pcd_swin3d_encoder.py:18-52): packed points →
+    voxelize → plans → UNet. Functional: ``init``/``apply`` like a flax
+    module, plus a convenience ``encode(params, feats, xyz)``.
+
+    feats: (N, 3) colors in [-1, 1]; xyz: (N, 4) [x, y, z, batch] with
+    xyz already in voxel units (the reference casts to int for the
+    sparse tensor and keeps the float part as the in-voxel offset).
+    """
+
+    def __init__(
+        self,
+        depths: Sequence[int],
+        channels: Sequence[int],
+        num_heads: Sequence[int],
+        window_sizes: Sequence[int],
+        up_k: int = 3,
+        quant_size: int = 4,
+        num_layers: int = 4,
+        num_classes: int = 13,
+        stem_transformer: bool = True,
+        upsample: str = "deconv",
+        down_stride: int = 2,
+        signal: bool = True,
+        in_channels: int = 6,
+        use_offset: bool = False,
+        cRSE: str = "XYZ_RGB",
+        **_: Any,
+    ):
+        self.signal = signal
+        self.use_offset = use_offset
+        self.unet = Swin3DUNet(
+            depths=tuple(depths),
+            channels=tuple(channels),
+            num_heads=tuple(num_heads),
+            window_sizes=tuple(window_sizes),
+            quant_size=quant_size,
+            num_layers=num_layers,
+            num_classes=num_classes,
+            stem_transformer=stem_transformer,
+            up_k=up_k,
+            up_attn="attn" in upsample,
+            cRSE=cRSE,
+        )
+        self._cfg = dict(
+            window_sizes=tuple(window_sizes), quant_size=quant_size,
+            num_layers=num_layers, stem_transformer=stem_transformer,
+            first_down_stride=down_stride, up_k=up_k,
+        )
+
+    def prepare(self, feats: np.ndarray, xyz: np.ndarray):
+        """Host preprocessing: dedup voxels (first-point-kept, the
+        reference's ME quantization), assemble signal features + plans."""
+        feats = np.asarray(feats, np.float32)
+        xyz = np.asarray(xyz, np.float32)
+        coords = np.concatenate([xyz[:, -1:], xyz[:, :3]], axis=1)  # (N,4) b,x,y,z
+        full = np.concatenate([feats, xyz[:, :3]], axis=1)  # (N, 6)
+        if self.use_offset:
+            full[:, -3:] = xyz[:, :3] - np.floor(xyz[:, :3])
+        coords_int = np.floor(coords).astype(np.int64)
+
+        from msr3d_tpu.ops.softgroup import voxelization_idx
+
+        _, _, out_map = voxelization_idx(coords_int, int(coords_int[:, 0].max()) + 1, mode=1)
+        keep = out_map[:, 1].astype(np.int64)  # first point per voxel
+        coords_int, full, coords = coords_int[keep], full[keep], coords[keep]
+
+        colors = full[:, 0:3] / 1.001
+        coords_f = np.concatenate([coords, colors], axis=1).astype(np.float32)  # (M,7)
+        sig = full if self.signal else np.ones_like(full)
+        plans = build_swin3d_plans(coords_int, coords_f, **self._cfg)
+        return sig, plans, keep
+
+    def init(self, rng, feats: np.ndarray, xyz: np.ndarray):
+        sig, plans, _ = self.prepare(feats, xyz)
+        # jit so init/apply run as one XLA program instead of eager
+        # per-op dispatch (hundreds of round-trips through a remote chip)
+        return jax.jit(self.unet.init)(
+            rng, jnp.asarray(sig), jax.tree_util.tree_map(jnp.asarray, plans)
+        )
+
+    def __call__(self, params, feats: np.ndarray, xyz: np.ndarray):
+        """→ (per-voxel features (M, channels[0]), logits (M, classes),
+        keep-indices (M,) into the input points)."""
+        sig, plans, keep = self.prepare(feats, xyz)
+        out, logits = jax.jit(self.unet.apply)(
+            params, jnp.asarray(sig), jax.tree_util.tree_map(jnp.asarray, plans)
+        )
+        return out, logits, keep
