@@ -76,39 +76,23 @@ def _window_partition(
     the shifted partition adds ``shift`` voxel units before flooring
     (reference get_shifted_sp, swin3d_layers.py:823-838).
     """
+    from msr3d_tpu.ops.host_geometry import group_rows, pad_groups
+
     vox = coords[:, 1:] // stride + shift  # voxel units
     win = vox // window_size
     w_w_xyz = (vox - win * window_size).astype(np.int32)  # == vox % ws for any sign
-    keys = {}
-    groups: List[List[int]] = []
-    for i in range(coords.shape[0]):
-        k = (int(coords[i, 0]), int(win[i, 0]), int(win[i, 1]), int(win[i, 2]))
-        g = keys.get(k)
-        if g is None:
-            g = len(groups)
-            keys[k] = g
-            groups.append([])
-        groups[g].append(i)
-    kmax = max((len(g) for g in groups), default=1)
-    windows = np.full((len(groups), kmax), -1, np.int32)
-    for g, members in enumerate(groups):
-        windows[g, : len(members)] = members
+    keys = np.concatenate([coords[:, :1], win], axis=1).astype(np.int64)
+    group_of, n_groups = group_rows(keys)
+    windows = pad_groups(group_of, n_groups)
     return windows, windows >= 0, w_w_xyz
 
 
 def _conv_neighbor_plan(coords: np.ndarray, stride: int) -> np.ndarray:
     """(N, 27) neighbor index per voxel for a 3³ conv at the given
     stride; -1 where the neighbor voxel does not exist."""
-    table = {tuple(c): i for i, c in enumerate(coords.tolist())}
-    n = coords.shape[0]
-    out = np.full((n, 27), -1, np.int32)
-    for i in range(n):
-        b, x, y, z = coords[i]
-        for t, (dx, dy, dz) in enumerate(_CONV_OFFSETS):
-            j = table.get((b, x + dx * stride, y + dy * stride, z + dz * stride))
-            if j is not None:
-                out[i, t] = j
-    return out
+    from msr3d_tpu.ops.host_geometry import conv_neighbors
+
+    return conv_neighbors(coords.astype(np.int64), _CONV_OFFSETS * stride)
 
 
 def _pool_groups(coords: np.ndarray, stride_in: int, factor: int = 2):
@@ -119,29 +103,16 @@ def _pool_groups(coords: np.ndarray, stride_in: int, factor: int = 2):
     occurrence order (matches the ME pooling coordinate map we only use
     as a *set*).
     """
+    from msr3d_tpu.ops.host_geometry import group_rows, pad_groups
+
     vox = coords[:, 1:] // stride_in
-    coarse_key = vox // factor
-    keys: Dict[tuple, int] = {}
-    groups: List[List[int]] = []
-    coarse_rows: List[tuple] = []
-    for i in range(coords.shape[0]):
-        k = (int(coords[i, 0]), *(int(v) for v in coarse_key[i]))
-        g = keys.get(k)
-        if g is None:
-            g = len(groups)
-            keys[k] = g
-            groups.append([])
-            coarse_rows.append(k)
-        groups[g].append(i)
-    kmax = max(len(g) for g in groups)
-    gidx = np.full((len(groups), kmax), -1, np.int32)
-    for g, members in enumerate(groups):
-        gidx[g, : len(members)] = members
+    keys = np.concatenate([coords[:, :1], vox // factor], axis=1).astype(np.int64)
+    group_of, n_groups = group_rows(keys)
+    gidx = pad_groups(group_of, n_groups)
     stride_out = stride_in * factor
-    coarse = np.array(
-        [(b, x * stride_out, y * stride_out, z * stride_out) for b, x, y, z in coarse_rows],
-        np.int64,
-    )
+    first = gidx[:, 0].astype(np.int64)
+    coarse = keys[first].copy()
+    coarse[:, 1:] *= stride_out
     return coarse, gidx
 
 
@@ -151,14 +122,16 @@ def _grid_coords_down(
     """GridCoordsDown (swin3d_layers.py:179-243): per coarse voxel, keep
     the member whose continuous position is nearest the group mean.
     Returns the representative fine index per coarse voxel (M,)."""
-    reps = np.zeros(group_idx.shape[0], np.int64)
+    m, kmax = group_idx.shape
     xyz = coords_f[:, 1:4]
-    for g in range(group_idx.shape[0]):
-        members = group_idx[g][group_idx[g] >= 0]
-        center = xyz[members].mean(0)
-        d = np.linalg.norm(xyz[members] - center, axis=1)
-        reps[g] = members[int(np.argmin(d))]
-    return reps
+    valid = group_idx >= 0
+    safe = np.where(valid, group_idx, 0)
+    pts = xyz[safe]  # (m, kmax, 3)
+    counts = valid.sum(1, keepdims=True).astype(np.float64)
+    centers = np.where(valid[..., None], pts, 0.0).sum(1) / counts  # (m, 3)
+    d = np.linalg.norm(pts - centers[:, None, :], axis=-1)
+    d = np.where(valid, d, np.inf)
+    return group_idx[np.arange(m), np.argmin(d, axis=1)].astype(np.int64)
 
 
 def _knn(
@@ -170,20 +143,9 @@ def _knn(
 ) -> np.ndarray:
     """Per-batch brute-force KNN: (Nq, k) support indices (nearest
     first; short batches repeat the nearest — torch KNN backfill)."""
-    out = np.zeros((query_xyz.shape[0], k), np.int32)
-    for b in np.unique(query_batch):
-        qm = np.nonzero(query_batch == b)[0]
-        sm = np.nonzero(support_batch == b)[0]
-        d = np.linalg.norm(
-            query_xyz[qm][:, None, :] - support_xyz[sm][None, :, :], axis=-1
-        )
-        order = np.argsort(d, axis=1, kind="stable")
-        take = order[:, :k]
-        if take.shape[1] < k:  # fewer support points than k: repeat nearest
-            pad = np.repeat(take[:, :1], k - take.shape[1], axis=1)
-            take = np.concatenate([take, pad], axis=1)
-        out[qm] = sm[take]
-    return out
+    from msr3d_tpu.ops.host_geometry import knn as _hg_knn
+
+    return _hg_knn(query_xyz, query_batch, support_xyz, support_batch, k)
 
 
 def _stage_window_plans(

@@ -29,7 +29,6 @@ Reference file:line cites are on each function.
 
 from __future__ import annotations
 
-from collections import deque
 from typing import Tuple
 
 import jax
@@ -82,45 +81,33 @@ def voxelization_idx(
         (voxelize.cpp:131-152; the docstring in functions.py:132-140
         has first/last swapped relative to the code — we follow the code).
     """
+    from msr3d_tpu.ops.host_geometry import group_rows, pad_groups
+
     coords = np.asarray(coords)
     assert coords.ndim == 2 and coords.shape[1] in (3, 4), coords.shape
     n = coords.shape[0]
-    has_batch = coords.shape[1] == 4
-
-    key_of = (lambda row: (int(row[0]), int(row[1]), int(row[2]), int(row[3]))) if has_batch else (
-        lambda row: (0, int(row[0]), int(row[1]), int(row[2]))
+    keys = (
+        coords.astype(np.int64)
+        if coords.shape[1] == 4
+        else np.concatenate([np.zeros((n, 1), np.int64), coords.astype(np.int64)], 1)
     )
+    input_map, m = group_rows(keys)
 
-    voxel_of_key: dict = {}
-    rows: list = []  # per-voxel list of point indices, insertion order
-    input_map = np.zeros(n, np.int32)
-    for i in range(n):
-        k = key_of(coords[i])
-        vid = voxel_of_key.get(k)
-        if vid is None:
-            vid = len(rows)
-            voxel_of_key[k] = vid
-            rows.append([])
-        rows[vid].append(i)
-        input_map[i] = vid
-
-    m = len(rows)
     if mode == 0:
         assert m == n, "mode 0 requires already-unique coords (voxelize.cpp:132)"
+    members = pad_groups(input_map, m)  # (m, kmax) padded -1, input order
+    counts = np.bincount(input_map, minlength=m).astype(np.int32)
     if mode in (0, 1, 2):
-        max_active = 1
-        output_map = np.zeros((m, 2), np.int32)
-        for v, r in enumerate(rows):
-            output_map[v, 0] = 1
-            output_map[v, 1] = r[0] if mode in (0, 1) else r[-1]
+        output_map = np.ones((m, 2), np.int32)
+        output_map[:, 1] = (
+            members[:, 0] if mode in (0, 1) else members[np.arange(m), counts - 1]
+        )
     else:  # 3 = sum, 4 = mean
-        max_active = max((len(r) for r in rows), default=1)
-        output_map = np.zeros((m, max_active + 1), np.int32)
-        for v, r in enumerate(rows):
-            output_map[v, 0] = len(r)
-            output_map[v, 1 : 1 + len(r)] = r
+        output_map = np.zeros((m, members.shape[1] + 1), np.int32)
+        output_map[:, 0] = counts
+        output_map[:, 1:] = np.where(members >= 0, members, 0)
 
-    first_idx = output_map[:, 1]
+    first_idx = members[:, 0].astype(np.int64)
     output_coords = coords[first_idx].copy()
     return output_coords, input_map, output_map
 
@@ -174,29 +161,9 @@ def ballquery_batch_p(
     Returns ``(idx, start_len)``: idx (nActive,) int32 neighbor indices,
     start_len (n, 2) int32 — each point's [start, len) slice into idx.
     """
-    coords = np.asarray(coords, np.float32)
-    batch_idxs = np.asarray(batch_idxs, np.int32)
-    batch_offsets = np.asarray(batch_offsets, np.int64)
-    n = coords.shape[0]
-    r2 = float(radius) * float(radius)
+    from msr3d_tpu.ops.host_geometry import ballquery_packed
 
-    idx_chunks = []
-    start_len = np.zeros((n, 2), np.int32)
-    cursor = 0
-    for b in range(len(batch_offsets) - 1):
-        s, e = int(batch_offsets[b]), int(batch_offsets[b + 1])
-        seg = coords[s:e]
-        # (nb, nb) pairwise squared distances within the batch element
-        d2 = np.sum((seg[:, None, :] - seg[None, :, :]) ** 2, axis=-1)
-        within = d2 < r2
-        for i in range(s, e):
-            nbrs = s + np.nonzero(within[i - s])[0]
-            start_len[i, 0] = cursor
-            start_len[i, 1] = len(nbrs)
-            cursor += len(nbrs)
-            idx_chunks.append(nbrs.astype(np.int32))
-    idx = np.concatenate(idx_chunks) if idx_chunks else np.zeros(0, np.int32)
-    return idx, start_len
+    return ballquery_packed(coords, batch_idxs, batch_offsets, radius)
 
 
 def bfs_cluster(
@@ -219,36 +186,21 @@ def bfs_cluster(
     Returns ``(cluster_idxs, cluster_offsets)``: (sumNPoint, 2) int32
     rows ``(cluster_id, point_idx)`` and (nCluster+1,) int32 offsets.
     """
-    ball_query_idxs = np.asarray(ball_query_idxs, np.int64)
-    start_len = np.asarray(start_len, np.int64)
-    n = start_len.shape[0]
+    from msr3d_tpu.ops.host_geometry import bfs_components
+
     mean = float(np.asarray(class_numpoint_mean, np.float32)[class_id])
     thr = threshold if mean == -1 else threshold * mean
 
-    visited = np.zeros(n, bool)
-    clusters = []
-    for seed in range(n):
-        if visited[seed]:
-            continue
-        comp = [seed]
-        visited[seed] = True
-        q = deque([seed])
-        while q:
-            cur = q.popleft()
-            s, l = start_len[cur]
-            for j in ball_query_idxs[s : s + l]:
-                if not visited[j]:
-                    visited[j] = True
-                    comp.append(int(j))
-                    q.append(int(j))
-        if len(comp) >= thr:
-            clusters.append(comp)
+    order, comp_offsets = bfs_components(ball_query_idxs, start_len)
+    sizes = np.diff(comp_offsets)
+    keep = np.nonzero(sizes >= thr)[0]
 
-    offsets = np.zeros(len(clusters) + 1, np.int32)
+    offsets = np.zeros(len(keep) + 1, np.int32)
     rows = []
-    for c, comp in enumerate(clusters):
-        offsets[c + 1] = offsets[c] + len(comp)
-        rows.extend((c, p) for p in comp)
+    for c, comp_id in enumerate(keep):
+        members = order[comp_offsets[comp_id] : comp_offsets[comp_id + 1]]
+        offsets[c + 1] = offsets[c] + len(members)
+        rows.extend((c, int(p)) for p in members)
     cluster_idxs = np.asarray(rows, np.int32).reshape(-1, 2)
     return cluster_idxs, offsets
 
