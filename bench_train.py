@@ -20,6 +20,12 @@ import numpy as np
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="QLoRA-style: int8 frozen base (stop-gradient, weight-only "
+        "quant) under bf16 LoRA — halves the 13.5 GB weight footprint so "
+        "the micro-batch can grow",
+    )
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--accum", type=int, default=5)
     parser.add_argument("--prompt-len", type=int, default=192)
@@ -48,7 +54,7 @@ def main() -> None:
             vocab_size=32000, hidden_size=4096, intermediate_size=11008,
             num_hidden_layers=32, num_attention_heads=32,
             max_position_embeddings=2048, lora_rank=16, dtype=jnp.bfloat16,
-            param_dtype=jnp.bfloat16, remat=True,
+            param_dtype=jnp.bfloat16, remat=True, quantize=args.int8,
         )
     cfg = MSR3DNetworkConfig(
         prompter=OSE3DConfig(), llm=llm, backbone_name="convnext_test",
@@ -137,7 +143,8 @@ def main() -> None:
                 "accum": A,
                 "prompt_tokens": T_IN,
                 "answer_tokens": T_OUT,
-                "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h",
+                "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
+                + ("-int8base" if args.int8 else ""),
                 "step_ms": round(dt * 1000, 1),
                 "loss": round(float(metrics["loss"]), 3),
                 "init_s": round(init_s, 1),

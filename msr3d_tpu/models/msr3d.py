@@ -382,6 +382,29 @@ class MSR3D:
         prompts = self.build_text_prompt(data_dict)
         input_ids, attn = self._encode_prompts(prompts)
         output_ids, output_mask = self._encode_answers(data_dict["text_output"])
+        # bucket widths to multiples of 32 so direct forward() callers don't
+        # recompile per prompt/answer width (loss is mask-weighted, so the
+        # pad columns are inert): left-pad prompts, right-pad answers
+        pad_to = max(32, -(-input_ids.shape[1] // 32) * 32)
+        if input_ids.shape[1] < pad_to:
+            b = input_ids.shape[0]
+            pad = pad_to - input_ids.shape[1]
+            input_ids = np.concatenate(
+                [np.full((b, pad), self.tokenizer.pad_id, input_ids.dtype), input_ids],
+                axis=1,
+            )
+            attn = np.concatenate([np.zeros((b, pad), attn.dtype), attn], axis=1)
+        out_pad_to = max(32, -(-output_ids.shape[1] // 32) * 32)
+        if output_ids.shape[1] < out_pad_to:
+            b = output_ids.shape[0]
+            pad = out_pad_to - output_ids.shape[1]
+            output_ids = np.concatenate(
+                [output_ids, np.full((b, pad), self.tokenizer.pad_id, output_ids.dtype)],
+                axis=1,
+            )
+            output_mask = np.concatenate(
+                [output_mask, np.zeros((b, pad), output_mask.dtype)], axis=1
+            )
         batch = self._scene_batch(data_dict)
         batch.update(
             input_ids=input_ids, attention_mask=attn,
