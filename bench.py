@@ -109,17 +109,19 @@ def main() -> None:
 
     common = dict(
         quick=args.quick, int8=not args.quick, merged_lora=True,
-        kv_quant=not args.quick, prompt_len=160,
+        kv_quant=not args.quick, compact_transfer=not args.quick,
+        prompt_len=160,
         new_tokens=8 if args.quick else 32, iters=2 if args.quick else 10,
         pipeline_depth=3,
     )
     # record configs (BASELINE.md round 2): int8 KV restores monotone
-    # batch scaling — greedy peaks at b64 (b96 OOMs), beam-5 at b16
+    # batch scaling — greedy peaks at b80 (b96 OOMs), beam-5 at b32;
+    # compact int16/int8 point transfer adds ~6% at b80
     greedy = bench_qa.run(
-        SimpleNamespace(**common, beams=1, batch=2 if args.quick else 64)
+        SimpleNamespace(**common, beams=1, batch=2 if args.quick else 80)
     )
     beam = bench_qa.run(
-        SimpleNamespace(**common, beams=5, batch=2 if args.quick else 16)
+        SimpleNamespace(**common, beams=5, batch=2 if args.quick else 32)
     )
 
     prior = prior_round_qa()

@@ -36,6 +36,11 @@ def parse_args(argv=None):
         help="deployment mode: LoRA merged into the base (rank 0 at inference)",
     )
     parser.add_argument(
+        "--compact-transfer", action="store_true",
+        help="ship obj_fts as int16 xyz + int8 rgb (9 B/pt vs 24): cuts the "
+        "4.7 GB/step (b80) host→device point transfer 2.7x",
+    )
+    parser.add_argument(
         "--pipeline-depth", type=int, default=1,
         help="outstanding requests before fetching (0 = fully serial); "
         "deeper pipelines hide the tunnel dispatch+fetch latency",
@@ -83,6 +88,7 @@ def run(args) -> dict:
     model = MSR3D(
         cfg, tok, scene_token_len=60, max_out_len=args.new_tokens,
         num_beams=args.beams, repetition_penalty=3.0,
+        compact_transfer=getattr(args, "compact_transfer", False),
     )
 
     B, N_OBJ, N_PTS = args.batch, 60, 1024
@@ -164,7 +170,8 @@ def run(args) -> dict:
                 "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
                 + ("-int8" if args.int8 else "")
                 + ("-s8s8" if getattr(args, "act_quant", False) else "")
-                + ("-kv8" if getattr(args, "kv_quant", False) else ""),
+                + ("-kv8" if getattr(args, "kv_quant", False) else "")
+                + ("-cpk" if getattr(args, "compact_transfer", False) else ""),
                 "step_ms": round(dt * 1000, 1),
                 "pipeline_depth": depth,
                 "init_s": round(init_s, 1),

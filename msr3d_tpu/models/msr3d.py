@@ -277,6 +277,7 @@ class MSR3D:
         num_beams: int = 5,
         repetition_penalty: float = 3.0,
         length_penalty: float = 1.0,
+        compact_transfer: bool = False,
         seed: int = 0,
     ):
         self.tokenizer = tokenizer or build_tokenizer()
@@ -295,6 +296,12 @@ class MSR3D:
         self.num_beams = num_beams
         self.repetition_penalty = repetition_penalty
         self.length_penalty = length_penalty
+        # serving knob: ship obj_fts over the host↔device link as
+        # int16 xyz + int8 rgb (9 B/point vs 24 B fp32). Points are
+        # unit-sphere normalized by preprocess_pcd so a fixed 1.0 scale
+        # holds; xyz resolution 3e-5 and rgb 1/127 are both below the
+        # source data's own precision (rgb starts life as 8-bit).
+        self.compact_transfer = compact_transfer
         self._seed = seed
         self.params: Optional[Dict[str, Any]] = None
         self._loss_fn = None
@@ -418,6 +425,31 @@ class MSR3D:
         data_dict["loss"] = out["loss"]
         return data_dict
 
+    def _maybe_pack(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """compact_transfer: obj_fts (…,6) fp32 → int16 xyz + int8 rgb
+        (9 B/point vs 24). Unpacked on device inside the generate jit."""
+        if not self.compact_transfer or "obj_fts" not in batch:
+            return batch
+        fts = batch.pop("obj_fts")
+        batch["obj_fts_xyz_q"] = np.clip(
+            np.round(fts[..., :3] * 32767.0), -32767, 32767
+        ).astype(np.int16)
+        batch["obj_fts_rgb_q"] = np.clip(
+            np.round(fts[..., 3:6] * 127.0), -127, 127
+        ).astype(np.int8)
+        return batch
+
+    @staticmethod
+    def _unpack_batch(batch):
+        """Device-side inverse of _maybe_pack (traced inside the jit)."""
+        if "obj_fts_xyz_q" not in batch:
+            return batch
+        batch = dict(batch)
+        xyz = batch.pop("obj_fts_xyz_q").astype(jnp.float32) * (1.0 / 32767.0)
+        rgb = batch.pop("obj_fts_rgb_q").astype(jnp.float32) * (1.0 / 127.0)
+        batch["obj_fts"] = jnp.concatenate([xyz, rgb], axis=-1)
+        return batch
+
     def _make_generate_fn(self, prompt_len: int, max_new: int, beams: int):
         """Build ONE jitted function running prefill + the full decode loop
         on device (no host round-trips per token)."""
@@ -441,6 +473,7 @@ class MSR3D:
         def generate_fn(variables, batch):
             from msr3d_tpu.models.llm.llama import _make_cache
 
+            batch = MSR3D._unpack_batch(batch)
             if beams > 1:
                 # split cache: prefill only the prompt segment (shared across
                 # beams); the per-beam generated segment starts empty
@@ -510,7 +543,7 @@ class MSR3D:
                 axis=1,
             )
             attn = np.concatenate([np.zeros((b, pad), attn.dtype), attn], axis=1)
-        batch = self._scene_batch(data_dict)
+        batch = self._maybe_pack(self._scene_batch(data_dict))
         max_new = max_new_tokens or self.max_out_len
         prompt_len = input_ids.shape[1] + 1  # + trailing bos
         beams = self.num_beams if use_beam is None else (self.num_beams if use_beam else 1)
@@ -554,7 +587,7 @@ class MSR3D:
                 axis=1,
             )
             attn = np.concatenate([np.zeros((b, pad), attn.dtype), attn], axis=1)
-        batch = self._scene_batch(data_dict)
+        batch = self._maybe_pack(self._scene_batch(data_dict))
         max_new = max_new_tokens or self.max_out_len
         prompt_len = input_ids.shape[1] + 1
         beams = self.num_beams if use_beam is None else (self.num_beams if use_beam else 1)

@@ -36,7 +36,6 @@ length; attention logits are ``q·k + q·Σ_c Tq_c[idx] + k·Σ_c Tk_c[idx]``
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
