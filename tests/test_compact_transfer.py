@@ -3,6 +3,7 @@ quantization resolution and leave greedy generation unchanged on the
 tiny model."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -23,6 +24,8 @@ def test_pack_unpack_roundtrip(rng):
     assert np.abs(rec[..., 3:] - fts[..., 3:]).max() <= 0.5 / 127 + 1e-7
 
 
+@pytest.mark.slow  # two tiny-model generate compiles (~45 s); the cheap
+# roundtrip test above stays in the fast gate
 def test_generate_tokens_unchanged(rng):
     model = tiny_model()
     data = tiny_data_dict(rng)

@@ -198,7 +198,13 @@ class TestWindowAttention:
 
 
 class TestUNetAndEncoder:
-    @pytest.mark.parametrize("stem_transformer", [True, False])
+    # the conv-stem variant (False) covers strictly more modules
+    # (SparseResBlock + pre_down + everything else); the transformer-stem
+    # variant compiles a 50 s graph and runs only in the full suite
+    @pytest.mark.parametrize(
+        "stem_transformer",
+        [pytest.param(True, marks=pytest.mark.slow), False],
+    )
     def test_full_unet_shapes(self, rng, stem_transformer):
         coords, coords_f = _scene(rng, n=150, grid=16)
         plans = build_swin3d_plans(
