@@ -53,6 +53,9 @@ class LlamaConfig:
     remat: bool = False  # rematerialize blocks (trade recompute for HBM in training)
     quantize: bool = False  # int8 weight-only base kernels (inference)
     act_quantize: bool = False  # s8×s8: also quantize activations per-token
+    # fused Pallas decode attention over the int8 split cache (greedy
+    # single-token path; needs kv_quantize) — ops/pallas/flash_decode.py
+    flash_decode: bool = False
     kv_quantize: bool = False  # int8 KV cache (decode): halves KV HBM traffic
     # and footprint; prefill stays bf16 and the caller quantizes the cache
     # once before the decode loop (quantize_kv_cache)
@@ -207,6 +210,16 @@ class LoraDense(nn.Module):
 
 def _make_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
     dtype = dtype or cfg.dtype
+    if cfg.flash_decode and cfg.kv_quantize:
+        # head-major layout for the fused decode kernel ("kT" keys): each
+        # (b, h) grid program reads a contiguous (S, D) int8 tile
+        l, h, d = cfg.num_hidden_layers, cfg.kv_heads, cfg.head_dim
+        return {
+            "kT": jnp.zeros((l, batch, h, max_len, d), jnp.int8),
+            "vT": jnp.zeros((l, batch, h, max_len, d), jnp.int8),
+            "kT_scale": jnp.zeros((l, batch, h, max_len), jnp.bfloat16),
+            "vT_scale": jnp.zeros((l, batch, h, max_len), jnp.bfloat16),
+        }
     shape = (cfg.num_hidden_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
     cache = {
         "k": jnp.zeros(shape, dtype),
@@ -215,6 +228,8 @@ def _make_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
     if cfg.kv_quantize:
         return quantize_kv_cache(cache)
     return cache
+
+
 
 
 def _quantize_kv(arr: jax.Array):
@@ -239,13 +254,18 @@ def quantize_kv_cache(cache: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     return {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
 
 
-def _read_kv(cache: Dict[str, jax.Array], key: str, dtype):
-    """Dequantize (or pass through) one side of a cache dict."""
-    val = cache[key]
+def _split_kv(cache: Dict[str, jax.Array], key: str, dtype):
+    """One cache side as (values, per-(…,h) scale or None) WITHOUT
+    dequantizing. The per-position-per-head scale commutes out of the
+    head-dim contraction exactly — ``q·(kq·ks) == (q·kq)·ks`` and
+    ``Σ_s w·(vq·vs) == Σ_s (w·vs)·vq`` — so attention can apply it to the
+    (tiny) logits/weights instead of materializing a full-width bf16
+    dequant of the multi-GB cache (the round-2 decode roofline gap:
+    50 ms/step measured at b80 vs a ~15 ms HBM floor)."""
     scale = cache.get(f"{key}_scale")
     if scale is None:
-        return val
-    return val.astype(dtype) * scale[..., None].astype(dtype)
+        return cache[key], None
+    return cache[key].astype(dtype), scale.astype(jnp.float32)
 
 
 def _stack_layer_caches(layers):
@@ -259,6 +279,23 @@ def _cache_write(cache, k, v, cache_index):
     """Write new k/v (B, T, h, d) into a (possibly int8) cache at
     ``cache_index`` along the sequence axis."""
     out = dict(cache)
+    if "kT" in cache:
+        # head-major int8 layout (flash decode): write at (b, h, idx, d)
+        kq, ks = _quantize_kv(k)  # k: (B, T, h, D) → kq same, ks (B, T, h)
+        vq, vs = _quantize_kv(v)
+        out["kT"] = jax.lax.dynamic_update_slice(
+            cache["kT"], kq.transpose(0, 2, 1, 3), (0, 0, cache_index, 0)
+        )
+        out["vT"] = jax.lax.dynamic_update_slice(
+            cache["vT"], vq.transpose(0, 2, 1, 3), (0, 0, cache_index, 0)
+        )
+        out["kT_scale"] = jax.lax.dynamic_update_slice(
+            cache["kT_scale"], ks.transpose(0, 2, 1), (0, 0, cache_index)
+        )
+        out["vT_scale"] = jax.lax.dynamic_update_slice(
+            cache["vT_scale"], vs.transpose(0, 2, 1), (0, 0, cache_index)
+        )
+        return out
     if "k_scale" in cache:
         kq, ks = _quantize_kv(k)
         vq, vs = _quantize_kv(v)
@@ -328,11 +365,44 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, positions, cfg.rope_theta)
 
         new_cache = None
+        k_scale = v_scale = None
         if kv_cache is not None:
             # decode: write current k/v at cache_index, attend over full cache
             new_cache = _cache_write(kv_cache, k, v, cache_index)
-            k = _read_kv(new_cache, "k", cfg.dtype)
-            v = _read_kv(new_cache, "v", cfg.dtype)
+
+            # fused Pallas decode attention: int8 K/V converted in VMEM,
+            # HBM traffic = the int8 bytes (ops/pallas/flash_decode.py).
+            # Greedy single-token path only (no GQA repeat, no beam fan);
+            # head-major "kT" caches — see _make_cache/transpose_prompt_kv.
+            n_rep_ = cfg.num_attention_heads // cfg.kv_heads
+            if "kT" in new_cache:
+                assert (
+                    t == 1
+                    and n_rep_ == 1
+                    and shared_prompt_kv is not None
+                    and "kT" in shared_prompt_kv
+                    and b == shared_prompt_kv["kT"].shape[0]
+                ), "head-major caches require the fused greedy decode path"
+                from msr3d_tpu.ops.pallas.flash_decode import (
+                    flash_decode_attention,
+                )
+
+                interp = jax.devices()[0].platform != "tpu"
+                ctx = flash_decode_attention(
+                    q[:, 0],
+                    shared_prompt_kv["kT"], shared_prompt_kv["vT"],
+                    shared_prompt_kv["kT_scale"], shared_prompt_kv["vT_scale"],
+                    new_cache["kT"], new_cache["vT"],
+                    new_cache["kT_scale"], new_cache["vT_scale"],
+                    attn_bias.reshape(b, -1),
+                    interpret=interp,
+                )
+                out = ctx.reshape(b, 1, cfg.num_attention_heads * cfg.head_dim)
+                out = proj("o_proj", cfg.hidden_size)(out, deterministic=deterministic)
+                return out, new_cache
+
+            k, k_scale = _split_kv(new_cache, "k", cfg.dtype)
+            v, v_scale = _split_kv(new_cache, "v", cfg.dtype)
         elif return_kv:
             # prefill capture: this call's rope'd k/v become the prompt
             # segment of the decode cache — attention itself runs plainly
@@ -346,9 +416,13 @@ class LlamaAttention(nn.Module):
             return jnp.repeat(arr, n_rep, axis=2) if n_rep > 1 else arr
 
         k, v = rep(k), rep(v)
+        if k_scale is not None:
+            k_scale, v_scale = rep(k_scale[..., None])[..., 0], rep(v_scale[..., None])[..., 0]
 
         scale = 1.0 / jnp.sqrt(cfg.head_dim).astype(jnp.float32)
         attn = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) * scale
+        if k_scale is not None:  # (B,S,H) → (B,H,1,S), applied to the logits
+            attn = attn * k_scale.transpose(0, 2, 1)[:, :, None, :]
 
         if shared_prompt_kv is not None:
             # split-cache decode: a prompt KV segment shared across beams
@@ -357,27 +431,40 @@ class LlamaAttention(nn.Module):
             # every reorder; sharing keeps it at batch B, read-only. Same
             # math as the fused cache (softmax over the concatenated score
             # vector) — token-exact vs the monolithic path in tests.
-            k_p = rep(_read_kv(shared_prompt_kv, "k", cfg.dtype))  # (B,S_p,H,D)
-            v_p = rep(_read_kv(shared_prompt_kv, "v", cfg.dtype))
+            kq_p, ks_p = _split_kv(shared_prompt_kv, "k", cfg.dtype)
+            vq_p, vs_p = _split_kv(shared_prompt_kv, "v", cfg.dtype)
+            k_p, v_p = rep(kq_p), rep(vq_p)  # (B,S_p,H,D)
+            if ks_p is not None:
+                ks_p = rep(ks_p[..., None])[..., 0]  # (B,S_p,H)
+                vs_p = rep(vs_p[..., None])[..., 0]
             bp = k_p.shape[0]
             k_rep = b // bp
             qr = q.reshape(bp, k_rep * t, cfg.num_attention_heads, cfg.head_dim)
             lp = jnp.einsum("bkhd,bshd->bkhs", qr, k_p).astype(jnp.float32) * scale
+            if ks_p is not None:  # scale-outside dequant (see _split_kv)
+                lp = lp * ks_p.transpose(0, 2, 1)[:, None]  # (B,1,H,S_p)
             lp = lp.reshape(b, t, cfg.num_attention_heads, -1).transpose(0, 2, 1, 3)
             s_p = k_p.shape[1]
             logits = jnp.concatenate([lp, attn], axis=-1) + attn_bias
-            weights = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
+            weights = jax.nn.softmax(logits, axis=-1)
             w_p = weights[..., :s_p].transpose(0, 2, 1, 3).reshape(
                 bp, k_rep * t, cfg.num_attention_heads, s_p
             )
-            out_p = jnp.einsum("bkhs,bshd->bkhd", w_p, v_p).reshape(
-                b, t, cfg.num_attention_heads, cfg.head_dim
-            )
-            out = out_p + jnp.einsum("bhts,bshd->bthd", weights[..., s_p:], v)
+            if vs_p is not None:
+                w_p = w_p * vs_p.transpose(0, 2, 1)[:, None]  # (B,1,H,S_p)
+            w_g = weights[..., s_p:]
+            if v_scale is not None:
+                w_g = w_g * v_scale.transpose(0, 2, 1)[:, :, None, :]
+            out_p = jnp.einsum(
+                "bkhs,bshd->bkhd", w_p.astype(cfg.dtype), v_p
+            ).reshape(b, t, cfg.num_attention_heads, cfg.head_dim)
+            out = out_p + jnp.einsum("bhts,bshd->bthd", w_g.astype(cfg.dtype), v)
         else:
             attn = attn + attn_bias
-            weights = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
-            out = jnp.einsum("bhts,bshd->bthd", weights, v)
+            weights = jax.nn.softmax(attn, axis=-1)
+            if v_scale is not None:
+                weights = weights * v_scale.transpose(0, 2, 1)[:, :, None, :]
+            out = jnp.einsum("bhts,bshd->bthd", weights.astype(cfg.dtype), v)
         out = out.reshape(b, t, cfg.num_attention_heads * cfg.head_dim)
         out = proj("o_proj", cfg.hidden_size)(out, deterministic=deterministic)
         return out, new_cache
@@ -558,7 +645,7 @@ class LlamaModel(nn.Module):
         Returns (logits (B·K, 1, V), new gen_kv)."""
         cfg = self.cfg
         bk = inputs_embeds.shape[0]
-        b = prompt_kv["k"].shape[1]
+        b = next(iter(prompt_kv.values())).shape[1]
         bias_p = jnp.where(
             jnp.repeat(prompt_mask, bk // b, axis=0)[:, None, None, :].astype(bool),
             0.0, -1e30,
@@ -624,11 +711,28 @@ class LlamaModel(nn.Module):
             layer = dict(captured)
             if cfg.kv_quantize:
                 layer = quantize_kv_cache(layer)
+            if cfg.flash_decode and cfg.kv_quantize:
+                # capture head-major ("kT") directly: transposing the full
+                # stacked cache later would double its HBM footprint inside
+                # the generate program (the b80 flash OOM); per-layer the
+                # transient is one layer's worth
+                layer = {
+                    "kT": layer["k"].transpose(0, 2, 1, 3),
+                    "vT": layer["v"].transpose(0, 2, 1, 3),
+                    "kT_scale": layer["k_scale"].transpose(0, 2, 1),
+                    "vT_scale": layer["v_scale"].transpose(0, 2, 1),
+                }
             pad = max_cache_len - t
             layers.append(
                 {
+                    # sequence axis: 2 for head-major keys, else 1
                     key: jnp.pad(
-                        val, [(0, 0), (0, pad)] + [(0, 0)] * (val.ndim - 2)
+                        val,
+                        [
+                            (0, pad) if ax == (2 if key.startswith(("kT", "vT")) else 1)
+                            else (0, 0)
+                            for ax in range(val.ndim)
+                        ],
                     )
                     for key, val in layer.items()
                 }
