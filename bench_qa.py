@@ -103,10 +103,20 @@ def run(args) -> dict:
     def make_data(seed):
         r = np.random.default_rng(seed)
         scene = "景" * 1  # expanded by build_text_prompt
+        # honor --prompt-len: pad the dialogue with filler context (byte
+        # tokenizer: ~1 token/char). The base prompt lands at ~207 tokens;
+        # longer settings probe the long-context decode regime.
+        base_len = 145  # prompt chars before filler + 60 scene tokens
+        filler = ""
+        if args.prompt_len > base_len + 62:
+            filler = (
+                " The room also contains assorted furniture and clutter."
+                * (1 + (args.prompt_len - base_len - 62) // 56)
+            )[: args.prompt_len - base_len - 62]
         return {
             "msr3d_prompt": [
                 f"You are an AI visual assistant situated in a 3D scene. "
-                f"Objects (including you) in the scene: {scene} "
+                f"Objects (including you) in the scene: {scene} {filler}"
                 f"USER: What is behind the chair number {i}? ASSISTANT:"
                 for i in range(B)
             ],
