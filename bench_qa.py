@@ -36,11 +36,6 @@ def parse_args(argv=None):
         help="deployment mode: LoRA merged into the base (rank 0 at inference)",
     )
     parser.add_argument(
-        "--flash-decode", action="store_true",
-        help="fused Pallas decode attention over the int8 split cache "
-        "(requires --kv-quant; greedy path)",
-    )
-    parser.add_argument(
         "--compact-transfer", action="store_true",
         help="ship obj_fts as int16 xyz + int8 rgb (9 B/pt vs 24): cuts the "
         "4.7 GB/step (b80) host→device point transfer 2.7x",
@@ -82,7 +77,6 @@ def run(args) -> dict:
             quantize=args.int8,        # int8 weight-only: ~6.8 GB
             act_quantize=getattr(args, "act_quant", False),
             kv_quantize=getattr(args, "kv_quant", False),
-            flash_decode=getattr(args, "flash_decode", False),
         )
 
     tok = ByteTokenizer()
@@ -187,7 +181,6 @@ def run(args) -> dict:
                 + ("-int8" if args.int8 else "")
                 + ("-s8s8" if getattr(args, "act_quant", False) else "")
                 + ("-kv8" if getattr(args, "kv_quant", False) else "")
-                + ("-fd" if getattr(args, "flash_decode", False) else "")
                 + ("-cpk" if getattr(args, "compact_transfer", False) else ""),
                 "step_ms": round(dt * 1000, 1),
                 "pipeline_depth": depth,

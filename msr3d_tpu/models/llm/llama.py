@@ -53,9 +53,6 @@ class LlamaConfig:
     remat: bool = False  # rematerialize blocks (trade recompute for HBM in training)
     quantize: bool = False  # int8 weight-only base kernels (inference)
     act_quantize: bool = False  # s8×s8: also quantize activations per-token
-    # fused Pallas decode attention over the int8 split cache (greedy
-    # single-token path; needs kv_quantize) — ops/pallas/flash_decode.py
-    flash_decode: bool = False
     kv_quantize: bool = False  # int8 KV cache (decode): halves KV HBM traffic
     # and footprint; prefill stays bf16 and the caller quantizes the cache
     # once before the decode loop (quantize_kv_cache)
@@ -210,16 +207,6 @@ class LoraDense(nn.Module):
 
 def _make_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None):
     dtype = dtype or cfg.dtype
-    if cfg.flash_decode and cfg.kv_quantize:
-        # head-major layout for the fused decode kernel ("kT" keys): each
-        # (b, h) grid program reads a contiguous (S, D) int8 tile
-        l, h, d = cfg.num_hidden_layers, cfg.kv_heads, cfg.head_dim
-        return {
-            "kT": jnp.zeros((l, batch, h, max_len, d), jnp.int8),
-            "vT": jnp.zeros((l, batch, h, max_len, d), jnp.int8),
-            "kT_scale": jnp.zeros((l, batch, h, max_len), jnp.bfloat16),
-            "vT_scale": jnp.zeros((l, batch, h, max_len), jnp.bfloat16),
-        }
     shape = (cfg.num_hidden_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
     cache = {
         "k": jnp.zeros(shape, dtype),
@@ -279,23 +266,6 @@ def _cache_write(cache, k, v, cache_index):
     """Write new k/v (B, T, h, d) into a (possibly int8) cache at
     ``cache_index`` along the sequence axis."""
     out = dict(cache)
-    if "kT" in cache:
-        # head-major int8 layout (flash decode): write at (b, h, idx, d)
-        kq, ks = _quantize_kv(k)  # k: (B, T, h, D) → kq same, ks (B, T, h)
-        vq, vs = _quantize_kv(v)
-        out["kT"] = jax.lax.dynamic_update_slice(
-            cache["kT"], kq.transpose(0, 2, 1, 3), (0, 0, cache_index, 0)
-        )
-        out["vT"] = jax.lax.dynamic_update_slice(
-            cache["vT"], vq.transpose(0, 2, 1, 3), (0, 0, cache_index, 0)
-        )
-        out["kT_scale"] = jax.lax.dynamic_update_slice(
-            cache["kT_scale"], ks.transpose(0, 2, 1), (0, 0, cache_index)
-        )
-        out["vT_scale"] = jax.lax.dynamic_update_slice(
-            cache["vT_scale"], vs.transpose(0, 2, 1), (0, 0, cache_index)
-        )
-        return out
     if "k_scale" in cache:
         kq, ks = _quantize_kv(k)
         vq, vs = _quantize_kv(v)
@@ -369,37 +339,6 @@ class LlamaAttention(nn.Module):
         if kv_cache is not None:
             # decode: write current k/v at cache_index, attend over full cache
             new_cache = _cache_write(kv_cache, k, v, cache_index)
-
-            # fused Pallas decode attention: int8 K/V converted in VMEM,
-            # HBM traffic = the int8 bytes (ops/pallas/flash_decode.py).
-            # Greedy single-token path only (no GQA repeat, no beam fan);
-            # head-major "kT" caches — see _make_cache/transpose_prompt_kv.
-            n_rep_ = cfg.num_attention_heads // cfg.kv_heads
-            if "kT" in new_cache:
-                assert (
-                    t == 1
-                    and n_rep_ == 1
-                    and shared_prompt_kv is not None
-                    and "kT" in shared_prompt_kv
-                    and b == shared_prompt_kv["kT"].shape[0]
-                ), "head-major caches require the fused greedy decode path"
-                from msr3d_tpu.ops.pallas.flash_decode import (
-                    flash_decode_attention,
-                )
-
-                interp = jax.devices()[0].platform != "tpu"
-                ctx = flash_decode_attention(
-                    q[:, 0],
-                    shared_prompt_kv["kT"], shared_prompt_kv["vT"],
-                    shared_prompt_kv["kT_scale"], shared_prompt_kv["vT_scale"],
-                    new_cache["kT"], new_cache["vT"],
-                    new_cache["kT_scale"], new_cache["vT_scale"],
-                    attn_bias.reshape(b, -1),
-                    interpret=interp,
-                )
-                out = ctx.reshape(b, 1, cfg.num_attention_heads * cfg.head_dim)
-                out = proj("o_proj", cfg.hidden_size)(out, deterministic=deterministic)
-                return out, new_cache
 
             k, k_scale = _split_kv(new_cache, "k", cfg.dtype)
             v, v_scale = _split_kv(new_cache, "v", cfg.dtype)
@@ -711,28 +650,11 @@ class LlamaModel(nn.Module):
             layer = dict(captured)
             if cfg.kv_quantize:
                 layer = quantize_kv_cache(layer)
-            if cfg.flash_decode and cfg.kv_quantize:
-                # capture head-major ("kT") directly: transposing the full
-                # stacked cache later would double its HBM footprint inside
-                # the generate program (the b80 flash OOM); per-layer the
-                # transient is one layer's worth
-                layer = {
-                    "kT": layer["k"].transpose(0, 2, 1, 3),
-                    "vT": layer["v"].transpose(0, 2, 1, 3),
-                    "kT_scale": layer["k_scale"].transpose(0, 2, 1),
-                    "vT_scale": layer["v_scale"].transpose(0, 2, 1),
-                }
             pad = max_cache_len - t
             layers.append(
                 {
-                    # sequence axis: 2 for head-major keys, else 1
                     key: jnp.pad(
-                        val,
-                        [
-                            (0, pad) if ax == (2 if key.startswith(("kT", "vT")) else 1)
-                            else (0, 0)
-                            for ax in range(val.ndim)
-                        ],
+                        val, [(0, 0), (0, pad)] + [(0, 0)] * (val.ndim - 2)
                     )
                     for key, val in layer.items()
                 }

@@ -475,10 +475,6 @@ class MSR3D:
 
             batch = MSR3D._unpack_batch(batch)
             if beams > 1:
-                assert not llm_cfg.flash_decode, (
-                    "flash_decode is the greedy single-token path; the beam "
-                    "decode keeps the XLA split-cache formulation"
-                )
                 # split cache: prefill only the prompt segment (shared across
                 # beams); the per-beam generated segment starts empty
                 first, prompt_kv, prompt_mask, next_pos = network.apply(
@@ -510,8 +506,6 @@ class MSR3D:
                 variables, **batch, bos_id=bos_id, max_cache_len=prompt_len,
                 method=network.prefill,
             )
-            # (with flash_decode, prefill captured the prompt cache in the
-            # kernel's head-major layout already — llama.py prefill_with_cache)
             gen_kv = _make_cache(llm_cfg, first.shape[0], max_new)
 
             def decode_shared(token_ids, positions, gkv, gidx, gmask):

@@ -448,11 +448,12 @@ class TestActQuant:
 
 class TestKVQuant:
     def test_quantize_roundtrip_error_bound(self, rng):
-        from msr3d_tpu.models.llm.llama import _quantize_kv, _read_kv
+        from msr3d_tpu.models.llm.llama import _quantize_kv, _split_kv
 
         arr = jnp.asarray(rng.normal(size=(2, 5, 4, 16)).astype(np.float32) * 3)
         q, scale = _quantize_kv(arr)
-        deq = np.asarray(_read_kv({"k": q, "k_scale": scale}, "k", jnp.float32))
+        vals, s = _split_kv({"k": q, "k_scale": scale}, "k", jnp.float32)
+        deq = np.asarray(vals) * np.asarray(s)[..., None]
         amax = np.max(np.abs(np.asarray(arr)), axis=-1, keepdims=True)
         assert np.all(np.abs(deq - np.asarray(arr)) <= amax / 127.0 + 1e-5)
 
