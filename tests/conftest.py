@@ -31,3 +31,31 @@ def cpu_devices():
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def shared_tiny_msr3d():
+    """One tiny MSR3D built+initialized for the whole session (~25 s);
+    consumers restore pristine params per test. The jitted loss/generate
+    caches take params as arguments, so reuse across tests is sound."""
+    from tests.test_msr3d import tiny_data_dict, tiny_model
+
+    srng = np.random.default_rng(7)
+    model = tiny_model()
+    data = tiny_data_dict(srng)
+    prompts = model.build_text_prompt(data)
+    ii, am = model._encode_prompts(prompts)
+    oi, om = model._encode_answers(data["text_output"])
+    batch = model._scene_batch(data)
+    batch.update(input_ids=ii, attention_mask=am, output_ids=oi, output_mask=om)
+    model.init_params(batch)
+    pristine = jax.tree_util.tree_map(lambda x: x, model.params)
+    return model, pristine
+
+
+@pytest.fixture
+def tiny_msr3d(shared_tiny_msr3d):
+    model, pristine = shared_tiny_msr3d
+    model.params = jax.tree_util.tree_map(lambda x: x, pristine)
+    model.compact_transfer = False
+    return model

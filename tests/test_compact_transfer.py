@@ -7,11 +7,11 @@ import pytest
 
 import jax.numpy as jnp
 
-from tests.test_msr3d import tiny_data_dict, tiny_model
+from tests.test_msr3d import tiny_data_dict
 
 
-def test_pack_unpack_roundtrip(rng):
-    model = tiny_model()
+def test_pack_unpack_roundtrip(tiny_msr3d, rng):
+    model = tiny_msr3d
     model.compact_transfer = True
     fts = (rng.uniform(-1, 1, size=(2, 3, 8, 6))).astype(np.float32)
     batch = model._maybe_pack({"obj_fts": fts.copy()})
@@ -26,21 +26,14 @@ def test_pack_unpack_roundtrip(rng):
 
 @pytest.mark.slow  # two tiny-model generate compiles (~45 s); the cheap
 # roundtrip test above stays in the fast gate
-def test_generate_tokens_unchanged(rng):
-    model = tiny_model()
+def test_generate_tokens_unchanged(tiny_msr3d, rng):
+    model = tiny_msr3d
     data = tiny_data_dict(rng)
     # keep inputs exactly representable so the comparison is strict
     fts = data["obj_fts"].clip(-1, 1)
     fts[..., :3] = np.round(fts[..., :3] * 32767) / 32767
     fts[..., 3:] = np.round(fts[..., 3:] * 127) / 127
     data["obj_fts"] = fts.astype(np.float32)
-
-    prompts = model.build_text_prompt(data)
-    ii, am = model._encode_prompts(prompts)
-    oi, om = model._encode_answers(data["text_output"])
-    batch = model._scene_batch(data)
-    batch.update(input_ids=ii, attention_mask=am, output_ids=oi, output_mask=om)
-    model.init_params(batch)
 
     base = model.generate(dict(data), use_beam=False, max_new_tokens=6)
     model.compact_transfer = True

@@ -4,19 +4,13 @@ same compiled loss function, and padding must not change the loss."""
 
 import numpy as np
 
-from tests.test_msr3d import tiny_data_dict, tiny_model
+from tests.test_msr3d import tiny_data_dict
 
 
-def test_forward_buckets_widths(rng):
-    model = tiny_model()
+def test_forward_buckets_widths(tiny_msr3d, rng):
+    model = tiny_msr3d
+    model._loss_fn = None  # fresh jit cache for the cache-size assertion
     data = tiny_data_dict(rng)
-
-    prompts = model.build_text_prompt(data)
-    ii, am = model._encode_prompts(prompts)
-    oi, om = model._encode_answers(data["text_output"])
-    batch = model._scene_batch(data)
-    batch.update(input_ids=ii, attention_mask=am, output_ids=oi, output_mask=om)
-    model.init_params(batch)
 
     # choose suffixes that stay inside one 32-wide bucket (byte tokenizer:
     # 1 ASCII char ≈ 1 token); if the base width sits on a bucket edge,

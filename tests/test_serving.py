@@ -5,21 +5,7 @@ import numpy as np
 import pytest
 
 from msr3d_tpu.serving import BatchingServer, Result
-from tests.test_msr3d import tiny_data_dict, tiny_model
-
-
-@pytest.fixture(scope="module")
-def served_model():
-    rng = np.random.default_rng(0)
-    model = tiny_model()
-    data = tiny_data_dict(rng)
-    prompts = model.build_text_prompt(data)
-    ii, am = model._encode_prompts(prompts)
-    oi, om = model._encode_answers(data["text_output"])
-    batch = model._scene_batch(data)
-    batch.update(input_ids=ii, attention_mask=am, output_ids=oi, output_mask=om)
-    model.init_params(batch)
-    return model
+from tests.test_msr3d import tiny_data_dict
 
 
 def _requests(rng, n):
@@ -42,10 +28,10 @@ def _requests(rng, n):
     return out
 
 
-def test_serving_matches_direct_generate(served_model, rng):
+def test_serving_matches_direct_generate(tiny_msr3d, rng):
     reqs = _requests(rng, 5)  # batch 2 → 2 full batches + 1 partial
     server = BatchingServer(
-        served_model, batch_size=2, pipeline_depth=1,
+        tiny_msr3d, batch_size=2, pipeline_depth=1,
         use_beam=False, max_new_tokens=5,
     )
     results = list(server.run(iter(reqs)))
@@ -53,7 +39,7 @@ def test_serving_matches_direct_generate(served_model, rng):
     assert len(results) == 5
 
     # direct generate on the first full batch must give the same tokens
-    direct = served_model.generate(
+    direct = tiny_msr3d.generate(
         {
             "msr3d_prompt": [reqs[0]["msr3d_prompt"], reqs[1]["msr3d_prompt"]],
             **{
@@ -74,10 +60,10 @@ def test_serving_matches_direct_generate(served_model, rng):
     assert by_id[0].output_text == direct["output_text"][0]
 
 
-def test_submit_flush_incremental(served_model, rng):
+def test_submit_flush_incremental(tiny_msr3d, rng):
     reqs = _requests(rng, 3)
     server = BatchingServer(
-        served_model, batch_size=2, pipeline_depth=2,
+        tiny_msr3d, batch_size=2, pipeline_depth=2,
         use_beam=False, max_new_tokens=5,
     )
     for r in reqs:
