@@ -114,14 +114,14 @@ def main() -> None:
         new_tokens=8 if args.quick else 32, iters=2 if args.quick else 10,
         pipeline_depth=3,
     )
-    # record configs (BASELINE.md round 2): int8 KV restores monotone
-    # batch scaling — greedy peaks at b80 (b96 OOMs), beam-5 at b32;
-    # compact int16/int8 point transfer adds ~6% at b80
+    # record configs (BASELINE.md round 2): int8 KV + scale-outside dequant
+    # restore monotone batch scaling — greedy peaks at b80 (b96 OOMs),
+    # beam-5 at b48; compact int16/int8 point transfer adds ~6% at b80
     greedy = bench_qa.run(
         SimpleNamespace(**common, beams=1, batch=2 if args.quick else 80)
     )
     beam = bench_qa.run(
-        SimpleNamespace(**common, beams=5, batch=2 if args.quick else 32)
+        SimpleNamespace(**common, beams=5, batch=2 if args.quick else 48)
     )
 
     prior = prior_round_qa()
