@@ -60,6 +60,13 @@ class LlamaConfig:
     # requires quantize=True; accuracy-affecting — deployment knob, off by
     # default; round-1 microbench measured ~1.7×/dot, gate on end-to-end)
 
+    def __post_init__(self):
+        if self.act_quantize and not self.quantize:
+            raise ValueError(
+                "act_quantize (s8×s8) requires quantize=True — without the "
+                "int8 base it would silently run the plain bf16 path"
+            )
+
     @property
     def kv_heads(self) -> int:
         return self.num_key_value_heads or self.num_attention_heads
@@ -227,11 +234,16 @@ def _quantize_kv(arr: jax.Array):
     footprint; the dequant (convert × scale) fuses into the attention
     dot's operand load like the int8 weight path."""
     amax = jnp.max(jnp.abs(arr.astype(jnp.float32)), axis=-1)
-    scale = jnp.maximum(amax, 1e-6) / 127.0
+    # round the scale to its bf16 storage precision BEFORE quantizing so
+    # quantization and dequantization use the identical value (otherwise
+    # every reconstructed element carries an extra ~2^-9 gain error on
+    # top of the int8 rounding)
+    scale = (jnp.maximum(amax, 1e-6) / 127.0).astype(jnp.bfloat16)
     q = jnp.clip(
-        jnp.round(arr.astype(jnp.float32) / scale[..., None]), -127, 127
+        jnp.round(arr.astype(jnp.float32) / scale.astype(jnp.float32)[..., None]),
+        -127, 127,
     ).astype(jnp.int8)
-    return q, scale.astype(jnp.bfloat16)
+    return q, scale
 
 
 def quantize_kv_cache(cache: Dict[str, jax.Array]) -> Dict[str, jax.Array]:

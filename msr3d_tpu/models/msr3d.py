@@ -392,26 +392,10 @@ class MSR3D:
         # bucket widths to multiples of 32 so direct forward() callers don't
         # recompile per prompt/answer width (loss is mask-weighted, so the
         # pad columns are inert): left-pad prompts, right-pad answers
-        pad_to = max(32, -(-input_ids.shape[1] // 32) * 32)
-        if input_ids.shape[1] < pad_to:
-            b = input_ids.shape[0]
-            pad = pad_to - input_ids.shape[1]
-            input_ids = np.concatenate(
-                [np.full((b, pad), self.tokenizer.pad_id, input_ids.dtype), input_ids],
-                axis=1,
-            )
-            attn = np.concatenate([np.zeros((b, pad), attn.dtype), attn], axis=1)
-        out_pad_to = max(32, -(-output_ids.shape[1] // 32) * 32)
-        if output_ids.shape[1] < out_pad_to:
-            b = output_ids.shape[0]
-            pad = out_pad_to - output_ids.shape[1]
-            output_ids = np.concatenate(
-                [output_ids, np.full((b, pad), self.tokenizer.pad_id, output_ids.dtype)],
-                axis=1,
-            )
-            output_mask = np.concatenate(
-                [output_mask, np.zeros((b, pad), output_mask.dtype)], axis=1
-            )
+        input_ids, attn = self._pad_to_bucket(input_ids, attn, side="left")
+        output_ids, output_mask = self._pad_to_bucket(
+            output_ids, output_mask, side="right"
+        )
         batch = self._scene_batch(data_dict)
         batch.update(
             input_ids=input_ids, attention_mask=attn,
@@ -424,6 +408,22 @@ class MSR3D:
         out = self._loss_fn(self.params, _to_jax(batch))
         data_dict["loss"] = out["loss"]
         return data_dict
+
+    def _pad_to_bucket(self, ids, mask, *, side: str):
+        """Pad token ids + mask to the next multiple of 32 (one compiled
+        program per width bucket instead of per width). Pads with
+        ``pad_id``/mask 0, which every consumer masks out."""
+        pad_to = max(32, -(-ids.shape[1] // 32) * 32)
+        if ids.shape[1] >= pad_to:
+            return ids, mask
+        b = ids.shape[0]
+        pad_ids = np.full((b, pad_to - ids.shape[1]), self.tokenizer.pad_id, ids.dtype)
+        pad_mask = np.zeros((b, pad_to - ids.shape[1]), mask.dtype)
+        if side == "left":
+            return (np.concatenate([pad_ids, ids], axis=1),
+                    np.concatenate([pad_mask, mask], axis=1))
+        return (np.concatenate([ids, pad_ids], axis=1),
+                np.concatenate([mask, pad_mask], axis=1))
 
     def _maybe_pack(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """compact_transfer: obj_fts (…,6) fp32 → int16 xyz + int8 rgb
@@ -530,38 +530,10 @@ class MSR3D:
         use_beam: Optional[bool] = None,
         max_new_tokens: Optional[int] = None,
     ) -> Dict[str, Any]:
-        assert self.params is not None
-        prompts = self.build_text_prompt(data_dict)
-        input_ids, attn = self._encode_prompts(prompts)
-        # bucket prompt width to limit recompiles across batches
-        pad_to = max(32, -(-input_ids.shape[1] // 32) * 32)
-        if input_ids.shape[1] < pad_to:
-            b = input_ids.shape[0]
-            pad = pad_to - input_ids.shape[1]
-            input_ids = np.concatenate(
-                [np.full((b, pad), self.tokenizer.pad_id, input_ids.dtype), input_ids],
-                axis=1,
-            )
-            attn = np.concatenate([np.zeros((b, pad), attn.dtype), attn], axis=1)
-        batch = self._maybe_pack(self._scene_batch(data_dict))
-        max_new = max_new_tokens or self.max_out_len
-        prompt_len = input_ids.shape[1] + 1  # + trailing bos
-        beams = self.num_beams if use_beam is None else (self.num_beams if use_beam else 1)
-
-        key = (prompt_len, max_new, beams, input_ids.shape[0], tuple(sorted(batch)))
-        if not hasattr(self, "_generate_cache"):
-            self._generate_cache = {}
-        if key not in self._generate_cache:
-            self._generate_cache[key] = self._make_generate_fn(
-                prompt_len, max_new, beams
-            )
-        tokens = self._generate_cache[key](
-            self.params,
-            _to_jax({"input_ids": input_ids, "attention_mask": attn, **batch}),
-        )
-        data_dict["output_tokens"] = np.asarray(tokens)
-        data_dict["output_text"] = self.batch_detokenize(data_dict["output_tokens"])
-        return data_dict
+        """Blocking generate — exactly ``generate_async(...)()``."""
+        return self.generate_async(
+            data_dict, use_beam=use_beam, max_new_tokens=max_new_tokens
+        )()
 
     def generate_async(
         self,
@@ -578,15 +550,8 @@ class MSR3D:
         assert self.params is not None
         prompts = self.build_text_prompt(data_dict)
         input_ids, attn = self._encode_prompts(prompts)
-        pad_to = max(32, -(-input_ids.shape[1] // 32) * 32)
-        if input_ids.shape[1] < pad_to:
-            b = input_ids.shape[0]
-            pad = pad_to - input_ids.shape[1]
-            input_ids = np.concatenate(
-                [np.full((b, pad), self.tokenizer.pad_id, input_ids.dtype), input_ids],
-                axis=1,
-            )
-            attn = np.concatenate([np.zeros((b, pad), attn.dtype), attn], axis=1)
+        # bucket prompt width to limit recompiles across batches
+        input_ids, attn = self._pad_to_bucket(input_ids, attn, side="left")
         batch = self._maybe_pack(self._scene_batch(data_dict))
         max_new = max_new_tokens or self.max_out_len
         prompt_len = input_ids.shape[1] + 1

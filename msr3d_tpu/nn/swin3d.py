@@ -633,8 +633,12 @@ class PCDSwin3DEncoder:
     def init(self, rng, feats: np.ndarray, xyz: np.ndarray):
         sig, plans, _ = self.prepare(feats, xyz)
         # jit so init/apply run as one XLA program instead of eager
-        # per-op dispatch (hundreds of round-trips through a remote chip)
-        return jax.jit(self.unet.init)(
+        # per-op dispatch (hundreds of round-trips through a remote chip);
+        # the wrappers are cached on self so repeated scenes of one shape
+        # reuse the compiled program instead of retracing every call
+        if not hasattr(self, "_init_fn"):
+            self._init_fn = jax.jit(self.unet.init)
+        return self._init_fn(
             rng, jnp.asarray(sig), jax.tree_util.tree_map(jnp.asarray, plans)
         )
 
@@ -642,7 +646,9 @@ class PCDSwin3DEncoder:
         """→ (per-voxel features (M, channels[0]), logits (M, classes),
         keep-indices (M,) into the input points)."""
         sig, plans, keep = self.prepare(feats, xyz)
-        out, logits = jax.jit(self.unet.apply)(
+        if not hasattr(self, "_apply_fn"):
+            self._apply_fn = jax.jit(self.unet.apply)
+        out, logits = self._apply_fn(
             params, jnp.asarray(sig), jax.tree_util.tree_map(jnp.asarray, plans)
         )
         return out, logits, keep

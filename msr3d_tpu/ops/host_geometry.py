@@ -53,10 +53,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not _LIB.exists() or (
-            _SRC.exists() and _SRC.stat().st_mtime > _LIB.stat().st_mtime
-        ):
-            if not _SRC.exists() or not _build():
+        stale = _LIB.exists() and _SRC.exists() and (
+            _SRC.stat().st_mtime > _LIB.stat().st_mtime
+        )
+        if not _LIB.exists() or stale:
+            built = _SRC.exists() and _build()
+            # a stale-but-present committed .so is still loadable when no
+            # compiler is around (fresh clone mtimes are arbitrary); only
+            # give up if there is nothing to load at all
+            if not built and not _LIB.exists():
                 _load_failed = True
                 return None
         try:
@@ -188,6 +193,9 @@ def knn(
     for b in np.unique(qb):
         qm = np.nonzero(qb == b)[0]
         sm = np.nonzero(sb == b)[0]
+        if len(sm) == 0:  # no support in this batch: -1 (native semantics)
+            out[qm] = -1
+            continue
         d = np.linalg.norm(q[qm][:, None, :] - s[sm][None, :, :], axis=-1)
         take = np.argsort(d, axis=1, kind="stable")[:, :k]
         if take.shape[1] < k:

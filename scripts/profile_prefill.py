@@ -76,12 +76,7 @@ def main() -> None:
 
     prompts = model.build_text_prompt(data)
     ii, am = model._encode_prompts(prompts)
-    pad_to = max(32, -(-ii.shape[1] // 32) * 32)
-    if ii.shape[1] < pad_to:
-        pad = pad_to - ii.shape[1]
-        ii = np.concatenate(
-            [np.full((B, pad), tok.pad_id, ii.dtype), ii], axis=1)
-        am = np.concatenate([np.zeros((B, pad), am.dtype), am], axis=1)
+    ii, am = model._pad_to_bucket(ii, am, side="left")
     oi, om = model._encode_answers(["an answer"] * B)
     scene = model._scene_batch(data)
     init_batch = dict(scene, input_ids=ii, attention_mask=am,

@@ -52,15 +52,19 @@ def _make_ext_module():
         idxs = torch.zeros(b, npoint, dtype=torch.int32)
         temp = torch.full((b, n), 1e10)
         mag = (xyz ** 2).sum(-1)  # (B, N)
+        valid = mag > 1e-3
         last = torch.zeros(b, dtype=torch.long)
         for j in range(1, npoint + 1):
             cur = xyz[torch.arange(b), last]  # (B, 3)
             d = ((xyz - cur[:, None]) ** 2).sum(-1)
-            upd = (mag > 1e-3)
-            temp = torch.where(upd, torch.minimum(temp, d), temp)
+            temp = torch.where(valid, torch.minimum(temp, d), temp)
             if j == npoint:
                 break
-            nxt = temp.argmax(dim=1)
+            # padding points never participate in the argmax either — the
+            # kernel's k-loop `continue`s them before the best-reduction
+            # (sampling_gpu.cu:100-101), so they can never be selected
+            cand = torch.where(valid, temp, torch.full_like(temp, -1e30))
+            nxt = cand.argmax(dim=1)
             idxs[:, j] = nxt.int()
             last = nxt
         return idxs
