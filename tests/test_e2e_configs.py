@@ -58,3 +58,18 @@ def test_sqa3d_config_end_to_end(data_tree, tmp_path):
         r for r in records if any(("em" in k.lower() or "acc" in k.lower()) for k in r)
     ]
     assert eval_recs, records[-3:]
+
+
+def test_mix3_config_end_to_end(data_tree, tmp_path):
+    """BASELINE config #5 analog: MSR3DMix over all three scan domains."""
+    records = _run_config("configs/debug_synthetic_mix3.yaml", data_tree, tmp_path)
+    assert any(any("loss" in k for k in r) for r in records)
+    eval_recs = [r for r in records if any("acc" in k.lower() for k in r)]
+    assert eval_recs, records[-3:]
+
+
+def test_leo_pure_txt_config_end_to_end(data_tree, tmp_path):
+    """BASELINE config #1 analog: LEO anchor-as-object, pure-text
+    situations, 3-domain mix."""
+    records = _run_config("configs/debug_synthetic_leo.yaml", data_tree, tmp_path)
+    assert any(any("loss" in k for k in r) for r in records)

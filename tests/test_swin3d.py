@@ -225,6 +225,23 @@ class TestUNetAndEncoder:
         assert out.shape == (n_out, 16) and logits.shape == (n_out, 13)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_registry_adapter_builds(self):
+        """Fast: the registry name resolves and the adapter constructs the
+        encoder (no device compile)."""
+        import msr3d_tpu.nn.build  # noqa: F401
+        from msr3d_tpu.registry import VISION_REGISTRY
+        from msr3d_tpu.config import config_from_dict
+
+        cfg = config_from_dict(
+            dict(name="PCDSwin3DEncoder",
+                 args=dict(depths=[1, 1], channels=[12, 16], num_heads=[2, 2],
+                           window_sizes=[3, 3], num_layers=2, quant_size=2,
+                           stem_transformer=True))
+        )
+        enc = VISION_REGISTRY.get("PCDSwin3DEncoder")(cfg)
+        assert isinstance(enc, PCDSwin3DEncoder)
+
+    @pytest.mark.slow  # full encoder compile (~20 s)
     def test_encoder_wrapper_and_registry(self, rng):
         import msr3d_tpu.nn.build  # noqa: F401 (populates the registry)
         from msr3d_tpu.registry import VISION_REGISTRY
