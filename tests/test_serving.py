@@ -73,3 +73,25 @@ def test_submit_flush_incremental(tiny_msr3d, rng):
     assert all(isinstance(r, Result) and isinstance(r.output_text, str) for r in results)
     # flush is idempotent once drained
     assert server.flush() == []
+
+
+@pytest.mark.slow  # beam compile on the tiny model
+def test_serving_beam_path(tiny_msr3d, rng):
+    reqs = _requests(rng, 2)
+    server = BatchingServer(
+        tiny_msr3d, batch_size=2, pipeline_depth=1,
+        use_beam=True, max_new_tokens=4,
+    )
+    results = list(server.run(iter(reqs)))
+    assert len(results) == 2
+    assert all(isinstance(r.output_text, str) for r in results)
+
+
+def test_serving_batch_size_one(tiny_msr3d, rng):
+    reqs = _requests(rng, 2)
+    server = BatchingServer(
+        tiny_msr3d, batch_size=1, pipeline_depth=0,
+        use_beam=False, max_new_tokens=4,
+    )
+    results = list(server.run(iter(reqs)))
+    assert [r.id for r in results] == [0, 1]
