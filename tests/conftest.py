@@ -58,4 +58,9 @@ def tiny_msr3d(shared_tiny_msr3d):
     model, pristine = shared_tiny_msr3d
     model.params = jax.tree_util.tree_map(lambda x: x, pristine)
     model.compact_transfer = False
+    if getattr(model, "_serving_mesh", None) is not None:
+        # a prior test sharded the model: drop mesh state and the
+        # sharded-layout compiled fns
+        model._serving_mesh = None
+        model._generate_cache = {}
     return model
