@@ -425,20 +425,33 @@ class MSR3D:
         return (np.concatenate([ids, pad_ids], axis=1),
                 np.concatenate([mask, pad_mask], axis=1))
 
-    def shard_for_serving(self, mesh, dp_axis: str = "dp") -> None:
-        """Serve data-parallel over a device mesh (the v5e-8 deployment
-        path): params are replicated across the mesh, and every
-        ``generate``/``generate_async`` batch is sharded over ``dp_axis``
-        along its leading axis, so the compiled generate runs SPMD with
-        XLA-inserted collectives. Batch size must be divisible by the dp
-        axis size. Token outputs are identical to single-device (tested
-        on the virtual CPU mesh)."""
+    def shard_for_serving(
+        self, mesh, dp_axis: str = "dp", *, tensor_parallel: bool = False
+    ) -> None:
+        """Serve over a device mesh (the v5e-8 deployment path).
+
+        Every ``generate``/``generate_async`` batch is sharded over
+        ``dp_axis`` along its leading axis, so the compiled generate runs
+        SPMD with XLA-inserted collectives. Batch size must be divisible
+        by the dp axis size.
+
+        ``tensor_parallel=True`` additionally spreads the LLM weights
+        megatron-style over the mesh's model axis
+        (`parallel/sharding.py` layouts — q/k/v/gate/up column-, o/down
+        row-sharded) for models too big per chip; otherwise params are
+        replicated. Token outputs are identical to single-device (tested
+        on the virtual CPU mesh for both modes)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         assert self.params is not None, "init or load params first"
         self._serving_mesh = mesh
         self._serving_dp_axis = dp_axis
-        self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+        if tensor_parallel:
+            from msr3d_tpu.parallel.sharding import shard_variables
+
+            self.params = shard_variables(mesh, self.params)
+        else:
+            self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
         # compiled programs trace on input shardings — drop any
         # single-device-compiled generate fns
         self._generate_cache = {}

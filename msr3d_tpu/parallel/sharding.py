@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from msr3d_tpu.parallel.mesh import MODEL_AXIS
@@ -69,12 +70,35 @@ def network_param_specs(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def _divisible(leaf, spec: P, mesh: Mesh) -> bool:
+    """True iff every sharded dim of ``leaf`` divides by its axis size."""
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        size = mesh.shape[axis] if isinstance(axis, str) else int(
+            np.prod([mesh.shape[a] for a in axis])
+        )
+        if leaf.shape[dim] % size != 0:
+            return False
+    return True
+
+
 def shard_variables(mesh: Mesh, variables: Any) -> Any:
-    """device_put a variables pytree with the tp sharding rules applied."""
+    """device_put a variables pytree with the tp sharding rules applied.
+
+    Dims that do not divide by their mesh axis (e.g. an unpadded
+    tokenizer vocab against tp=4) fall back to replication for that leaf —
+    the production alternative is padding the table, but a silent
+    correct fallback beats a crash for the odd leaf out.
+    """
     specs = network_param_specs(variables)
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), variables, specs
-    )
+
+    def put(x, s):
+        if s != P() and not _divisible(x, s, mesh):
+            s = P()
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree_util.tree_map(put, variables, specs)
 
 
 def state_shardings(mesh: Mesh, state: Any) -> Any:

@@ -33,3 +33,25 @@ def test_sharded_generate_matches_single_device(tiny_msr3d, rng, cpu_devices):
     # params actually live on the mesh
     leaf = jax.tree_util.tree_leaves(model.params)[0]
     assert set(leaf.sharding.mesh.axis_names) == {"dp"}
+
+
+@pytest.mark.slow
+def test_tensor_parallel_generate_matches_single_device(tiny_msr3d, rng, cpu_devices):
+    """dp=2 × tp=4: megatron-sharded LLM weights, batch over dp — same
+    tokens as single-device."""
+    from msr3d_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    model = tiny_msr3d
+    data = tiny_data_dict(rng, b=2)
+    data.pop("text_output", None)
+
+    base = model.generate(dict(data), use_beam=False, max_new_tokens=5)
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=4), devices=cpu_devices)
+    model.shard_for_serving(mesh, tensor_parallel=True)
+    sharded = model.generate(dict(data), use_beam=False, max_new_tokens=5)
+
+    np.testing.assert_array_equal(base["output_tokens"], sharded["output_tokens"])
+    # an LLM kernel must actually be tp-distributed
+    qk = model.params["params"]["llm"]["layer_0"]["attn"]["q_proj"]["kernel"]
+    assert not qk.sharding.is_fully_replicated
