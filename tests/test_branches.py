@@ -15,7 +15,14 @@ from tests.test_ose3d_situation import TINY, make_batch
 
 
 class TestSpatialEncoderVariants:
-    @pytest.mark.parametrize("obj_loc_encoding", ["same_0", "same_all", "diff_all"])
+    # flagship default (same_all, configs/msr3d.yaml) stays in the fast
+    # gate; the other variants each compile a fresh encoder (~20 s) and
+    # run in the complete suite
+    @pytest.mark.parametrize(
+        "obj_loc_encoding",
+        [pytest.param("same_0", marks=pytest.mark.slow), "same_all",
+         pytest.param("diff_all", marks=pytest.mark.slow)],
+    )
     def test_loc_encodings(self, rng, obj_loc_encoding):
         cfg = dataclasses.replace(
             TINY,
@@ -33,7 +40,13 @@ class TestSpatialEncoderVariants:
         out = model.apply(variables, **batch)
         assert np.isfinite(np.asarray(out["obj_tokens"])).all()
 
-    @pytest.mark.parametrize("spatial_dim", [1, 4, 5])
+    # 5 is the flagship default (spatial_dim, configs/msr3d.yaml); 1/4
+    # variants compile separately and run in the complete suite
+    @pytest.mark.parametrize(
+        "spatial_dim",
+        [pytest.param(1, marks=pytest.mark.slow),
+         pytest.param(4, marks=pytest.mark.slow), 5],
+    )
     def test_spatial_dims(self, rng, spatial_dim):
         cfg = dataclasses.replace(
             TINY,
