@@ -14,6 +14,8 @@ All functions are pure host code operating on NumPy arrays — they build
 from __future__ import annotations
 
 import ctypes
+import hashlib
+import logging
 import subprocess
 import threading
 from pathlib import Path
@@ -24,6 +26,12 @@ import numpy as np
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 _SRC = _REPO_ROOT / "native" / "geometry.cc"
 _LIB = _REPO_ROOT / "native" / "libmsr3d_geometry.so"
+# hash of the source the committed/last-built .so was compiled from; a
+# mismatch means the binary is stale relative to geometry.cc and must not
+# be loaded (it would silently diverge from the NumPy fallback semantics)
+_LIB_HASH = _REPO_ROOT / "native" / "libmsr3d_geometry.src.sha256"
+
+_logger = logging.getLogger("msr3d_tpu.host_geometry")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -34,6 +42,10 @@ _i64p = ctypes.POINTER(ctypes.c_int64)
 _f32p = ctypes.POINTER(ctypes.c_float)
 
 
+def _src_hash() -> str:
+    return hashlib.sha256(_SRC.read_bytes()).hexdigest()
+
+
 def _build() -> bool:
     try:
         subprocess.run(
@@ -41,8 +53,9 @@ def _build() -> bool:
              "-o", str(_LIB), str(_SRC)],
             check=True, capture_output=True, timeout=180,
         )
+        _LIB_HASH.write_text(_src_hash() + "\n")
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
         return False
 
 
@@ -53,15 +66,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        stale = _LIB.exists() and _SRC.exists() and (
-            _SRC.stat().st_mtime > _LIB.stat().st_mtime
+        # staleness is decided by source HASH, not mtime: the recorded
+        # hash travels with the .so, so a fresh clone (arbitrary mtimes)
+        # loads the committed binary iff it matches geometry.cc exactly
+        fresh = (
+            _LIB.exists()
+            and _SRC.exists()
+            and _LIB_HASH.exists()
+            and _LIB_HASH.read_text().strip() == _src_hash()
         )
-        if not _LIB.exists() or stale:
+        if not fresh:
             built = _SRC.exists() and _build()
-            # a stale-but-present committed .so is still loadable when no
-            # compiler is around (fresh clone mtimes are arbitrary); only
-            # give up if there is nothing to load at all
-            if not built and not _LIB.exists():
+            if not built:
+                if _LIB.exists():
+                    _logger.warning(
+                        "native geometry .so is stale or unverified vs "
+                        "geometry.cc and no compiler is available — using "
+                        "the NumPy fallbacks (slower, same semantics)"
+                    )
                 _load_failed = True
                 return None
         try:
@@ -115,6 +137,9 @@ def group_rows(keys: np.ndarray) -> Tuple[np.ndarray, int]:
     _, first_idx, inverse = np.unique(
         keys, axis=0, return_index=True, return_inverse=True
     )
+    # NumPy 2.0.x returns a non-flat inverse for axis= unique; flatten so
+    # remap[inverse] stays (n,) on every NumPy version
+    inverse = np.asarray(inverse).reshape(-1)
     # np.unique sorts; remap so ids follow first occurrence order
     order = np.argsort(first_idx, kind="stable")
     remap = np.empty_like(order)

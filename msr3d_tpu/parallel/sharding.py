@@ -88,17 +88,33 @@ def shard_variables(mesh: Mesh, variables: Any) -> Any:
 
     Dims that do not divide by their mesh axis (e.g. an unpadded
     tokenizer vocab against tp=4) fall back to replication for that leaf —
-    the production alternative is padding the table, but a silent
-    correct fallback beats a crash for the odd leaf out.
+    the production alternative is padding the table, but a crash helps
+    nobody for the odd leaf out. Every fallback is reported once (a
+    silently-replicated tp layout loses the memory benefit and can OOM
+    where the user expected sharding).
     """
     specs = network_param_specs(variables)
+    fallbacks: list = []
 
-    def put(x, s):
+    def put_with_path(path, x, s):
         if s != P() and not _divisible(x, s, mesh):
+            fallbacks.append(
+                f"{jax.tree_util.keystr(path)} shape={tuple(x.shape)} spec={s}"
+            )
             s = P()
         return jax.device_put(x, NamedSharding(mesh, s))
 
-    return jax.tree_util.tree_map(put, variables, specs)
+    out = jax.tree_util.tree_map_with_path(put_with_path, variables, specs)
+    if fallbacks:
+        import logging
+
+        logging.getLogger("msr3d_tpu.sharding").warning(
+            "shard_variables: %d leaves fell back to full replication "
+            "(dim not divisible by mesh axis): %s",
+            len(fallbacks),
+            "; ".join(fallbacks[:8]) + ("; ..." if len(fallbacks) > 8 else ""),
+        )
+    return out
 
 
 def state_shardings(mesh: Mesh, state: Any) -> Any:

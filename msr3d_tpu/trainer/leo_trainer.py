@@ -124,8 +124,11 @@ class LeoTrainer:
         assert len(train_loaders) <= 1, "one train task expected (msr3d_train)"
         self.train_loader = next(iter(train_loaders.values()), None)
 
+        # ceil: the epoch-tail group (< accum_steps batches) is processed
+        # too (weight-0 padding in the step), so it counts as a step and
+        # the LR schedule sees the true step count
         steps_per_epoch = (
-            max(1, len(self.train_loader) // self.accum_steps)
+            max(1, -(-len(self.train_loader) // self.accum_steps))
             if self.train_loader is not None
             else 1
         )
@@ -282,13 +285,23 @@ class LeoTrainer:
         losses = []
         group: List[Dict[str, Any]] = []
         skip = self.tracker.loader_step if epoch == self.tracker.epoch else 0
-        for i, data_dict in enumerate(self.train_loader):
-            if i < skip:
-                continue
-            group.append(data_dict)
-            if len(group) < self.accum_steps:
-                continue
-            batch = self._shard(self._device_batch(group))
+
+        def flush(consumed_through: int) -> None:
+            """Run one optimizer step over the accumulated group. A tail
+            group (< accum_steps, only at epoch end) pads itself with
+            weight-0 duplicates so every batch contributes exactly once —
+            the reference's ``accelerator.accumulate`` processes the tail
+            too (reference trainer/leo_trainer.py:211)."""
+            nonlocal group
+            real = len(group)
+            padded = group + [group[-1]] * (self.accum_steps - real)
+            batch = self._device_batch(padded)
+            if real < self.accum_steps:
+                batch["__mb_weights__"] = np.asarray(
+                    [1.0] * real + [0.0] * (self.accum_steps - real),
+                    np.float32,
+                )
+            batch = self._shard(batch)
             group = []
             self._rng, step_rng = jax.random.split(self._rng)
             self.timer.tic()
@@ -300,7 +313,7 @@ class LeoTrainer:
             dt = self.timer.toc()
             losses.append(loss)
             step = int(metrics["step"])
-            self.tracker.loader_step = i + 1
+            self.tracker.loader_step = consumed_through
             if self.profile_steps and step == 2:
                 # trace a few steady-state steps into exp_dir/profile
                 jax.profiler.start_trace(str(self.exp_dir / "profile"))
@@ -320,6 +333,16 @@ class LeoTrainer:
                     },
                     step=step,
                 )
+
+        i = -1
+        for i, data_dict in enumerate(self.train_loader):
+            if i < skip:
+                continue
+            group.append(data_dict)
+            if len(group) == self.accum_steps:
+                flush(i + 1)
+        if group:
+            flush(i + 1)
         return {"loss": float(np.mean(losses)) if losses else float("nan")}
 
     def eval_task(self, task: str, split: str) -> Dict[str, Any]:

@@ -84,6 +84,14 @@ def make_train_step(
     The batch's leading axis layout is ``(accum, micro_batch, ...)`` when
     accum_steps > 1, else ``(batch, ...)``.
 
+    A reserved batch key ``"__mb_weights__"`` ((accum,) float32) weights
+    each microbatch's contribution: grads/loss become weighted means over
+    microbatches with weight>0. The epoch-tail group (fewer real batches
+    than accum_steps) pads itself with weight-0 duplicates so no data is
+    dropped — matching the reference's ``accelerator.accumulate``
+    tail handling (reference trainer/leo_trainer.py:211) without a
+    second compile at a different scan length.
+
     With ``trainable_mask`` (bool pytree over params), gradients are taken
     ONLY w.r.t. the trainable subtree — the optimizer must then be built
     WITHOUT its own mask (its state spans just the trainable leaves; this
@@ -93,6 +101,10 @@ def make_train_step(
     """
 
     def step_fn(state: TrainState, batch, rng):
+        mb_weights = None
+        if isinstance(batch, dict) and "__mb_weights__" in batch:
+            batch = dict(batch)
+            mb_weights = batch.pop("__mb_weights__")
         params = state.params["params"]
         other_vars = {k: v for k, v in state.params.items() if k != "params"}
         if trainable_mask is not None:
@@ -113,17 +125,27 @@ def make_train_step(
         grad_fn = jax.value_and_grad(loss_for)
 
         if accum_steps > 1:
+            weights = (
+                jnp.ones((accum_steps,), jnp.float32)
+                if mb_weights is None
+                else mb_weights.astype(jnp.float32)
+            )
+
             def micro(carry, inp):
                 grads_acc, loss_acc = carry
-                micro_batch, micro_rng = inp
+                micro_batch, micro_rng, w = inp
                 loss, grads = grad_fn(train_params, micro_batch, micro_rng)
-                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-                return (grads_acc, loss_acc + loss), None
+                grads_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + w * g, grads_acc, grads
+                )
+                return (grads_acc, loss_acc + w * loss), None
 
             rngs = jax.random.split(rng, accum_steps)
             init = (tree_zeros_like(train_params), jnp.zeros((), jnp.float32))
-            (grads, loss_sum), _ = jax.lax.scan(micro, init, (batch, rngs))
-            scale = 1.0 / accum_steps
+            (grads, loss_sum), _ = jax.lax.scan(
+                micro, init, (batch, rngs, weights)
+            )
+            scale = 1.0 / jnp.maximum(jnp.sum(weights), 1.0)
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
             loss = loss_sum * scale
         else:

@@ -96,6 +96,54 @@ class TestTrainStep:
             atol=1e-6,
         )
 
+    def test_weighted_tail_matches_smaller_accum(self, rng):
+        """A tail group padded with weight-0 microbatches must produce the
+        exact update of a run with accum = the real microbatch count
+        (VERDICT #7: the reference's accelerator.accumulate processes the
+        epoch tail; ours must too, without recompiling)."""
+        from msr3d_tpu.trainer.train_state import TrainState, make_train_step
+
+        w0 = jnp.asarray(rng.normal(size=(4, 1)).astype(np.float32))
+        variables = {"params": {"w": w0}}
+        x = rng.normal(size=(8, 4)).astype(np.float32)
+        y = rng.normal(size=(8, 1)).astype(np.float32)
+
+        def apply_fn(vars_, batch, rng_):
+            pred = batch["x"] @ vars_["params"]["w"]
+            return jnp.mean((pred - batch["y"]) ** 2)
+
+        cfg = _solver_cfg(accum=2)
+        opt, _ = build_optim(cfg, total_steps=10)
+
+        # padded: 2 real microbatches + 1 zero-weight duplicate at accum=3
+        step3 = make_train_step(apply_fn, opt, accum_steps=3, donate=False)
+        state_a = TrainState.create(variables, opt)
+        xa = jnp.asarray(np.stack([x[:4], x[4:], x[4:]]).reshape(3, 4, 4))
+        ya = jnp.asarray(np.stack([y[:4], y[4:], y[4:]]).reshape(3, 4, 1))
+        batch_a = {
+            "x": xa, "y": ya,
+            "__mb_weights__": jnp.asarray([1.0, 1.0, 0.0]),
+        }
+        new_a, metrics_a = step3(state_a, batch_a, jax.random.key(0))
+
+        # reference: plain accum=2 over the two real microbatches
+        step2 = make_train_step(apply_fn, opt, accum_steps=2, donate=False)
+        state_b = TrainState.create(variables, opt)
+        batch_b = {
+            "x": jnp.asarray(x).reshape(2, 4, 4),
+            "y": jnp.asarray(y).reshape(2, 4, 1),
+        }
+        new_b, metrics_b = step2(state_b, batch_b, jax.random.key(0))
+
+        np.testing.assert_allclose(
+            float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_a.params["params"]["w"]),
+            np.asarray(new_b.params["params"]["w"]),
+            atol=1e-7,
+        )
+
     def test_masked_optimizer_freezes_leaves(self, rng):
         from msr3d_tpu.trainer.train_state import TrainState, make_train_step
 
@@ -200,6 +248,35 @@ class TestLeoTrainer:
         assert trainer.ckpt.has_weights("latest")
         # metrics logged
         assert (tmp_path / "exp" / "metrics.jsonl").exists()
+
+    def test_epoch_tail_batches_consumed(self, tmp_path):
+        """5 batches at accum=2 → 3 optimizer steps (ceil), with the tail
+        batch contributing a real update — nothing silently dropped."""
+        from msr3d_tpu.trainer.leo_trainer import LeoTrainer
+        from tests.test_msr3d import tiny_model
+
+        cfg = config_from_dict(
+            {
+                "exp_dir": str(tmp_path / "exp_tail"),
+                "mode": "train",
+                "rng_seed": 0,
+                "solver": {
+                    "gradient_accumulation_steps": 2,
+                    "grad_norm": 5.0,
+                    "epochs": 1,
+                    "eval_interval": 10,
+                    "optim": {"name": "AdamW", "args": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 0.0}},
+                    "sched": {"name": "warmup_cosine_instructblip", "args": {"warmup_steps": 2}},
+                },
+            }
+        )
+        loaders = {"msr3d_train": {"train": SyntheticLoader(5)}}
+        trainer = LeoTrainer(cfg, loaders=loaders, evaluators={}, model=tiny_model())
+        assert trainer.steps_per_epoch == 3  # ceil(5/2), LR schedule agrees
+        stats = trainer.train_one_epoch(0)
+        assert int(trainer.state.step) == 3
+        assert trainer.tracker.loader_step == 5
+        assert np.isfinite(stats["loss"])
 
     def test_resume_restores_state(self, trainer, tmp_path):
         trainer.run()
