@@ -52,6 +52,13 @@ class LlamaConfig:
     # (bf16 halves HBM for 7B-scale single-chip runs; LoRA stays fp32)
     remat: bool = False  # rematerialize blocks (trade recompute for HBM in training)
     quantize: bool = False  # int8 weight-only base kernels (inference)
+    # sequence parallelism: name of the mesh axis to shard the sequence
+    # over in the training/teacher-forcing forward — attention runs as an
+    # exact ring schedule (parallel/ring_attention.py) and every other op
+    # is position-independent, so GSPMD shards it over the same axis from
+    # the input sharding alone. Requires an active `with mesh:` context.
+    sp_axis: Optional[str] = None
+    sp_data_axis: Optional[str] = None  # batch axis for composing dp × sp
     act_quantize: bool = False  # s8×s8: also quantize activations per-token
     kv_quantize: bool = False  # int8 KV cache (decode): halves KV HBM traffic
     # and footprint; prefill stays bf16 and the caller quantizes the cache
@@ -311,10 +318,12 @@ class LlamaAttention(nn.Module):
         self,
         x: jax.Array,  # (B, T, H)
         positions: jax.Array,  # (B, T)
-        attn_bias: jax.Array,  # (B, 1, T, S) additive mask (0 or -inf-ish)
+        attn_bias: Optional[jax.Array],  # (B, 1, T, S) additive mask; None
+        # only on the sequence-parallel path (key_valid carries the mask)
         kv_cache: Optional[Dict[str, jax.Array]] = None,  # {"k","v"}: (B,S,hkv,D)
         cache_index: Optional[jax.Array] = None,  # scalar write offset
         shared_prompt_kv: Optional[Dict[str, jax.Array]] = None,  # (B,S_p,hkv,D)
+        key_valid: Optional[jax.Array] = None,  # (B, T) for the sp ring path
         *,
         return_kv: bool = False,  # prefill: also return this call's raw k/v
         deterministic: bool = True,
@@ -369,6 +378,30 @@ class LlamaAttention(nn.Module):
         k, v = rep(k), rep(v)
         if k_scale is not None:
             k_scale, v_scale = rep(k_scale[..., None])[..., 0], rep(v_scale[..., None])[..., 0]
+
+        if (
+            cfg.sp_axis is not None
+            and kv_cache is None
+            and shared_prompt_kv is None
+        ):
+            # sequence-parallel training forward: exact ring attention over
+            # the sp mesh axis (sequence dim sharded; the dense T×T bias is
+            # never materialized — key_valid carries the padding mask)
+            from msr3d_tpu.parallel.mesh import ambient_mesh
+            from msr3d_tpu.parallel.ring_attention import ring_attention
+
+            assert not return_kv, "sp_axis supports the training forward only"
+            if key_valid is None:
+                key_valid = jnp.ones((b, t), bool)
+            out = ring_attention(
+                ambient_mesh(), q, k, v,
+                axis=cfg.sp_axis, causal=True,
+                key_valid=key_valid.astype(bool),
+                batch_axis=cfg.sp_data_axis,
+            )
+            out = out.reshape(b, t, cfg.num_attention_heads * cfg.head_dim)
+            out = proj("o_proj", cfg.hidden_size)(out, deterministic=deterministic)
+            return out, None
 
         scale = 1.0 / jnp.sqrt(cfg.head_dim).astype(jnp.float32)
         attn = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) * scale
@@ -455,14 +488,14 @@ class LlamaBlock(nn.Module):
     @nn.compact
     def __call__(
         self, x, positions, attn_bias, kv_cache=None, cache_index=None,
-        shared_prompt_kv=None, *, return_kv: bool = False,
+        shared_prompt_kv=None, key_valid=None, *, return_kv: bool = False,
         deterministic: bool = True,
     ):
         cfg = self.cfg
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="input_norm")(x)
         h, new_cache = LlamaAttention(cfg, name="attn")(
             h, positions, attn_bias, kv_cache, cache_index, shared_prompt_kv,
-            return_kv=return_kv, deterministic=deterministic,
+            key_valid, return_kv=return_kv, deterministic=deterministic,
         )
         x = x + h
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="post_attn_norm")(x)
@@ -548,7 +581,13 @@ class LlamaModel(nn.Module):
             # HF semantics with left padding: position = cumsum of mask - 1
             positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
 
-        if kv_caches is None:
+        key_valid = None
+        if kv_caches is None and cfg.sp_axis is not None:
+            # sequence-parallel forward: the T×T bias never materializes —
+            # ring attention applies causality + padding from key_valid
+            attn_bias = None
+            key_valid = attention_mask.astype(bool)
+        elif kv_caches is None:
             # prefill: causal mask ∧ key-padding mask
             causal = jnp.tril(jnp.ones((t, t), dtype=bool))
             mask = causal[None, None, :, :] & attention_mask[:, None, None, :].astype(bool)
@@ -571,7 +610,7 @@ class LlamaModel(nn.Module):
             )
             x, updated = block(
                 x, positions, attn_bias, layer_cache, cache_index,
-                deterministic=deterministic,
+                key_valid=key_valid, deterministic=deterministic,
             )
             if updated is not None:
                 updated_layers.append(updated)

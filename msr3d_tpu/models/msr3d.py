@@ -89,6 +89,31 @@ def splice_embeddings(
     return embeds, attention_mask
 
 
+def build_targets(
+    input_ids: jax.Array, output_ids: jax.Array, output_mask: jax.Array
+) -> jax.Array:
+    """CE targets: -100 everywhere except answer tokens; the first output
+    position (bos) is conditioning, not predicted (msr3d.py:385-392)."""
+    prompt_targets = jnp.full(input_ids.shape, -100, jnp.int32)
+    answer_targets = jnp.where(output_mask.astype(bool), output_ids, -100)
+    answer_targets = answer_targets.at[:, 0].set(-100)
+    return jnp.concatenate([prompt_targets, answer_targets], axis=1)
+
+
+def sequence_ce_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Per-sequence mean CE over target positions ≥ 0 (msr3d.py:426-441).
+    ``logits`` fp32 (B, T, V); returns (B,)."""
+    shift_logits = logits[:, :-1]
+    shift_targets = targets[:, 1:]
+    valid = shift_targets >= 0
+    safe_targets = jnp.where(valid, shift_targets, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    token_nll = jnp.where(valid, token_nll, 0.0)
+    num_tokens = jnp.maximum(jnp.sum(valid, axis=1), 1)
+    return jnp.sum(token_nll, axis=1) / num_tokens
+
+
 class MSR3DNetwork(nn.Module):
     cfg: MSR3DNetworkConfig
 
@@ -144,6 +169,37 @@ class MSR3DNetwork(nn.Module):
 
     # -- training loss ---------------------------------------------------
 
+    def embeds_for_loss(
+        self,
+        input_ids: jax.Array,
+        attention_mask: jax.Array,
+        output_ids: jax.Array,  # (B, T_out) right-padded, bos ... eos
+        output_mask: jax.Array,  # (B, T_out)
+        obj_fts: jax.Array,
+        obj_masks: jax.Array,
+        obj_locs: jax.Array,
+        anchor_locs: jax.Array,
+        anchor_orientation: jax.Array,
+        images: Optional[jax.Array] = None,
+        image_masks: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ):
+        """Everything before the LLM blocks: spliced prompt+answer embeds,
+        joint attention mask, CE targets. Split out so the pipeline-
+        parallel trainer (parallel/llm_pp.py) reuses the exact same
+        prompt/target semantics around its own block execution."""
+        embeds, attn = self.build_embeds(
+            input_ids, attention_mask, obj_fts, obj_masks, obj_locs,
+            anchor_locs, anchor_orientation, images, image_masks,
+            deterministic=deterministic,
+        )
+        out_embeds = self.llm.embed_tokens(output_ids)
+        full_embeds = jnp.concatenate([embeds, out_embeds], axis=1)
+        full_attn = jnp.concatenate([attn, output_mask], axis=1)
+        targets = build_targets(input_ids, output_ids, output_mask)
+        return full_embeds, full_attn, targets
+
     def __call__(
         self,
         input_ids: jax.Array,
@@ -160,35 +216,14 @@ class MSR3DNetwork(nn.Module):
         *,
         deterministic: bool = True,
     ) -> Dict[str, jax.Array]:
-        embeds, attn = self.build_embeds(
-            input_ids, attention_mask, obj_fts, obj_masks, obj_locs,
-            anchor_locs, anchor_orientation, images, image_masks,
-            deterministic=deterministic,
+        full_embeds, full_attn, targets = self.embeds_for_loss(
+            input_ids, attention_mask, output_ids, output_mask, obj_fts,
+            obj_masks, obj_locs, anchor_locs, anchor_orientation, images,
+            image_masks, deterministic=deterministic,
         )
-        out_embeds = self.llm.embed_tokens(output_ids)
-        full_embeds = jnp.concatenate([embeds, out_embeds], axis=1)
-        full_attn = jnp.concatenate([attn, output_mask], axis=1)
-
-        # targets: -100 everywhere except answer tokens; the first output
-        # position (bos) is conditioning, not predicted (msr3d.py:385-392)
-        t_out = output_ids.shape[1]
-        prompt_targets = jnp.full(input_ids.shape, -100, jnp.int32)
-        answer_targets = jnp.where(output_mask.astype(bool), output_ids, -100)
-        answer_targets = answer_targets.at[:, 0].set(-100)
-        targets = jnp.concatenate([prompt_targets, answer_targets], axis=1)
-
         logits, _, _ = self.llm(full_embeds, full_attn, deterministic=deterministic)
         logits = logits.astype(jnp.float32)
-
-        shift_logits = logits[:, :-1]
-        shift_targets = targets[:, 1:]
-        valid = shift_targets >= 0
-        safe_targets = jnp.where(valid, shift_targets, 0)
-        logp = jax.nn.log_softmax(shift_logits, axis=-1)
-        token_nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
-        token_nll = jnp.where(valid, token_nll, 0.0)
-        num_tokens = jnp.maximum(jnp.sum(valid, axis=1), 1)
-        seq_loss = jnp.sum(token_nll, axis=1) / num_tokens  # (B,) per-sequence
+        seq_loss = sequence_ce_loss(logits, targets)
         return {"loss": seq_loss, "logits": logits}
 
     # -- generation ------------------------------------------------------

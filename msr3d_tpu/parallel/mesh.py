@@ -7,7 +7,8 @@ collectives over ICI. Axes:
 
   - ``dp``: data parallel (batch dimension)            — DDP analog
   - ``tp``: tensor parallel (LLM hidden/heads)         — spare axis for 7B+
-  - ``pp``: reserved for pipeline stages (size 1 today)
+  - ``pp``: pipeline stages (GPipe over the LLM blocks, parallel/llm_pp.py)
+  - ``sp``: sequence parallel (ring attention inside LlamaAttention)
 
 The mesh is global per-process; models receive ``PartitionSpec`` trees via
 ``shard_params`` rules rather than hand-written collectives: XLA lowers
@@ -27,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "dp"
 MODEL_AXIS = "tp"
 PIPELINE_AXIS = "pp"
+SEQUENCE_AXIS = "sp"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,19 +36,20 @@ class MeshConfig:
     dp: int = -1  # -1: infer (all remaining devices)
     tp: int = 1
     pp: int = 1
+    sp: int = 1
 
-    def resolve(self, n_devices: int) -> Tuple[int, int, int]:
-        tp, pp = self.tp, self.pp
+    def resolve(self, n_devices: int) -> Tuple[int, int, int, int]:
+        tp, pp, sp = self.tp, self.pp, self.sp
         dp = self.dp
         if dp == -1:
-            assert n_devices % (tp * pp) == 0, (
-                f"{n_devices} devices not divisible by tp*pp={tp * pp}"
+            assert n_devices % (tp * pp * sp) == 0, (
+                f"{n_devices} devices not divisible by tp*pp*sp={tp * pp * sp}"
             )
-            dp = n_devices // (tp * pp)
-        assert dp * tp * pp == n_devices, (
-            f"mesh {dp}x{tp}x{pp} != {n_devices} devices"
+            dp = n_devices // (tp * pp * sp)
+        assert dp * tp * pp * sp == n_devices, (
+            f"mesh {dp}x{tp}x{pp}x{sp} != {n_devices} devices"
         )
-        return dp, tp, pp
+        return dp, tp, pp, sp
 
 
 def make_mesh(
@@ -55,9 +58,30 @@ def make_mesh(
 ) -> Mesh:
     devices = list(devices) if devices is not None else jax.devices()
     cfg = mesh_config or MeshConfig()
-    dp, tp, pp = cfg.resolve(len(devices))
-    dev_array = np.array(devices).reshape(dp, tp, pp)
-    return Mesh(dev_array, axis_names=(DATA_AXIS, MODEL_AXIS, PIPELINE_AXIS))
+    dp, tp, pp, sp = cfg.resolve(len(devices))
+    dev_array = np.array(devices).reshape(dp, tp, pp, sp)
+    return Mesh(
+        dev_array,
+        axis_names=(DATA_AXIS, MODEL_AXIS, PIPELINE_AXIS, SEQUENCE_AXIS),
+    )
+
+
+def ambient_mesh() -> Mesh:
+    """The mesh from the active ``with mesh:`` context.
+
+    Lets modules deep inside a jitted forward (e.g. ring attention in
+    ``LlamaAttention``) reach the mesh without threading it through every
+    config: callers wrap apply/jit in ``with mesh:`` (the trainer and
+    dryrun already do)."""
+    from jax._src.mesh import thread_resources
+
+    mesh = thread_resources.env.physical_mesh
+    if mesh.empty:
+        raise RuntimeError(
+            "no active mesh context — wrap the model call in `with mesh:` "
+            "(required when LlamaConfig.sp_axis is set)"
+        )
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
