@@ -31,7 +31,25 @@ def _register_optional_datasets() -> None:
 
 
 class DataLoader:
-    """Minimal host dataloader: sampler + collate (+ thread prefetch)."""
+    """Minimal host dataloader: sampler + collate (+ thread prefetch).
+
+    Multi-host: ``num_shards``/``shard_id`` give each process a disjoint
+    strided slice of the (globally-identical, seed-deterministic) sample
+    order — torch DistributedSampler semantics (the reference's
+    production multi-node data path via ``accelerator.prepare``,
+    reference trainer/leo_trainer.py:128-139):
+
+      - train (``drop_last=True``): the global order is truncated to a
+        multiple of ``num_shards`` (tail samples dropped), so every
+        shard yields the same number of samples and the collective train
+        step never deadlocks on unequal batch counts.
+      - eval: the global order is wrap-padded to a multiple, so shards
+        stay equal-length; ``padded_tail`` reports how many trailing
+        samples of THIS shard are wrap-around duplicates — the eval loop
+        drops them before metric gathering, matching the reference's
+        ``gather_for_metrics`` remainder truncation
+        (reference common/misc.py:150-184).
+    """
 
     def __init__(
         self,
@@ -43,6 +61,8 @@ class DataLoader:
         seed: int = 42,
         prefetch: int = 2,
         num_workers: int = 0,
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -52,9 +72,30 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        assert 0 <= shard_id < num_shards, (shard_id, num_shards)
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+
+    def _shard_samples(self) -> int:
+        """Samples this shard yields per epoch (equal across shards)."""
+        n = len(self.dataset)
+        if self.num_shards <= 1:
+            return n
+        if self.drop_last:
+            return n // self.num_shards
+        return -(-n // self.num_shards)
+
+    @property
+    def padded_tail(self) -> int:
+        """How many of this shard's trailing samples are wrap-around
+        duplicates (eval padding) — 0 or 1 with strided assignment."""
+        n = len(self.dataset)
+        if self.num_shards <= 1 or self.drop_last or n % self.num_shards == 0:
+            return 0
+        return 1 if self.shard_id >= n % self.num_shards else 0
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_samples()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -66,8 +107,17 @@ class DataLoader:
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
+            # same seed on every process → identical global permutation;
+            # the shard slice below is what differs per process
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
+        if self.num_shards > 1:
+            k = self.num_shards
+            if self.drop_last:
+                idx = idx[: (n // k) * k]
+            elif n % k:
+                idx = np.concatenate([idx, idx[: k - n % k]])
+            idx = idx[self.shard_id :: k]
         return idx.tolist()
 
     def _batches(self) -> Iterator[List[int]]:
@@ -141,6 +191,8 @@ class GrainDataLoader:
         ds = grain.MapDataset.source(self.dataset)
         if self.shuffle:
             ds = ds.shuffle(seed=self.seed + self.epoch)
+        if getattr(self, "num_shards", 1) > 1:
+            ds = ds[self.shard_id :: self.num_shards]
         it = ds.to_iter_dataset(
             grain.ReadOptions(num_threads=max(self.num_workers, 1), prefetch_buffer_size=4)
         )
@@ -173,6 +225,13 @@ def build_dataloader_leo(
         if dataloader_args.get("backend", "") == "grain"
         else DataLoader
     )
+    # multi-host: every process loads only its own shard (the reference's
+    # DistributedSampler-through-accelerate path, launch_utils.py:45-60)
+    import jax
+
+    kw = {}
+    if jax.process_count() > 1 and loader_cls is DataLoader:
+        kw = dict(num_shards=jax.process_count(), shard_id=jax.process_index())
     return loader_cls(
         wrapper,
         batch_size=dataloader_args.get("batchsize", 4),
@@ -181,6 +240,7 @@ def build_dataloader_leo(
         collate_fn=collate,
         seed=int(cfg.get("rng_seed", 42)),
         num_workers=dataloader_args.get("num_workers", 0),
+        **kw,
     )
 
 

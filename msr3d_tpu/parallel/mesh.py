@@ -129,6 +129,34 @@ def initialize_distributed_from_env() -> bool:
     return True
 
 
+def globalize_replicated(mesh: Mesh, tree):
+    """Host-local pytree → globally-replicated jax arrays over ``mesh``.
+
+    Multi-process jit requires every input to be a global array; model
+    params initialized per-process (identical values by shared seed) are
+    assembled into replicated global arrays here. PRNG key arrays are
+    handled via their raw key data. No-op copy under one process."""
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        if isinstance(x, jax.Array) and jnp_is_key(x):
+            data = jax.random.key_data(x)
+            g = jax.make_array_from_process_local_data(rep, np.asarray(data))
+            return jax.random.wrap_key_data(g, impl=jax.random.key_impl(x))
+        return jax.make_array_from_process_local_data(rep, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def jnp_is_key(x) -> bool:
+    import jax.dtypes
+
+    dt = getattr(x, "dtype", None)
+    return dt is not None and jax.dtypes.issubdtype(dt, jax.dtypes.prng_key)
+
+
 def process_allgather_objects(objs: list) -> list:
     """Multi-host gather of non-tensor python objects.
 

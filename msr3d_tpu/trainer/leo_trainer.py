@@ -189,6 +189,17 @@ class LeoTrainer:
         self.timer = StepTimer()
         self._rng = jax.random.key(int(cfg.get("rng_seed", 42)))
 
+        if jax.process_count() > 1 and self.state is not None:
+            # multi-process jit needs global arrays: params were
+            # initialized per-process (identical by seed) — assemble them
+            # into replicated global arrays over the mesh, rng included
+            from msr3d_tpu.parallel.mesh import globalize_replicated
+
+            self.state = globalize_replicated(self.mesh, self.state)
+            self.model.params = self.state.params
+            # NOTE: self._rng stays host-local (identical on every host by
+            # seed); each per-step key is globalized right before the step
+
         if cfg.get("resume", False) and self.state is not None:
             self._try_resume()
 
@@ -227,8 +238,21 @@ class LeoTrainer:
             encoded.append((dd, ii, am, oi, om))
             max_in = max(max_in, ii.shape[1])
             max_out = max(max_out, oi.shape[1])
-        pad_in = _round_up(max_in, 32)
-        pad_out = _round_up(max_out, 32)
+        if jax.process_count() > 1 or self.cfg.get("fixed_text_buckets", False):
+            # multi-host: widths must agree ACROSS hosts (the global array
+            # is assembled from per-host shards), so bucket to fixed
+            # config-derived widths instead of the host-local max (also a
+            # single-host knob: one compiled train step for the whole run)
+            pad_in = _round_up(self.model.prompt_pad_to, 32)
+            pad_out = _round_up(self.model.max_out_len, 32)
+            assert max_in <= pad_in, (
+                f"prompt length {max_in} exceeds prompt_pad_to="
+                f"{self.model.prompt_pad_to} (required fixed bucket for "
+                "multi-host training)"
+            )
+        else:
+            pad_in = _round_up(max_in, 32)
+            pad_out = _round_up(max_out, 32)
 
         stacked: List[Dict[str, np.ndarray]] = []
         for dd, ii, am, oi, om in encoded:
@@ -260,21 +284,52 @@ class LeoTrainer:
 
     def _shard(self, batch: Dict[str, np.ndarray]):
         """dp-shard the batch dimension over the mesh (axis 1 when the
-        leading axis is the grad-accum stack). Non-divisible shapes fall
-        back to replication (safe; XLA just computes redundantly)."""
+        leading axis is the grad-accum stack).
+
+        Single-process: plain ``device_put`` with a NamedSharding;
+        non-divisible shapes fall back to replication (safe; XLA computes
+        redundantly). Multi-process: each host holds only ITS loader
+        shard's rows, so the global array is assembled with
+        ``jax.make_array_from_process_local_data`` — the batch dim each
+        host contributes is 1/process_count of the global batch (the
+        reference's per-rank DDP feeding, launch_utils.py:45-60).
+        Leaves without a batch dim (e.g. ``__mb_weights__``) must be
+        identical across hosts — guaranteed by the equal-length shard
+        samplers — and are laid out replicated."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from msr3d_tpu.parallel.mesh import DATA_AXIS
 
         dp = self.mesh.shape[DATA_AXIS]
+        nproc = jax.process_count()
 
-        def put(x):
+        def spec_for(x):
             batch_axis = 1 if self.accum_steps > 1 else 0
-            if x.ndim > batch_axis and x.shape[batch_axis] % dp == 0:
+            global_rows = (
+                x.shape[batch_axis] * nproc if x.ndim > batch_axis else 0
+            )
+            if x.ndim > batch_axis and global_rows % dp == 0:
                 spec = [None] * (batch_axis + 1)
                 spec[batch_axis] = DATA_AXIS
-                return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
-            return jax.device_put(x, NamedSharding(self.mesh, P()))
+                return P(*spec)
+            return P()
+
+        if nproc == 1:
+            def put(x):
+                return jax.device_put(x, NamedSharding(self.mesh, spec_for(x)))
+        else:
+            def put(x):
+                spec = spec_for(x)
+                batch_axis = 1 if self.accum_steps > 1 else 0
+                if spec == P() and getattr(x, "ndim", 0) > batch_axis:
+                    raise ValueError(
+                        f"multi-host batch leaf shape {x.shape}: global batch "
+                        f"{x.shape[batch_axis]}×{nproc} hosts does not divide "
+                        f"the dp axis ({dp}) — adjust per-host batch size"
+                    )
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(self.mesh, spec), np.asarray(x)
+                )
 
         return {k: put(v) for k, v in batch.items()}
 
@@ -304,6 +359,10 @@ class LeoTrainer:
             batch = self._shard(batch)
             group = []
             self._rng, step_rng = jax.random.split(self._rng)
+            if jax.process_count() > 1:
+                from msr3d_tpu.parallel.mesh import globalize_replicated
+
+                step_rng = globalize_replicated(self.mesh, step_rng)
             self.timer.tic()
             self.state, metrics = self._train_step(self.state, batch, step_rng)
             # the step donates the old state; repoint the model at the new
@@ -345,6 +404,21 @@ class LeoTrainer:
             flush(i + 1)
         return {"loss": float(np.mean(losses)) if losses else float("nan")}
 
+    @staticmethod
+    def _trim_record(record: Dict[str, Any], batch: int, keep: int):
+        """Drop the trailing ``batch - keep`` samples of a record — the
+        eval sampler's wrap-around duplicates (reference remainder
+        truncation, common/misc.py:150-184)."""
+        out = {}
+        for k, v in record.items():
+            if isinstance(v, (list, tuple)) and len(v) == batch:
+                out[k] = list(v)[:keep]
+            elif isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == batch:
+                out[k] = v[:keep]
+            else:
+                out[k] = v
+        return out
+
     def eval_task(self, task: str, split: str) -> Dict[str, Any]:
         loader = self.loaders[task][split]
         evaluator = self.evaluators.get(task)
@@ -352,6 +426,8 @@ class LeoTrainer:
             evaluator.reset()
         generation = self.inference_mode == "generation"
         answer_cands = None if generation else _find_answer_cands(loader)
+        n_batches = len(loader) if hasattr(loader, "__len__") else None
+        padded_tail = getattr(loader, "padded_tail", 0)
         for i, data_dict in enumerate(loader):
             if self.num_batch_eval and i >= self.num_batch_eval:
                 break
@@ -378,6 +454,12 @@ class LeoTrainer:
                 ):
                     if k in data_dict:
                         record[k] = data_dict[k]
+                if padded_tail and n_batches is not None and i == n_batches - 1:
+                    # final batch: drop this shard's wrap-around duplicates
+                    # before the cross-host gather so every real sample is
+                    # scored exactly once
+                    b = len(record.get("output_text", record.get("answers_id", [])))
+                    record = self._trim_record(record, b, b - padded_tail)
                 for g in process_allgather_objects([record]):
                     evaluator.update(g)
         if evaluator is not None:
