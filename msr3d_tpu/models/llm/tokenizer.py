@@ -130,6 +130,81 @@ class HFTokenizer(BaseTokenizer):
         return self.tk.decode(ids, skip_special_tokens=skip_special_tokens)
 
 
+class SPTokenizer(BaseTokenizer):
+    """SentencePiece backend: loads a stock ``tokenizer.model`` (the file
+    real Vicuna checkpoints ship) via the pure-Python loader in
+    ``sentencepiece.py`` — no sentencepiece wheel, no pre-built fast-
+    tokenizer dir needed (reference msr3d.py:64-73 path).
+
+    Special-token handling mirrors HF's slow LlamaTokenizer as the
+    reference configures it: '[PAD]' is appended as a new id
+    (vocab_size), and the 图/物/景 placeholders — present in the Llama
+    vocab as single-character pieces — split the text; each fragment is
+    SP-encoded independently (HF legacy=True fragment semantics, which
+    is what Vicuna/MSR3D trained with)."""
+
+    def __init__(self, model_path: str):
+        from msr3d_tpu.models.llm.sentencepiece import SentencePieceModel
+
+        self.sp = SentencePieceModel.load(model_path)
+        self.bos_id = self.sp.bos_id
+        self.eos_id = self.sp.eos_id
+        self.unk_id = self.sp.unk_id
+        # '[PAD]' appended as a fresh id, reference msr3d.py:59-62
+        self.pad_id = len(self.sp.pieces)
+        self.vocab_size = len(self.sp.pieces) + 1
+        self._specials = {}
+        for name, ch in (
+            ("img_token_id", IMAGE_PLACEHOLDER),
+            ("obj_token_id", OBJECT_PLACEHOLDER),
+            ("scene_token_id", SCENE_PLACEHOLDER),
+        ):
+            pid = self.sp.piece_to_id.get(ch)
+            if pid is None:
+                raise ValueError(
+                    f"placeholder {ch!r} not in the sentencepiece vocab — "
+                    "not a Llama/Vicuna-family tokenizer.model"
+                )
+            setattr(self, name, pid)
+            self._specials[ch] = pid
+
+    def _encode_one(self, text: str) -> List[int]:
+        ids: List[int] = []
+        frag = []
+        for ch in text:
+            if ch in self._specials:
+                if frag:
+                    ids.extend(self.sp.encode("".join(frag)))
+                    frag = []
+                ids.append(self._specials[ch])
+            else:
+                frag.append(ch)
+        if frag:
+            ids.extend(self.sp.encode("".join(frag)))
+        return ids
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        ids = [int(i) for i in ids]
+        out: List[str] = []
+        run: List[int] = []
+        for i in ids:
+            if i == self.pad_id:
+                continue
+            if i in self._specials.values():
+                if run:
+                    out.append(self.sp.decode_ids(run, skip_special_tokens))
+                    run = []
+                if not skip_special_tokens:
+                    out.append(self.sp.pieces[i])
+                else:
+                    out.append(self.sp.pieces[i])  # placeholders are text
+            else:
+                run.append(i)
+        if run:
+            out.append(self.sp.decode_ids(run, skip_special_tokens))
+        return "".join(out)
+
+
 class ByteTokenizer(BaseTokenizer):
     """Byte-level tokenizer with the same special-token layout.
 
@@ -185,8 +260,23 @@ class ByteTokenizer(BaseTokenizer):
 
 
 def build_tokenizer(cfg_path: str = "", truncation_side: str = "right") -> BaseTokenizer:
-    """HF tokenizer when a checkpoint path is configured, byte fallback
-    otherwise (debug/test configs leave cfg_path empty)."""
-    if cfg_path:
-        return HFTokenizer(cfg_path, truncation_side=truncation_side)
-    return ByteTokenizer()
+    """Tokenizer from a checkpoint path, byte fallback otherwise
+    (debug/test configs leave cfg_path empty).
+
+    Path resolution (real-Vicuna readiness, VERDICT round-2 #3a):
+      - a dir with ``tokenizer.json`` (or any HF fast layout) → HFTokenizer
+      - a dir with only ``tokenizer.model``, or a direct ``.model`` file
+        → pure-Python SentencePiece backend (stock Vicuna checkpoints)
+    """
+    if not cfg_path:
+        return ByteTokenizer()
+    import os
+
+    p = str(cfg_path)
+    if p.endswith(".model"):
+        return SPTokenizer(p)
+    if os.path.isdir(p) and not os.path.exists(os.path.join(p, "tokenizer.json")):
+        sp_file = os.path.join(p, "tokenizer.model")
+        if os.path.exists(sp_file):
+            return SPTokenizer(sp_file)
+    return HFTokenizer(cfg_path, truncation_side=truncation_side)
