@@ -420,6 +420,17 @@ class LeoTrainer:
         return out
 
     def eval_task(self, task: str, split: str) -> Dict[str, Any]:
+        """Eval one task×split.
+
+        Generation mode runs the decode through the SERVING pipeline:
+        ``generate_async`` dispatches up to ``eval_pipeline_depth``
+        (default 3) loader batches ahead of the one being finalized, so
+        the next batch's host work (prompt build, tokenize, H2D) and the
+        previous batch's result fetch overlap device compute — the
+        depth-3 request-pipelining pattern worth ~1.9×/2.2 s-per-step on
+        the v5e serving bench (BASELINE.md). Token outputs are identical
+        to the blocking loop (same batches, same compiled fn — tested).
+        """
         loader = self.loaders[task][split]
         evaluator = self.evaluators.get(task)
         if evaluator is not None:
@@ -428,12 +439,44 @@ class LeoTrainer:
         answer_cands = None if generation else _find_answer_cands(loader)
         n_batches = len(loader) if hasattr(loader, "__len__") else None
         padded_tail = getattr(loader, "padded_tail", 0)
+        depth = max(0, int(self.cfg.get("eval_pipeline_depth", 3)))
+
+        def emit(i: int, data_dict: Dict[str, Any], record: Dict[str, Any]):
+            if evaluator is None:
+                return
+            for k in (
+                "answer_list", "answer_label", "text_output", "data_idx",
+                "sqa_type", "source", "scan_id", "index", "type", "prompt",
+                "prompt_after_obj", "obj_labels", "obj_masks",
+            ):
+                if k in data_dict:
+                    record[k] = data_dict[k]
+            if padded_tail and n_batches is not None and i == n_batches - 1:
+                # final batch: drop this shard's wrap-around duplicates
+                # before the cross-host gather so every real sample is
+                # scored exactly once
+                b = len(record.get("output_text", record.get("answers_id", [])))
+                record = self._trim_record(record, b, b - padded_tail)
+            for g in process_allgather_objects([record]):
+                evaluator.update(g)
+
+        from collections import deque
+
+        pending: deque = deque()  # (batch index, data_dict, finalize)
+
+        def finalize_oldest():
+            i, dd, fin = pending.popleft()
+            out = fin()
+            emit(i, dd, {"output_text": out["output_text"]})
+
         for i, data_dict in enumerate(loader):
             if self.num_batch_eval and i >= self.num_batch_eval:
                 break
             if generation:
-                out = self.model.generate(dict(data_dict))
-                record = {"output_text": out["output_text"]}
+                fin = self.model.generate_async(dict(data_dict))
+                pending.append((i, data_dict, fin))
+                while len(pending) > depth:
+                    finalize_oldest()
             else:
                 # retrieval scoring over the answer vocabulary
                 # (trainer/build.py:127-143 → msr3d.py predict_answers)
@@ -442,26 +485,12 @@ class LeoTrainer:
                     "answer_cands (e.g. ScanNetSQA3D)"
                 )
                 out = self.model.predict_answers(dict(data_dict), answer_cands)
-                record = {
+                emit(i, data_dict, {
                     "answer_scores": out["answer_scores"],
                     "answers_id": out["answers_id"],
-                }
-            if evaluator is not None:
-                for k in (
-                    "answer_list", "answer_label", "text_output", "data_idx",
-                    "sqa_type", "source", "scan_id", "index", "type", "prompt",
-                    "prompt_after_obj", "obj_labels", "obj_masks",
-                ):
-                    if k in data_dict:
-                        record[k] = data_dict[k]
-                if padded_tail and n_batches is not None and i == n_batches - 1:
-                    # final batch: drop this shard's wrap-around duplicates
-                    # before the cross-host gather so every real sample is
-                    # scored exactly once
-                    b = len(record.get("output_text", record.get("answers_id", [])))
-                    record = self._trim_record(record, b, b - padded_tail)
-                for g in process_allgather_objects([record]):
-                    evaluator.update(g)
+                })
+        while pending:
+            finalize_oldest()
         if evaluator is not None:
             is_best, results = evaluator.record(split)
             return results
