@@ -31,6 +31,17 @@ def main() -> None:
     parser.add_argument("--prompt-len", type=int, default=192)
     parser.add_argument("--answer-len", type=int, default=32)
     parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument(
+        "--scan-layers", action="store_true",
+        help="run the LLM blocks via ONE scanned body (stacked params, "
+        "parallel/llm_pp.py) instead of 32 inlined block copies",
+    )
+    parser.add_argument(
+        "--remat-policy", choices=["full", "dots"], default="full",
+        help="rematerialization policy under --scan-layers: full = "
+        "nothing saved (min memory), dots = matmul outputs saved "
+        "(less recompute, more memory)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -114,9 +125,37 @@ def main() -> None:
     optimizer, _ = build_optim(opt_cfg, total_steps=10000)
     state = TrainState.create(variables, optimizer, trainable_mask=trainable)
 
-    def apply_fn(vars_, batch, rng_):
-        out = network.apply(vars_, **batch, deterministic=False, rngs={"dropout": rng_})
-        return out["loss"].mean()
+    if args.scan_layers:
+        from msr3d_tpu.models.msr3d import sequence_ce_loss
+        from msr3d_tpu.parallel.llm_pp import (
+            llm_logits_from_blocks,
+            stack_llm_blocks,
+        )
+
+        variables = jax.jit(stack_llm_blocks)(variables)
+        trainable = jax.tree_util.tree_map_with_path(
+            lambda p, _: ("lora" in jax.tree_util.keystr(p))
+            or ("llm_proj" in jax.tree_util.keystr(p))
+            or ("visual_prompter" in jax.tree_util.keystr(p)
+                and "obj_encoder" not in jax.tree_util.keystr(p)),
+            variables["params"],
+        )
+        state = TrainState.create(variables, optimizer, trainable_mask=trainable)
+
+        def apply_fn(vars_, batch, rng_):
+            embeds, attn, targets = network.apply(
+                vars_, **batch, method=network.embeds_for_loss,
+                deterministic=False, rngs={"dropout": rng_},
+            )
+            logits = llm_logits_from_blocks(
+                llm, vars_["params"]["llm"], embeds, attn,
+                remat=llm.remat, remat_policy=args.remat_policy,
+            )
+            return sequence_ce_loss(logits.astype(jnp.float32), targets).mean()
+    else:
+        def apply_fn(vars_, batch, rng_):
+            out = network.apply(vars_, **batch, deterministic=False, rngs={"dropout": rng_})
+            return out["loss"].mean()
 
     step = make_train_step(apply_fn, optimizer, accum_steps=A, trainable_mask=trainable)
 
@@ -144,7 +183,8 @@ def main() -> None:
                 "prompt_tokens": T_IN,
                 "answer_tokens": T_OUT,
                 "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
-                + ("-int8base" if args.int8 else ""),
+                + ("-int8base" if args.int8 else "")
+                + (f"-scan/{args.remat_policy}" if args.scan_layers else ""),
                 "step_ms": round(dt * 1000, 1),
                 "loss": round(float(metrics["loss"]), 3),
                 "init_s": round(init_s, 1),

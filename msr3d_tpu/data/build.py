@@ -9,11 +9,27 @@ configs too, configs/msr3d.yaml:162-169)."""
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
 from typing import Dict, Iterator, List
 
 import numpy as np
+
+# worker-process globals (fork start method: the dataset is inherited by
+# reference, never pickled — the torch DataLoader worker model)
+_WORKER_DATASET = None
+_WORKER_COLLATE = None
+
+
+def _worker_init(dataset, collate_fn):
+    global _WORKER_DATASET, _WORKER_COLLATE
+    _WORKER_DATASET = dataset
+    _WORKER_COLLATE = collate_fn
+
+
+def _worker_load(chunk: List[int]):
+    return _WORKER_COLLATE([_WORKER_DATASET[i] for i in chunk])
 
 from msr3d_tpu.registry import DATASET_REGISTRY, DATASETWRAPPER_REGISTRY
 
@@ -71,6 +87,7 @@ class DataLoader:
         self.collate_fn = collate_fn or (lambda x: x)
         self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self.epoch = 0
         assert 0 <= shard_id < num_shards, (shard_id, num_shards)
         self.num_shards = num_shards
@@ -129,6 +146,9 @@ class DataLoader:
             yield chunk
 
     def __iter__(self):
+        if self.num_workers > 0:
+            yield from self._iter_workers()
+            return
         if self.prefetch <= 0:
             for chunk in self._batches():
                 yield self.collate_fn([self.dataset[i] for i in chunk])
@@ -158,6 +178,26 @@ class DataLoader:
                 raise item
             yield item
         t.join()
+
+
+    def _iter_workers(self):
+        """Multiprocess batch loading — the reference's torch DataLoader
+        ``num_workers`` model (SURVEY §3.1 worker-process boundary).
+
+        Fork-started worker processes inherit the dataset by reference
+        (no per-item pickling of the dataset itself); each worker loads +
+        collates whole batches; ``imap`` preserves batch order and keeps
+        ``num_workers`` batches in flight. Raw-scan preprocessing
+        (ScanDataLoader → preprocess_pcd) is where this pays — the C++
+        host-geometry path is 1.72 ms/scene single-core (BASELINE.md),
+        and a b80 serving box feeding 60×1024-pt scenes wants cores."""
+        ctx = multiprocessing.get_context("fork")
+        with ctx.Pool(
+            self.num_workers,
+            initializer=_worker_init,
+            initargs=(self.dataset, self.collate_fn),
+        ) as pool:
+            yield from pool.imap(_worker_load, self._batches())
 
 
 class GrainDataLoader:

@@ -92,6 +92,12 @@ def unstack_llm_blocks(variables: Any, llm_key: str = "llm") -> Any:
     return out
 
 
+_REMAT_POLICIES = {
+    "full": None,  # nothing saveable — max recompute, min memory
+    "dots": "dots_with_no_batch_dims_saveable",  # save matmul outputs
+}
+
+
 def scan_blocks(
     cfg: LlamaConfig,
     blocks_params: Any,  # leaves (L, ...) or (K, ...)
@@ -101,6 +107,7 @@ def scan_blocks(
     key_valid: Optional[jax.Array] = None,
     *,
     remat: bool = False,
+    remat_policy: str = "full",
 ) -> jax.Array:
     """Apply a stack of LlamaBlocks via ONE scanned block body."""
     block = LlamaBlock(cfg)
@@ -113,7 +120,13 @@ def scan_blocks(
         return h2, None
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        policy_name = _REMAT_POLICIES.get(remat_policy)
+        policy = (
+            getattr(jax.checkpoint_policies, policy_name)
+            if policy_name
+            else None
+        )
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     x, _ = lax.scan(body, x, blocks_params)
     return x
 
@@ -140,6 +153,7 @@ def llm_logits_from_blocks(
     microbatches: int = 1,
     data_parallel: bool = False,
     remat: bool = False,
+    remat_policy: str = "full",
 ) -> jax.Array:
     """Teacher-forcing logits through stacked blocks.
 
@@ -186,7 +200,8 @@ def llm_logits_from_blocks(
         x = hidden.reshape(b, t, h)
     else:
         x = scan_blocks(
-            cfg, blocks, x, positions, attn_bias, key_valid, remat=remat
+            cfg, blocks, x, positions, attn_bias, key_valid,
+            remat=remat, remat_policy=remat_policy,
         )
 
     x = RMSNorm(cfg.rms_norm_eps, cfg.dtype).apply(

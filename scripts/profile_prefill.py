@@ -1,163 +1,227 @@
-"""Decompose the generate-program prefill gap (round-1 finding: prefill
-inside the generate program ~1194 ms vs 462 ms standalone at the same
-shapes; VERDICT.md weak #1).
+"""Prefill-side decomposition at serving scale (VERDICT round-2 #5).
 
-Programs timed (each fully jitted, synced by VALUE fetch — block_until_ready
-can return early through the axon tunnel):
+Breaks the "prefill-side step" (964 ms b16 / 1554 ms b32, BASELINE.md
+round 2) into its stages, each timed on the real chip with the
+value-fetch/on-device-chaining discipline from bench.py:
 
-  A. build_embeds only            (scene encode + splice)
-  B. prefill                      (build_embeds + prefill_with_cache)
-  C. generate, max_new=1          (B + loop machinery + 0 decode steps)
-  D. generate, max_new=32         (the served program)
-  E. plain forward (loss path)    (same token count, no KV cache capture)
+  host      prompt build + tokenization (pure host, overlappable)
+  h2d       device_put of the full request batch (obj_fts dominates)
+  scene     OSE3DSituation encode (60 obj x 1024 pts)
+  embeds    embed lookup + scene encode + placeholder splice
+  llm       prefill_with_cache on precomputed embeds (the LLM alone)
+  prefill   network.prefill = embeds + llm in one jit
 
-All at the round-1 record config: 7B geometry, int8 weight-only base,
-merged LoRA (rank 0), batch 16. D-C ≈ 31 decode steps; C-B ≈ loop entry
-cost; B-A ≈ LLM prefill proper; E ≈ what "standalone prefill" measured.
+Prints one JSON line with ms per stage and the implied fraction of the
+measured full prefill. Run serialized (axon tunnel contention skews ~25%).
 """
 
 from __future__ import annotations
 
 import argparse
-import os
+import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--bf16", action="store_true", help="bf16 base instead of int8")
-    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--quick", action="store_true")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from msr3d_tpu.models.llm.llama import LlamaConfig
-    from msr3d_tpu.models.llm.tokenizer import ByteTokenizer
     from msr3d_tpu.models.msr3d import MSR3D, MSR3DNetworkConfig
+    from msr3d_tpu.models.llm.tokenizer import ByteTokenizer
     from msr3d_tpu.models.ose3d_situation import OSE3DConfig
 
-    llm = LlamaConfig(
-        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
-        num_hidden_layers=32, num_attention_heads=32,
-        max_position_embeddings=2048, lora_rank=0,
-        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-        quantize=not args.bf16,
-    )
+    if args.quick:
+        llm = LlamaConfig(
+            vocab_size=32000, hidden_size=512, intermediate_size=1376,
+            num_hidden_layers=4, num_attention_heads=8,
+            max_position_embeddings=2048, lora_rank=16, dtype=jnp.bfloat16,
+        )
+    else:
+        llm = LlamaConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+            num_hidden_layers=32, num_attention_heads=32,
+            max_position_embeddings=2048, lora_rank=0, dtype=jnp.bfloat16,
+            param_dtype=jnp.bfloat16, quantize=True, kv_quantize=True,
+        )
     tok = ByteTokenizer()
-    cfg = MSR3DNetworkConfig(
-        prompter=OSE3DConfig(), llm=llm, backbone_name="convnext_test"
+    model = MSR3D(
+        MSR3DNetworkConfig(
+            prompter=OSE3DConfig(), llm=llm, backbone_name="convnext_test"
+        ),
+        tok, scene_token_len=60, max_out_len=1,
     )
-    model = MSR3D(cfg, tok, scene_token_len=60, max_out_len=32,
-                  num_beams=1, repetition_penalty=3.0)
     network = model.network
 
-    B, N_OBJ, N_PTS = args.batch, 60, 1024
-    r = np.random.default_rng(0)
-    data = {
-        "msr3d_prompt": [
-            "You are an AI visual assistant situated in a 3D scene. "
-            "Objects (including you) in the scene: 景 "
-            f"USER: What is behind the chair number {i}? ASSISTANT:"
-            for i in range(B)
-        ],
-        "obj_fts": (r.normal(size=(B, N_OBJ, N_PTS, 6)) * 0.3).astype(np.float32),
-        "obj_masks": np.ones((B, N_OBJ), bool),
-        "obj_locs": r.normal(size=(B, N_OBJ, 6)).astype(np.float32),
-        "anchor_locs": r.normal(size=(B, 3)).astype(np.float32),
-        "anchor_orientation": np.tile(np.array([0, 0, 0, 1], np.float32), (B, 1)),
-    }
+    B = args.batch
 
+    def make_data(seed):  # bench_qa's base prompt shape (~207 tokens)
+        r = np.random.default_rng(seed)
+        return {
+            "msr3d_prompt": [
+                "You are an AI visual assistant situated in a 3D scene. "
+                "Objects (including you) in the scene: 景 "
+                f"USER: What is behind the chair number {i}? ASSISTANT:"
+                for i in range(B)
+            ],
+            "obj_fts": (r.normal(size=(B, 60, 1024, 6)) * 0.3).astype(np.float32),
+            "obj_masks": np.ones((B, 60), bool),
+            "obj_locs": r.normal(size=(B, 60, 6)).astype(np.float32),
+            "anchor_locs": r.normal(size=(B, 3)).astype(np.float32),
+            "anchor_orientation": np.tile(np.array([0, 0, 0, 1], np.float32), (B, 1)),
+        }
+
+    data = make_data(0)
     prompts = model.build_text_prompt(data)
     ii, am = model._encode_prompts(prompts)
     ii, am = model._pad_to_bucket(ii, am, side="left")
-    oi, om = model._encode_answers(["an answer"] * B)
-    scene = model._scene_batch(data)
-    init_batch = dict(scene, input_ids=ii, attention_mask=am,
-                      output_ids=oi, output_mask=om)
-
+    scene_batch = model._scene_batch(data)
+    init_batch = dict(scene_batch)
+    oi, om = model._encode_answers(["x"] * B)
+    init_batch.update(input_ids=ii, attention_mask=am, output_ids=oi, output_mask=om)
     t0 = time.time()
     model.init_params(init_batch)
-    print(f"init: {time.time() - t0:.1f}s  prompt_tokens={ii.shape[1]}")
-    params = model.params
+    init_s = time.time() - t0
+    variables = model.params
+    prompt_len = int(ii.shape[1]) + 1
+    results: dict = {"batch": B, "prompt_tokens": int(ii.shape[1]), "init_s": round(init_s, 1)}
 
-    prompt_len = ii.shape[1] + 1
-    cache_len = prompt_len + 32
-    jb = {k: jnp.asarray(v) for k, v in dict(scene, input_ids=ii, attention_mask=am).items()}
+    iters = args.iters
 
-    def timeit(name, fn, *fargs):
-        # warm/compile
-        t0 = time.time()
-        float(jnp.sum(fn(*fargs).astype(jnp.float32)))
-        compile_s = time.time() - t0
-        best = float("inf")
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            float(jnp.sum(fn(*fargs).astype(jnp.float32)))
-            best = min(best, time.perf_counter() - t0)
-        print(f"{name:28s}: {best * 1e3:8.1f} ms   (compile {compile_s:.0f}s)")
-        return best
+    # ---- host: prompt build + tokenize --------------------------------
+    t0 = time.perf_counter()
+    for i in range(iters):
+        pr = model.build_text_prompt(data)
+        a, b = model._encode_prompts(pr)
+        model._pad_to_bucket(a, b, side="left")
+    results["host_ms"] = (time.perf_counter() - t0) / iters * 1000
 
-    @jax.jit
-    def prog_a(v, b):
-        e, a = network.apply(v, **b, method=network.build_embeds)
-        return jnp.sum(e.astype(jnp.float32)) + jnp.sum(a)
+    # ---- h2d: ship the full request batch -----------------------------
+    datas = [make_data(i + 1) for i in range(iters)]
+    batches = [
+        {**model._scene_batch(d), "input_ids": ii, "attention_mask": am}
+        for d in datas
+    ]
+    # warm one transfer
+    dev = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    float(jnp.sum(dev["obj_fts"]))
+    t0 = time.perf_counter()
+    acc = 0.0
+    for b_ in batches:
+        dev = {k: jnp.asarray(v) for k, v in b_.items()}
+        acc += float(jnp.sum(dev["obj_fts"]))  # value fetch = real sync
+    results["h2d_ms"] = (time.perf_counter() - t0) / iters * 1000
 
-    @jax.jit
-    def prog_b(v, b):
-        first, caches, cmask, pos = network.apply(
-            v, **b, bos_id=tok.bos_id, max_cache_len=cache_len,
-            method=network.prefill,
+    # ---- on-device chained loops for compute stages --------------------
+    def chain_time(fn, feed, label):
+        """fori-chained timing: fn(variables, feed)->scalar-ish output is
+        looped on device with a data dependency; sync by value fetch."""
+        @jax.jit
+        def loop(v, f):
+            def body(i, carry):
+                fts, accv = carry
+                out = fn(v, dict(f, obj_fts=fts))
+                bump = (out * jnp.float32(1e-8)).astype(fts.dtype)
+                return fts + bump, accv + out
+
+            _, accv = lax.fori_loop(
+                0, iters, body, (f["obj_fts"], jnp.float32(0))
+            )
+            return accv
+
+        feed_dev = {k: jnp.asarray(v) for k, v in feed.items()}
+        float(loop(variables, feed_dev))  # compile+warm
+        feed2 = dict(feed_dev, obj_fts=feed_dev["obj_fts"] + 0.01)
+        t0 = time.perf_counter()
+        float(loop(variables, feed2))
+        results[label] = (time.perf_counter() - t0) / iters * 1000
+
+    scene_feed = dict(scene_batch)
+
+    from msr3d_tpu.models.ose3d_situation import OSE3DSituation
+
+    prompter = network.cfg.prompter
+
+    def scene_only(v, f):
+        out = OSE3DSituation(prompter).apply(
+            {"params": v["params"]["visual_prompter"]},
+            f["obj_fts"], f["obj_masks"], f["obj_locs"], f["anchor_locs"],
+            f["anchor_orientation"],
         )
-        # touch every output so nothing is DCE'd, but fetch only scalars
-        return (jnp.sum(first) + jnp.sum(caches["k"][..., 0].astype(jnp.float32))
-                + jnp.sum(cmask) + jnp.sum(pos))
+        return jnp.sum(out["obj_tokens"].astype(jnp.float32))
 
-    t_a = timeit("A build_embeds", prog_a, params, jb)
-    t_b = timeit("B prefill(+cache)", prog_b, params, jb)
+    chain_time(scene_only, scene_feed, "scene_ms")
 
-    def gen(max_new):
-        d2 = dict(data)
-        out = model.generate(d2, use_beam=False, max_new_tokens=max_new)
-        return out["output_tokens"]
+    embeds_feed = dict(scene_batch, input_ids=ii, attention_mask=am)
 
-    # C/D go through model.generate (has its own jit cache); time manually
-    for name, mn in (("C generate max_new=1", 1), ("D generate max_new=32", 32)):
-        t0 = time.time()
-        gen(mn)
-        compile_s = time.time() - t0
-        best = float("inf")
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            gen(mn)
-            best = min(best, time.perf_counter() - t0)
-        print(f"{name:28s}: {best * 1e3:8.1f} ms   (compile {compile_s:.0f}s)")
-        if mn == 1:
-            t_c = best
-        else:
-            t_d = best
+    def embeds_fn(v, f):
+        e, a_ = network.apply(
+            v, f["input_ids"], f["attention_mask"], f["obj_fts"],
+            f["obj_masks"], f["obj_locs"], f["anchor_locs"],
+            f["anchor_orientation"], method=network.build_embeds,
+        )
+        return jnp.sum(e.astype(jnp.float32))
 
-    # E: loss-path forward at the same total token count (prompt + 1)
-    jb_loss = dict(jb, output_ids=jnp.asarray(oi[:, :1]), output_mask=jnp.asarray(om[:, :1]))
+    chain_time(embeds_fn, embeds_feed, "embeds_ms")
+
+    # ---- llm-only prefill on precomputed embeds ------------------------
+    e0, a0 = network.apply(
+        variables, jnp.asarray(ii), jnp.asarray(am),
+        *[jnp.asarray(scene_batch[k]) for k in
+          ("obj_fts", "obj_masks", "obj_locs", "anchor_locs", "anchor_orientation")],
+        method=network.build_embeds,
+    )
 
     @jax.jit
-    def prog_e(v, b):
-        return jnp.sum(network.apply(v, **b)["loss"])
+    def llm_loop(v, e, a_):
+        def body(i, carry):
+            ee, accv = carry
+            logits, _, _, _, _ = network.llm.apply(
+                {"params": v["params"]["llm"]}, ee, a_, prompt_len,
+                logits_last_only=True,
+                method=network.llm.prefill_with_cache,
+            )
+            s = jnp.sum(logits.astype(jnp.float32))
+            return ee + (s * 1e-12).astype(ee.dtype), accv + s
 
-    t_e = timeit("E plain fwd (no cache)", prog_e, params, jb_loss)
+        _, accv = lax.fori_loop(0, iters, body, (e, jnp.float32(0)))
+        return accv
 
-    print("\n--- decomposition ---")
-    print(f"scene+splice (A):            {t_a*1e3:8.1f} ms")
-    print(f"LLM prefill proper (B-A):    {(t_b-t_a)*1e3:8.1f} ms")
-    print(f"loop entry + argmax (C-B):   {(t_c-t_b)*1e3:8.1f} ms")
-    print(f"31 decode steps (D-C):       {(t_d-t_c)*1e3:8.1f} ms  = {(t_d-t_c)/31*1e3:.1f} ms/step")
-    print(f"no-cache fwd ref (E):        {t_e*1e3:8.1f} ms")
+    float(llm_loop(variables, e0, a0))
+    t0 = time.perf_counter()
+    float(llm_loop(variables, e0 + jnp.bfloat16(0.01), a0))
+    results["llm_ms"] = (time.perf_counter() - t0) / iters * 1000
+
+    # ---- full fused prefill --------------------------------------------
+    def prefill_fn(v, f):
+        first, _, _, _ = network.apply(
+            v, f["input_ids"], f["attention_mask"], f["obj_fts"],
+            f["obj_masks"], f["obj_locs"], f["anchor_locs"],
+            f["anchor_orientation"], bos_id=tok.bos_id,
+            max_cache_len=prompt_len, method=network.prefill,
+        )
+        return jnp.sum(first)
+
+    chain_time(prefill_fn, embeds_feed, "prefill_full_ms")
+
+    for k in list(results):
+        if k.endswith("_ms"):
+            results[k] = round(results[k], 1)
+    results["device"] = str(jax.devices()[0])
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -86,6 +86,43 @@ def test_shards_share_one_global_permutation():
     assert merged == want  # strided interleave reconstructs the global order
 
 
+def test_worker_processes_match_inline():
+    """num_workers>0 loads batches in forked worker processes (the
+    reference's torch DataLoader model) — same batches, same order."""
+    from msr3d_tpu.data.build import DataLoader
+
+    def collate(items):
+        return sorted(d["sample_id"] for d in items)
+
+    inline = DataLoader(_ToyDataset(11), batch_size=3, prefetch=0, collate_fn=collate)
+    workers = DataLoader(
+        _ToyDataset(11), batch_size=3, prefetch=0, num_workers=2,
+        collate_fn=collate,
+    )
+    assert list(workers) == list(inline)
+    # shuffled epochs stay deterministic across loader kinds too
+    inline_s = DataLoader(_ToyDataset(11), batch_size=3, prefetch=0,
+                          shuffle=True, seed=5, collate_fn=collate)
+    workers_s = DataLoader(_ToyDataset(11), batch_size=3, prefetch=0,
+                           shuffle=True, seed=5, num_workers=2,
+                           collate_fn=collate)
+    assert list(workers_s) == list(inline_s)
+
+
+def test_worker_processes_propagate_errors():
+    from msr3d_tpu.data.build import DataLoader
+
+    class Bad(_ToyDataset):
+        def __getitem__(self, i):
+            if i == 4:
+                raise ValueError("boom at 4")
+            return super().__getitem__(i)
+
+    loader = DataLoader(Bad(8), batch_size=2, prefetch=0, num_workers=2)
+    with pytest.raises(ValueError, match="boom"):
+        list(loader)
+
+
 # ---------------------------------------------------------------------------
 # 2. eval_task duplicate trimming (single-process, sharded loaders)
 # ---------------------------------------------------------------------------
