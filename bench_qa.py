@@ -41,6 +41,12 @@ def parse_args(argv=None):
         "4.7 GB/step (b80) host→device point transfer 2.7x",
     )
     parser.add_argument(
+        "--eos-bias", type=float, default=0.0,
+        help="additive EOS logit bias: induces realistic answer-length "
+        "termination so the decode while_loop's early exit is exercised "
+        "(expected-case eval throughput, not the never-EOS worst case)",
+    )
+    parser.add_argument(
         "--pipeline-depth", type=int, default=1,
         help="outstanding requests before fetching (0 = fully serial); "
         "deeper pipelines hide the tunnel dispatch+fetch latency",
@@ -89,6 +95,7 @@ def run(args) -> dict:
         cfg, tok, scene_token_len=60, max_out_len=args.new_tokens,
         num_beams=args.beams, repetition_penalty=3.0,
         compact_transfer=getattr(args, "compact_transfer", False),
+        eos_logit_bias=getattr(args, "eos_bias", 0.0),
     )
 
     B, N_OBJ, N_PTS = args.batch, 60, 1024
@@ -135,8 +142,16 @@ def run(args) -> dict:
     # compile + warm
     t0 = time.time()
     use_beam = args.beams > 1
-    model.generate(dict(data), use_beam=use_beam, max_new_tokens=args.new_tokens)
+    warm = model.generate(dict(data), use_beam=use_beam, max_new_tokens=args.new_tokens)
     compile_s = time.time() - t0
+    # answer-length census (meaningful when --eos-bias induces EOS)
+    toks = np.asarray(warm["output_tokens"])
+    eos_pos = np.where(
+        (toks == tok.eos_id).any(axis=1),
+        (toks == tok.eos_id).argmax(axis=1) + 1,
+        toks.shape[1],
+    )
+    answer_lens = (int(eos_pos.mean()), int(eos_pos.max()))
 
     # steady state with varying data. Host-side data generation happens
     # OUTSIDE the timed region: in production the DataLoader prefetches
@@ -184,6 +199,9 @@ def run(args) -> dict:
                 + ("-cpk" if getattr(args, "compact_transfer", False) else ""),
                 "step_ms": round(dt * 1000, 1),
                 "pipeline_depth": depth,
+                "eos_bias": getattr(args, "eos_bias", 0.0),
+                "mean_answer_len": answer_lens[0],
+                "max_answer_len": answer_lens[1],
                 "init_s": round(init_s, 1),
                 "compile_s": round(compile_s, 1),
                 "device": str(jax.devices()[0]),

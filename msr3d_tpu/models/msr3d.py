@@ -313,6 +313,7 @@ class MSR3D:
         repetition_penalty: float = 3.0,
         length_penalty: float = 1.0,
         compact_transfer: bool = False,
+        eos_logit_bias: float = 0.0,  # length-control serving knob
         seed: int = 0,
     ):
         self.tokenizer = tokenizer or build_tokenizer()
@@ -331,6 +332,7 @@ class MSR3D:
         self.num_beams = num_beams
         self.repetition_penalty = repetition_penalty
         self.length_penalty = length_penalty
+        self.eos_logit_bias = eos_logit_bias
         # serving knob: ship obj_fts over the host↔device link as
         # int16 xyz + int8 rgb (9 B/point vs 24 B fp32). Points are
         # unit-sphere normalized by preprocess_pcd so a fixed 1.0 scale
@@ -562,6 +564,7 @@ class MSR3D:
                     num_beams=beams, length_penalty=length_penalty,
                     max_new_tokens=max_new, eos_id=eos_id, pad_id=eos_id,
                     min_length=1, repetition_penalty=self.repetition_penalty,
+                    eos_logit_bias=self.eos_logit_bias,
                 )
 
             # greedy uses the split cache too: the prompt segment is a
@@ -585,6 +588,7 @@ class MSR3D:
                 decode_shared, next_pos, first,
                 gen_kv, max_new_tokens=max_new, eos_id=eos_id, pad_id=eos_id,
                 min_length=1, repetition_penalty=self.repetition_penalty,
+                eos_logit_bias=self.eos_logit_bias,
             )
 
         return generate_fn
@@ -622,7 +626,8 @@ class MSR3D:
         max_new = max_new_tokens or self.max_out_len
         prompt_len = input_ids.shape[1] + 1
         beams = self.num_beams if use_beam is None else (self.num_beams if use_beam else 1)
-        key = (prompt_len, max_new, beams, input_ids.shape[0], tuple(sorted(batch)))
+        key = (prompt_len, max_new, beams, input_ids.shape[0],
+               tuple(sorted(batch)), self.eos_logit_bias)
         if not hasattr(self, "_generate_cache"):
             self._generate_cache = {}
         if key not in self._generate_cache:
