@@ -68,6 +68,12 @@ def build_msr3d_from_config(cfg) -> MSR3D:
     )
     prompter_cfg = OSE3DConfig.from_config(model_cfg.prompter.model)
     llama_cfg = build_llm_config(llm_cfg, tokenizer)
+    # config-driven sequence parallelism: cfg.parallel.sp > 1 routes the
+    # training-forward attention through ring attention over the sp axis
+    if int(cfg.get("parallel", {}).get("sp", 1)) > 1:
+        llama_cfg = dataclasses.replace(
+            llama_cfg, sp_axis="sp", sp_data_axis="dp"
+        )
 
     vision2d = model_cfg.get("vision_2d")
     backbone_name = "convnext_base"

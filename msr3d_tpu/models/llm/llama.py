@@ -383,6 +383,7 @@ class LlamaAttention(nn.Module):
             cfg.sp_axis is not None
             and kv_cache is None
             and shared_prompt_kv is None
+            and not return_kv  # generation prefill stays dense (fits a chip)
         ):
             # sequence-parallel training forward: exact ring attention over
             # the sp mesh axis (sequence dim sharded; the dense T×T bias is
@@ -390,7 +391,6 @@ class LlamaAttention(nn.Module):
             from msr3d_tpu.parallel.mesh import ambient_mesh
             from msr3d_tpu.parallel.ring_attention import ring_attention
 
-            assert not return_kv, "sp_axis supports the training forward only"
             if key_valid is None:
                 key_valid = jnp.ones((b, t), bool)
             out = ring_attention(

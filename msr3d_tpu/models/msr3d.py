@@ -740,11 +740,15 @@ class MSR3D:
             out.append(self.tokenizer.decode(ids).strip())
         return out
 
-    def get_opt_params_mask(self) -> Any:
+    def get_opt_params_mask(self, params: Optional[Dict[str, Any]] = None) -> Any:
         """Pytree mask: True for trainable leaves (LoRA + projections +
         scene encoder), False for frozen (LLM base, image backbone,
-        point-net when frozen). Mirrors msr3d.py:165-172 + freeze census."""
-        assert self.params is not None
+        point-net when frozen). Mirrors msr3d.py:165-172 + freeze census.
+        Pass ``params`` to mask an alternate layout (e.g. the stacked
+        pipeline-parallel tree)."""
+        if params is None:
+            params = self.params
+        assert params is not None
 
         def trainable(path: str) -> bool:
             if "lora_a" in path or "lora_b" in path:
@@ -760,7 +764,7 @@ class MSR3D:
             return True
 
         return jax.tree_util.tree_map_with_path(
-            lambda p, _: trainable(jax.tree_util.keystr(p)), self.params
+            lambda p, _: trainable(jax.tree_util.keystr(p)), params
         )
 
 

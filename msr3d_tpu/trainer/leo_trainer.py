@@ -92,7 +92,21 @@ class LeoTrainer:
             cfg.get("model", {}).get("llm", {}).get("inference_mode", "generation")
         )
 
-        self.mesh = make_mesh()
+        # config-driven parallelism (beyond the reference's DDP-only):
+        #   parallel: {tp: N, pp: N, sp: N, microbatches: M}
+        # dp is inferred as the remaining devices. pp > 1 stores the LLM
+        # blocks stacked and pipelines them (parallel/llm_pp.py); sp > 1
+        # is wired into the LLM config at model build (ring attention).
+        from msr3d_tpu.parallel.mesh import MeshConfig
+
+        pcfg = cfg.get("parallel", {})
+        self.pp_stages = int(pcfg.get("pp", 1))
+        self.tp = int(pcfg.get("tp", 1))
+        self.sp = int(pcfg.get("sp", 1))
+        self.pp_microbatches = int(pcfg.get("microbatches", self.pp_stages))
+        self.mesh = make_mesh(
+            MeshConfig(dp=-1, tp=self.tp, pp=self.pp_stages, sp=self.sp)
+        )
         self.epochs = int(cfg.solver.epochs)
         self.accum_steps = int(cfg.solver.get("gradient_accumulation_steps", 1))
         self.eval_interval = int(cfg.solver.get("eval_interval", 1))
@@ -139,7 +153,8 @@ class LeoTrainer:
         if self.model.params is None:
             sample = self._peek_sample_batch()
             if sample is not None:
-                self.model.init_params(sample)
+                with self.mesh:  # ambient mesh: sp-configured models
+                    self.model.init_params(sample)
         # config-driven pretrained weights: pretrain_ckpt_path (reference
         # trainer/build.py:98-99,191-198), vision.args.path PointNet++, HF
         # Llama base weights when cfg_path carries them
@@ -148,9 +163,31 @@ class LeoTrainer:
 
             for src in load_pretrained_from_config(self.model, cfg):
                 logger.info(f"loaded pretrained weights: {src}")
+        # pp > 1: the optimizer trains the STACKED block layout, staged
+        # over the pp mesh axis; the host model keeps the standard layout
+        # for generation (re-synced lazily before eval)
+        self._stacked = self.pp_stages > 1
+        self._eval_params_stale = False
+        train_params = self.model.params
+        if self._stacked and train_params is not None:
+            assert self.tp == 1, "tp × pp composition not supported yet"
+            from msr3d_tpu.parallel.llm_pp import (
+                pp_state_shardings,
+                stack_llm_blocks,
+            )
+
+            train_params = jax.jit(stack_llm_blocks)(train_params)
+            train_params = jax.device_put(
+                train_params, pp_state_shardings(self.mesh, train_params)
+            )
+        elif self.tp > 1 and train_params is not None:
+            # megatron-style tensor-parallel training straight from config
+            from msr3d_tpu.parallel.sharding import shard_variables
+
+            train_params = shard_variables(self.mesh, train_params)
         self.trainable_mask = (
-            self.model.get_opt_params_mask()["params"]
-            if self.model.params is not None
+            self.model.get_opt_params_mask(train_params)["params"]
+            if train_params is not None
             else None
         )
         # gradients/optimizer state span only the trainable subtree (the
@@ -158,17 +195,28 @@ class LeoTrainer:
         self.optimizer, self.schedule = build_optim(cfg, total_steps)
         self.state = (
             TrainState.create(
-                self.model.params, self.optimizer, trainable_mask=self.trainable_mask
+                train_params, self.optimizer, trainable_mask=self.trainable_mask
             )
-            if self.model.params is not None
+            if train_params is not None
             else None
         )
 
-        def apply_fn(variables, batch, rng):
-            out = self.model.network.apply(
-                variables, **batch, deterministic=False, rngs={"dropout": rng}
+        if self._stacked:
+            from msr3d_tpu.parallel.llm_pp import make_pp_apply_fn
+
+            dp = self.mesh.shape["dp"]
+            apply_fn = make_pp_apply_fn(
+                self.model.network, self.mesh,
+                microbatches=self.pp_microbatches,
+                data_parallel=dp > 1,
+                remat=self.model.cfg.llm.remat,
             )
-            return out["loss"].mean()
+        else:
+            def apply_fn(variables, batch, rng):
+                out = self.model.network.apply(
+                    variables, **batch, deterministic=False, rngs={"dropout": rng}
+                )
+                return out["loss"].mean()
 
         self._train_step = make_train_step(
             apply_fn, self.optimizer, accum_steps=self.accum_steps,
@@ -364,10 +412,14 @@ class LeoTrainer:
 
                 step_rng = globalize_replicated(self.mesh, step_rng)
             self.timer.tic()
-            self.state, metrics = self._train_step(self.state, batch, step_rng)
+            with self.mesh:  # ambient mesh for pp/sp shard_maps
+                self.state, metrics = self._train_step(self.state, batch, step_rng)
             # the step donates the old state; repoint the model at the new
             # params so eval/generate never touches donated buffers
-            self.model.params = self.state.params
+            if self._stacked:
+                self._eval_params_stale = True
+            else:
+                self.model.params = self.state.params
             loss = float(metrics["loss"])
             dt = self.timer.toc()
             losses.append(loss)
@@ -435,6 +487,15 @@ class LeoTrainer:
         evaluator = self.evaluators.get(task)
         if evaluator is not None:
             evaluator.reset()
+        if self._stacked and self._eval_params_stale:
+            # pipeline training keeps the stacked layout; generation uses
+            # the standard one — re-sync (host copy; once per eval epoch)
+            from msr3d_tpu.parallel.llm_pp import unstack_llm_blocks
+
+            self.model.params = jax.device_get(
+                unstack_llm_blocks(self.state.params)
+            )
+            self._eval_params_stale = False
         generation = self.inference_mode == "generation"
         answer_cands = None if generation else _find_answer_cands(loader)
         n_batches = len(loader) if hasattr(loader, "__len__") else None
@@ -552,7 +613,10 @@ class LeoTrainer:
         new_params = dict(self.state.params)
         new_params["params"] = merged
         self.state = self.state.replace(params=new_params)
-        self.model.params = new_params
+        if self._stacked:
+            self._eval_params_stale = True
+        else:
+            self.model.params = new_params
 
     def _try_resume(self) -> None:
         abstract = jax.tree_util.tree_map(
@@ -561,7 +625,10 @@ class LeoTrainer:
         restored = self.ckpt.restore_state(abstract, self.tracker)
         if restored is not None:
             self.state = restored
-            self.model.params = restored.params
+            if self._stacked:
+                self._eval_params_stale = True
+            else:
+                self.model.params = restored.params
             logger.info(
                 f"resumed from step {int(self.state.step)} "
                 f"(epoch {self.tracker.epoch}, loader_step {self.tracker.loader_step})"
