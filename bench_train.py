@@ -105,6 +105,33 @@ def main() -> None:
         variables = init_fn(
             jax.random.key(0), {k: jnp.asarray(v) for k, v in make_micro(0).items()}
         )
+    else:
+        # Build the STACKED layout without ever holding two 13.5 GB trees
+        # (on-device stack_llm_blocks would peak at 27 GB): init a 1-layer
+        # twin, then repeat its block L ways — identical per-layer weights
+        # are irrelevant for throughput, and the non-block params carry
+        # over unchanged. Real checkpoints stream into this layout on the
+        # host instead (models/llm/convert.py).
+        import dataclasses as _dc
+
+        from msr3d_tpu.models.msr3d import MSR3DNetwork as _Net
+
+        L = llm.num_hidden_layers
+        net1 = _Net(_dc.replace(cfg, llm=_dc.replace(llm, num_hidden_layers=1)))
+        variables = jax.jit(lambda k, b: net1.init(k, **b))(
+            jax.random.key(0), {k: jnp.asarray(v) for k, v in make_micro(0).items()}
+        )
+        llm_tree = dict(variables["params"]["llm"])
+        layer0 = llm_tree.pop("layer_0")
+        llm_tree["blocks"] = jax.jit(
+            lambda t: jax.tree_util.tree_map(
+                lambda a: jnp.repeat(a[None], L, axis=0), t
+            )
+        )(layer0)
+        new_params = dict(variables["params"])
+        new_params["llm"] = llm_tree
+        variables = dict(variables)
+        variables["params"] = new_params
     init_s = time.time() - t0
 
     trainable = jax.tree_util.tree_map_with_path(
@@ -129,43 +156,6 @@ def main() -> None:
     if args.scan_layers:
         from msr3d_tpu.models.msr3d import sequence_ce_loss
         from msr3d_tpu.parallel.llm_pp import llm_logits_from_blocks
-
-        # Build the STACKED layout without ever holding two 13.5 GB trees
-        # (on-device stack_llm_blocks would peak at 27 GB): init a 1-layer
-        # twin, then repeat its block L ways — identical per-layer weights
-        # are irrelevant for throughput, and the non-block params carry
-        # over unchanged. Real checkpoints stream into this layout on the
-        # host instead (models/llm/convert.py).
-        L = llm.num_hidden_layers
-        import dataclasses as _dc
-
-        from msr3d_tpu.models.msr3d import MSR3DNetwork as _Net
-
-        t0 = time.time()
-        net1 = _Net(_dc.replace(cfg, llm=_dc.replace(llm, num_hidden_layers=1)))
-        variables = jax.jit(lambda k, b: net1.init(k, **b))(
-            jax.random.key(0), {k: jnp.asarray(v) for k, v in make_micro(0).items()}
-        )
-        llm_tree = dict(variables["params"]["llm"])
-        layer0 = llm_tree.pop("layer_0")
-        llm_tree["blocks"] = jax.jit(
-            lambda t: jax.tree_util.tree_map(
-                lambda a: jnp.repeat(a[None], L, axis=0), t
-            )
-        )(layer0)
-        new_params = dict(variables["params"])
-        new_params["llm"] = llm_tree
-        variables = dict(variables)
-        variables["params"] = new_params
-        init_s = time.time() - t0
-        trainable = jax.tree_util.tree_map_with_path(
-            lambda p, _: ("lora" in jax.tree_util.keystr(p))
-            or ("llm_proj" in jax.tree_util.keystr(p))
-            or ("visual_prompter" in jax.tree_util.keystr(p)
-                and "obj_encoder" not in jax.tree_util.keystr(p)),
-            variables["params"],
-        )
-        state = TrainState.create(variables, optimizer, trainable_mask=trainable)
 
         def apply_fn(vars_, batch, rng_):
             embeds, attn, targets = network.apply(

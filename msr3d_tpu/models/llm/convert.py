@@ -48,6 +48,8 @@ def config_from_hf(hf_cfg: Dict[str, Any], **overrides) -> LlamaConfig:
     return LlamaConfig(**kw)
 
 
+_LAYER_NAME_RE = re.compile(r"^layer_(\d+)$")
+
 _HF_LAYER_RE = re.compile(
     r"^model\.layers\.(\d+)\.(self_attn|mlp|input_layernorm|"
     r"post_attention_layernorm)\.(?:(\w+_proj)\.)?weight$"
@@ -95,12 +97,19 @@ def params_from_hf_state_dict(
 
 
 def params_from_hf_stream(
-    stream, cfg: LlamaConfig, dtype=np.float32
+    stream, cfg: LlamaConfig, dtype=np.float32, stack_layers: bool = False
 ) -> Dict[str, Any]:
     """Assemble the params tree from an (name, array) iterator with at
     most ONE tensor in flight — the memory-bounded path a 13.5 GB real
-    checkpoint needs (VERDICT round-2 #3b)."""
+    checkpoint needs (VERDICT round-2 #3b).
+
+    ``stack_layers=True`` emits the STACKED block layout directly
+    (``blocks`` subtree, (L, ...) leaves — parallel/llm_pp.py): each
+    layer's tensor is written into a preallocated slab, so pipeline/
+    scan-over-layers training never needs an on-device re-stack (which
+    would transiently double the 13.5 GB tree)."""
     params: Dict[str, Any] = {}
+    n_layers = cfg.num_hidden_layers
     for name, arr in stream:
         mapped = hf_name_to_tree_path(name)
         if mapped is None:
@@ -111,9 +120,25 @@ def params_from_hf_stream(
         arr = np.asarray(arr)
         if transpose:
             arr = arr.T
-        _tree_set(params, path, np.ascontiguousarray(arr).astype(dtype))
+        arr = np.ascontiguousarray(arr).astype(dtype)
+        m = _LAYER_NAME_RE.match(path[0]) if stack_layers else None
+        if m:
+            i = int(m.group(1))
+            slab_path = ("blocks",) + path[1:]
+            node = params
+            for key in slab_path[:-1]:
+                node = node.setdefault(key, {})
+            slab = node.get(slab_path[-1])
+            if slab is None:
+                slab = np.zeros((n_layers,) + arr.shape, dtype)
+                node[slab_path[-1]] = slab
+            slab[i] = arr
+        else:
+            _tree_set(params, path, arr)
     missing = [
-        k for k in ("embed_tokens", "final_norm", "layer_0")
+        k
+        for k in ("embed_tokens", "final_norm",
+                  "blocks" if stack_layers else "layer_0")
         if k not in params
     ]
     assert not missing, f"checkpoint stream missing {missing}"

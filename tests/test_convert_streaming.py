@@ -82,6 +82,26 @@ def test_sharded_checkpoint_streams_and_matches_dense(hf_tiny, tmp_path, safe):
     assert "model.embed_tokens.weight" in names
 
 
+def test_stream_stacked_layout_matches_restack(hf_tiny, tmp_path):
+    """stack_layers=True emits the pipeline/scan layout directly — equal
+    to stacking the dense tree after the fact."""
+    import jax.numpy as jnp
+
+    from msr3d_tpu.parallel.llm_pp import stack_llm_blocks
+
+    cfg = config_from_hf(TINY_HF)
+    sd = hf_tiny.state_dict()
+    dense = params_from_hf_stream(((k, v.numpy()) for k, v in sd.items()), cfg)
+    stacked = params_from_hf_stream(
+        ((k, v.numpy()) for k, v in sd.items()), cfg, stack_layers=True
+    )
+    want = stack_llm_blocks({"params": {"llm": dense}})["params"]["llm"]
+    _tree_equal(stacked, jax.tree_util.tree_map(np.asarray, want))
+    assert stacked["blocks"]["attn"]["q_proj"]["kernel"].shape[0] == (
+        TINY_HF["num_hidden_layers"]
+    )
+
+
 def test_stream_supports_bf16_target(hf_tiny, tmp_path):
     import ml_dtypes
 
