@@ -38,9 +38,14 @@ def main() -> None:
     )
     parser.add_argument(
         "--remat-policy", choices=["full", "dots"], default="full",
-        help="rematerialization policy under --scan-layers: full = "
-        "nothing saved (min memory), dots = matmul outputs saved "
+        help="rematerialization policy (scan body or unrolled blocks): "
+        "full = nothing saved (min memory), dots = matmul outputs saved "
         "(less recompute, more memory)",
+    )
+    parser.add_argument(
+        "--full-width-loss", action="store_true",
+        help="compute CE over full-width logits instead of the exactly-"
+        "equal answer-window form (A/B for the memory saving)",
     )
     args = parser.parse_args()
 
@@ -66,10 +71,12 @@ def main() -> None:
             num_hidden_layers=32, num_attention_heads=32,
             max_position_embeddings=2048, lora_rank=16, dtype=jnp.bfloat16,
             param_dtype=jnp.bfloat16, remat=True, quantize=args.int8,
+            remat_policy=args.remat_policy,
         )
     cfg = MSR3DNetworkConfig(
         prompter=OSE3DConfig(), llm=llm, backbone_name="convnext_test",
         scene_token_id=6, img_token_id=4,
+        answer_window_loss=not args.full_width_loss,
     )
     network = MSR3DNetwork(cfg)
 
@@ -154,7 +161,7 @@ def main() -> None:
     state = TrainState.create(variables, optimizer, trainable_mask=trainable)
 
     if args.scan_layers:
-        from msr3d_tpu.models.msr3d import sequence_ce_loss
+        from msr3d_tpu.models.msr3d import sequence_ce_loss_windowed
         from msr3d_tpu.parallel.llm_pp import llm_logits_from_blocks
 
         def apply_fn(vars_, batch, rng_):
@@ -162,11 +169,15 @@ def main() -> None:
                 vars_, **batch, method=network.embeds_for_loss,
                 deterministic=False, rngs={"dropout": rng_},
             )
+            answer_start = int(batch["input_ids"].shape[-1])
             logits = llm_logits_from_blocks(
                 llm, vars_["params"]["llm"], embeds, attn,
                 remat=llm.remat, remat_policy=args.remat_policy,
+                answer_start=answer_start,
             )
-            return sequence_ce_loss(logits.astype(jnp.float32), targets).mean()
+            return sequence_ce_loss_windowed(
+                logits.astype(jnp.float32), targets, answer_start
+            ).mean()
     else:
         def apply_fn(vars_, batch, rng_):
             out = network.apply(vars_, **batch, deterministic=False, rngs={"dropout": rng_})
@@ -199,7 +210,9 @@ def main() -> None:
                 "answer_tokens": T_OUT,
                 "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
                 + ("-int8base" if args.int8 else "")
-                + (f"-scan/{args.remat_policy}" if args.scan_layers else ""),
+                + (f"-scan/{args.remat_policy}" if args.scan_layers
+                   else f"-unroll/{args.remat_policy}")
+                + ("-fullw" if args.full_width_loss else "-answin"),
                 "step_ms": round(dt * 1000, 1),
                 "loss": round(float(metrics["loss"]), 3),
                 "init_s": round(init_s, 1),

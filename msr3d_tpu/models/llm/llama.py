@@ -51,6 +51,8 @@ class LlamaConfig:
     param_dtype: Any = jnp.float32  # storage dtype for the frozen base
     # (bf16 halves HBM for 7B-scale single-chip runs; LoRA stays fp32)
     remat: bool = False  # rematerialize blocks (trade recompute for HBM in training)
+    remat_policy: str = "full"  # "full" (nothing saved) | "dots" (matmul
+    # outputs saved — ~25% less recompute, more activation memory)
     quantize: bool = False  # int8 weight-only base kernels (inference)
     # sequence parallelism: name of the mesh axis to shard the sequence
     # over in the training/teacher-forcing forward — attention runs as an
@@ -537,8 +539,16 @@ class LlamaModel(nn.Module):
             param_dtype=cfg.param_dtype,
             name="embed_tokens",
         )
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if cfg.remat_policy == "dots"
+            else None
+        )
         block_cls = (
-            nn.remat(LlamaBlock, prevent_cse=False, static_argnums=(5,))
+            nn.remat(
+                LlamaBlock, prevent_cse=False, static_argnums=(5,),
+                policy=policy,
+            )
             if cfg.remat
             else LlamaBlock
         )
@@ -573,8 +583,14 @@ class LlamaModel(nn.Module):
         cache_mask: Optional[jax.Array] = None,  # (B, S) 1 = valid cache slot
         *,
         deterministic: bool = True,
+        answer_start: Optional[int] = None,
     ):
-        """Returns (logits (B,T,V), hidden (B,T,H), new kv_caches or None)."""
+        """Returns (logits (B,T,V), hidden (B,T,H), new kv_caches or None).
+
+        ``answer_start``: compute logits only for positions
+        ``answer_start-1 .. T-2`` — the answer-predicting window; the
+        fp32 logits buffer is the training-memory cap and every target
+        before the window is -100 (see sequence_ce_loss_windowed)."""
         cfg = self.cfg
         b, t, _ = inputs_embeds.shape
         if positions is None:
@@ -616,7 +632,9 @@ class LlamaModel(nn.Module):
                 updated_layers.append(updated)
 
         x = self.final_norm(x)
-        logits = self.logits(x)
+        logits = self.logits(
+            x if answer_start is None else x[:, answer_start - 1 : -1]
+        )
         new_caches = _stack_layer_caches(updated_layers)
         return logits, x, new_caches
 

@@ -59,6 +59,11 @@ class MSR3DNetworkConfig:
     freeze_image_encoder: bool = True
     scene_token_id: int = 6
     img_token_id: int = 4
+    # training loss over the answer window only (exactly equal — prompt
+    # targets are -100 — but the fp32 logits buffer shrinks T→T_out,
+    # the activation-memory cap); off by default so tests/parity see
+    # full-width logits
+    answer_window_loss: bool = False
 
 
 def splice_embeddings(
@@ -98,6 +103,26 @@ def build_targets(
     answer_targets = jnp.where(output_mask.astype(bool), output_ids, -100)
     answer_targets = answer_targets.at[:, 0].set(-100)
     return jnp.concatenate([prompt_targets, answer_targets], axis=1)
+
+
+def sequence_ce_loss_windowed(
+    window_logits: jax.Array, targets: jax.Array, start: int
+) -> jax.Array:
+    """Per-sequence CE from logits covering only positions
+    ``start-1 .. start-1+W`` (the answer window). Exactly equals
+    :func:`sequence_ce_loss` on full-width logits because every target
+    outside the window is -100 (prompt positions, msr3d.py:385-392) —
+    but the fp32 logits/log-softmax buffers shrink from T to W, the
+    memory that caps training micro-batch size."""
+    w = window_logits.shape[1]
+    shift_targets = targets[:, start : start + w]
+    valid = shift_targets >= 0
+    safe_targets = jnp.where(valid, shift_targets, 0)
+    logp = jax.nn.log_softmax(window_logits, axis=-1)
+    token_nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    token_nll = jnp.where(valid, token_nll, 0.0)
+    num_tokens = jnp.maximum(jnp.sum(valid, axis=1), 1)
+    return jnp.sum(token_nll, axis=1) / num_tokens
 
 
 def sequence_ce_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
@@ -221,6 +246,15 @@ class MSR3DNetwork(nn.Module):
             obj_masks, obj_locs, anchor_locs, anchor_orientation, images,
             image_masks, deterministic=deterministic,
         )
+        if self.cfg.answer_window_loss:
+            start = input_ids.shape[1]
+            logits, _, _ = self.llm(
+                full_embeds, full_attn, deterministic=deterministic,
+                answer_start=start,
+            )
+            logits = logits.astype(jnp.float32)
+            seq_loss = sequence_ce_loss_windowed(logits, targets, start)
+            return {"loss": seq_loss, "logits": logits}
         logits, _, _ = self.llm(full_embeds, full_attn, deterministic=deterministic)
         logits = logits.astype(jnp.float32)
         seq_loss = sequence_ce_loss(logits, targets)

@@ -154,11 +154,16 @@ def llm_logits_from_blocks(
     data_parallel: bool = False,
     remat: bool = False,
     remat_policy: str = "full",
+    answer_start: Optional[int] = None,
 ) -> jax.Array:
     """Teacher-forcing logits through stacked blocks.
 
     ``mesh`` with a pp axis > 1 → GPipe pipeline over the blocks;
     otherwise a plain scan-over-layers on the local device(s).
+    ``answer_start``: emit logits ONLY for positions
+    ``answer_start-1 .. T-2`` (the window that predicts answer tokens) —
+    pair with ``sequence_ce_loss_windowed`` for an exactly-equal loss
+    with a W-wide instead of T-wide fp32 logits buffer.
     """
     blocks = llm_params["blocks"]
     n_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
@@ -204,6 +209,8 @@ def llm_logits_from_blocks(
             remat=remat, remat_policy=remat_policy,
         )
 
+    if answer_start is not None:
+        x = x[:, answer_start - 1 : -1]
     x = RMSNorm(cfg.rms_norm_eps, cfg.dtype).apply(
         {"params": llm_params["final_norm"]}, x
     )
@@ -233,7 +240,7 @@ def make_pp_apply_fn(
     Scene encoder / splice / embedding / norm / head run outside the
     pipeline (replicated over pp, sharded over dp by GSPMD as usual).
     """
-    from msr3d_tpu.models.msr3d import sequence_ce_loss
+    from msr3d_tpu.models.msr3d import sequence_ce_loss_windowed
 
     cfg = network.cfg.llm
 
@@ -243,12 +250,16 @@ def make_pp_apply_fn(
             variables, **batch, method=network.embeds_for_loss,
             deterministic=False, rngs={"dropout": rng},
         )
+        # answer-window logits: prompt targets are all -100, so the CE
+        # is exactly the full-width loss with a T→W smaller fp32 buffer
+        answer_start = int(batch["input_ids"].shape[-1])
         logits = llm_logits_from_blocks(
             cfg, llm_params, full_embeds, full_attn,
             mesh=mesh, microbatches=microbatches,
             data_parallel=data_parallel, remat=remat,
+            answer_start=answer_start,
         ).astype(jnp.float32)
-        return sequence_ce_loss(logits, targets).mean()
+        return sequence_ce_loss_windowed(logits, targets, answer_start).mean()
 
     return apply_fn
 

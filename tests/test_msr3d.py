@@ -10,7 +10,12 @@ import jax.numpy as jnp
 
 from msr3d_tpu.models.llm.llama import LlamaConfig
 from msr3d_tpu.models.llm.tokenizer import ByteTokenizer, SCENE_PLACEHOLDER, IMAGE_PLACEHOLDER
-from msr3d_tpu.models.msr3d import MSR3D, MSR3DNetworkConfig, splice_embeddings
+from msr3d_tpu.models.msr3d import (
+    MSR3D,
+    MSR3DNetwork,
+    MSR3DNetworkConfig,
+    splice_embeddings,
+)
 from msr3d_tpu.models.ose3d_situation import OSE3DConfig, SpatialEncoderConfig
 
 TINY_PROMPTER = OSE3DConfig(
@@ -260,3 +265,30 @@ class TestLeoFormatPath:
         model.init_params(batch)
         out = model.forward(dict(data))
         assert np.isfinite(np.asarray(out["loss"])).all()
+
+
+def test_answer_window_loss_equals_full(tiny_msr3d):
+    """answer_window_loss computes CE from answer-window logits only —
+    bit-equal per-sequence loss (prompt targets are all -100), with the
+    fp32 logits buffer shrunk T→T_out (the training-memory cap)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    model = tiny_msr3d
+    rng = np.random.default_rng(11)
+    data = tiny_data_dict(rng)
+    prompts = model.build_text_prompt(data)
+    ii, am = model._encode_prompts(prompts)
+    oi, om = model._encode_answers(data["text_output"])
+    batch = model._scene_batch(data)
+    batch.update(input_ids=ii, attention_mask=am, output_ids=oi, output_mask=om)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    out_full = model.network.apply(model.params, **jb)
+    net_w = MSR3DNetwork(dataclasses.replace(model.cfg, answer_window_loss=True))
+    out_win = net_w.apply(model.params, **jb)
+    np.testing.assert_allclose(
+        np.asarray(out_win["loss"]), np.asarray(out_full["loss"]), rtol=1e-6
+    )
+    assert out_win["logits"].shape[1] == oi.shape[1] == om.shape[1]
