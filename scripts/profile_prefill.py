@@ -156,8 +156,12 @@ def main() -> None:
     prompter = network.cfg.prompter
 
     def scene_only(v, f):
+        sub = {"params": v["params"]["visual_prompter"]}
+        for coll in ("batch_stats",):
+            if coll in v and "visual_prompter" in v[coll]:
+                sub[coll] = v[coll]["visual_prompter"]
         out = OSE3DSituation(prompter).apply(
-            {"params": v["params"]["visual_prompter"]},
+            sub,
             f["obj_fts"], f["obj_masks"], f["obj_locs"], f["anchor_locs"],
             f["anchor_orientation"],
         )
@@ -185,14 +189,18 @@ def main() -> None:
         method=network.build_embeds,
     )
 
+    from msr3d_tpu.models.llm.llama import LlamaModel
+
+    llm_model = LlamaModel(llm)
+
     @jax.jit
     def llm_loop(v, e, a_):
         def body(i, carry):
             ee, accv = carry
-            logits, _, _, _, _ = network.llm.apply(
+            logits, _, _, _, _ = llm_model.apply(
                 {"params": v["params"]["llm"]}, ee, a_, prompt_len,
                 logits_last_only=True,
-                method=network.llm.prefill_with_cache,
+                method=llm_model.prefill_with_cache,
             )
             s = jnp.sum(logits.astype(jnp.float32))
             return ee + (s * 1e-12).astype(ee.dtype), accv + s
