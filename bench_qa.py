@@ -54,10 +54,8 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def run(args) -> dict:
-    """Run the benchmark, returning the record dict (importable by bench.py)."""
-
-    import jax
+def build_model(args):
+    """Flagship-scale MSR3D for benching (importable by bench_serve.py)."""
     import jax.numpy as jnp
 
     from msr3d_tpu.models.llm.llama import LlamaConfig
@@ -97,38 +95,49 @@ def run(args) -> dict:
         compact_transfer=getattr(args, "compact_transfer", False),
         eos_logit_bias=getattr(args, "eos_bias", 0.0),
     )
+    return model, llm
 
-    B, N_OBJ, N_PTS = args.batch, 60, 1024
-    rng = np.random.default_rng(0)
 
-    def make_data(seed):
-        r = np.random.default_rng(seed)
-        scene = "景" * 1  # expanded by build_text_prompt
-        # honor --prompt-len: pad the dialogue with filler context (byte
-        # tokenizer: ~1 token/char). The base prompt lands at ~207 tokens;
-        # longer settings probe the long-context decode regime.
-        base_len = 145  # prompt chars before filler + 60 scene tokens
-        filler = ""
-        if args.prompt_len > base_len + 62:
-            filler = (
-                " The room also contains assorted furniture and clutter."
-                * (1 + (args.prompt_len - base_len - 62) // 56)
-            )[: args.prompt_len - base_len - 62]
-        return {
-            "msr3d_prompt": [
-                f"You are an AI visual assistant situated in a 3D scene. "
-                f"Objects (including you) in the scene: {scene} {filler}"
-                f"USER: What is behind the chair number {i}? ASSISTANT:"
-                for i in range(B)
-            ],
-            "obj_fts": (r.normal(size=(B, N_OBJ, N_PTS, 6)) * 0.3).astype(np.float32),
-            "obj_masks": np.ones((B, N_OBJ), bool),
-            "obj_locs": r.normal(size=(B, N_OBJ, 6)).astype(np.float32),
-            "anchor_locs": r.normal(size=(B, 3)).astype(np.float32),
-            "anchor_orientation": np.tile(np.array([0, 0, 0, 1], np.float32), (B, 1)),
-        }
+def make_data(args, B, seed):
+    r = np.random.default_rng(seed)
+    N_OBJ, N_PTS = 60, 1024
+    scene = "景" * 1  # expanded by build_text_prompt
+    # honor --prompt-len: pad the dialogue with filler context (byte
+    # tokenizer: ~1 token/char). The base prompt lands at ~207 tokens;
+    # longer settings probe the long-context decode regime.
+    base_len = 145  # prompt chars before filler + 60 scene tokens
+    filler = ""
+    if args.prompt_len > base_len + 62:
+        filler = (
+            " The room also contains assorted furniture and clutter."
+            * (1 + (args.prompt_len - base_len - 62) // 56)
+        )[: args.prompt_len - base_len - 62]
+    return {
+        "msr3d_prompt": [
+            f"You are an AI visual assistant situated in a 3D scene. "
+            f"Objects (including you) in the scene: {scene} {filler}"
+            f"USER: What is behind the chair number {i}? ASSISTANT:"
+            for i in range(B)
+        ],
+        "obj_fts": (r.normal(size=(B, N_OBJ, N_PTS, 6)) * 0.3).astype(np.float32),
+        "obj_masks": np.ones((B, N_OBJ), bool),
+        "obj_locs": r.normal(size=(B, N_OBJ, 6)).astype(np.float32),
+        "anchor_locs": r.normal(size=(B, 3)).astype(np.float32),
+        "anchor_orientation": np.tile(np.array([0, 0, 0, 1], np.float32), (B, 1)),
+    }
 
-    data = make_data(0)
+
+def run(args) -> dict:
+    """Run the benchmark, returning the record dict (importable by bench.py)."""
+
+    import jax
+
+    model, llm = build_model(args)
+    tok = model.tokenizer
+
+    B = args.batch
+
+    data = make_data(args, B, 0)
     prompts = model.build_text_prompt(data)
     ii, am = model._encode_prompts(prompts)
     oi, om = model._encode_answers(["an answer"] * B)
@@ -160,7 +169,7 @@ def run(args) -> dict:
     # with depth-1 request pipelining (dispatch request i+1 before
     # fetching request i's tokens — the standard serving pattern; the
     # tunnel's per-fetch flush otherwise serializes into the step time).
-    datas = [dict(make_data(i + 1)) for i in range(args.iters)]
+    datas = [dict(make_data(args, B, i + 1)) for i in range(args.iters)]
     depth = max(0, args.pipeline_depth)
     t0 = time.perf_counter()
     if depth == 0:

@@ -1,0 +1,196 @@
+"""Expected-case serving benchmark: continuous batching vs gang scheduling.
+
+The north-star bench (bench_qa.py) measures a fixed token budget — the
+worst case. Real MSQA serving sees short, highly variable answers
+(typically <=25 tokens with a long tail), where a fixed batch decodes
+until its SLOWEST row finishes: cost per request ~ max(len) over the
+batch. ContinuousBatchingServer refills each slot the moment its request
+finishes, so cost per request ~ mean(len) + refill overhead.
+
+Both arms run byte-identical compiled kernels (the gang arm is the same
+engine with refill disabled until the batch drains — shared jitted fns),
+so the measured gap is purely the scheduling policy.
+
+Workload: per-request token budgets drawn from an MSQA-like answer-length
+mixture (45% 1-4 tokens: counting/existence; 35% 5-24: attributes;
+15% 25-64: descriptions; 5% 65-max: long tail). A budget models the
+request's natural EOS point (greedy rows are independent, so stopping a
+row at token n is exactly what EOS at n does).
+
+Emits one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import bench_qa
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="small LLM smoke")
+    p.add_argument("--int8", action="store_true")
+    p.add_argument("--kv-quant", action="store_true")
+    p.add_argument("--merged-lora", action="store_true")
+    p.add_argument("--compact-transfer", action="store_true")
+    p.add_argument("--slots", type=int, default=32, help="decode slots (batch)")
+    p.add_argument("--refill-group", type=int, default=8)
+    p.add_argument("--chunk-steps", type=int, default=16)
+    p.add_argument("--max-new", type=int, default=256,
+                   help="compiled budget (the reference eval setting)")
+    p.add_argument("--requests", type=int, default=96)
+    p.add_argument("--prompt-len", type=int, default=160)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--skip-gang", action="store_true",
+                   help="only measure the continuous arm")
+    # bench_qa.build_model compatibility
+    p.add_argument("--beams", type=int, default=1)
+    p.add_argument("--eos-bias", type=float, default=0.0)
+    p.add_argument("--act-quant", action="store_true")
+    args = p.parse_args(argv)
+    args.new_tokens = args.max_new  # model.max_out_len
+    return args
+
+
+def sample_budgets(n: int, max_new: int, seed: int) -> np.ndarray:
+    """MSQA-like answer-length mixture (see module docstring)."""
+    r = np.random.default_rng(seed)
+    kind = r.choice(4, size=n, p=[0.45, 0.35, 0.15, 0.05])
+    lens = np.where(
+        kind == 0, r.integers(1, 5, n),
+        np.where(
+            kind == 1, r.integers(5, 25, n),
+            np.where(kind == 2, r.integers(25, 65, n),
+                     r.integers(65, max(66, max_new + 1), n)),
+        ),
+    )
+    return np.clip(lens, 1, max_new).astype(np.int64)
+
+
+def split_rows(data: dict, n: int):
+    keys = [k for k in data if k != "msr3d_prompt"]
+    return [
+        {"msr3d_prompt": data["msr3d_prompt"][i],
+         **{k: data[k][i] for k in keys}}
+        for i in range(n)
+    ]
+
+
+def main() -> None:
+    args = parse_args()
+
+    import jax
+
+    from msr3d_tpu.serving import ContinuousBatchingServer
+
+    model, llm = bench_qa.build_model(args)
+
+    n = args.requests
+    data = bench_qa.make_data(args, n, args.seed)
+    requests = split_rows(data, n)
+    budgets = sample_budgets(n, args.max_new, args.seed + 1)
+
+    # init params on a small batch
+    b0 = bench_qa.make_data(args, 2, 123)
+    prompts = model.build_text_prompt(b0)
+    ii, am = model._encode_prompts(prompts)
+    oi, om = model._encode_answers(["an answer"] * 2)
+    init_batch = model._scene_batch(b0)
+    init_batch.update(input_ids=ii, attention_mask=am, output_ids=oi,
+                      output_mask=om)
+    t0 = time.time()
+    model.init_params(init_batch)
+    init_s = time.time() - t0
+
+    # engine prompt bucket from the actual workload
+    wi, _ = model._encode_prompts(model.build_text_prompt(data))
+    prompt_len = max(32, -(-wi.shape[1] // 32) * 32) + 1
+
+    cont = ContinuousBatchingServer(
+        model, args.slots, refill_group=args.refill_group,
+        chunk_steps=args.chunk_steps, max_new_tokens=args.max_new,
+        prompt_len=prompt_len,
+    )
+    # gang arm: same refill group (identical compiled prefill program —
+    # the measured gap must be the scheduling policy, nothing else), but
+    # refills only once every slot has drained
+    gang = ContinuousBatchingServer(
+        model, args.slots, refill_group=args.refill_group,
+        chunk_steps=args.chunk_steps, max_new_tokens=args.max_new,
+        prompt_len=prompt_len, drain_between_batches=True,
+    )
+    cont._build_fns()
+    gang._fns = cont._fns  # same shapes: share the compiled programs
+
+    # warm/compile: a small prefix of the workload at tiny budgets
+    warm_reqs = requests[: args.refill_group]
+    t0 = time.time()
+    cont.run(warm_reqs, budgets=[2] * len(warm_reqs))
+    compile_s = time.time() - t0
+
+    t0 = time.perf_counter()
+    res_c = cont.run(requests, budgets=budgets)
+    cont_s = time.perf_counter() - t0
+    assert len(res_c) == n
+    cont_steps = cont.steps_run
+
+    mismatch_rows = 0
+    if args.skip_gang:
+        gang_s = float("nan")
+        gang_steps = 0
+    else:
+        t0 = time.perf_counter()
+        res_g = gang.run(requests, budgets=budgets)
+        gang_s = time.perf_counter() - t0
+        assert len(res_g) == n
+        gang_steps = gang.steps_run
+        # scheduling must not change tokens (exactness proven on CPU in
+        # tests/test_serving_continuous.py); report any residual rows —
+        # on TPU bf16 RANDOM weights, near-tied argmax can flip
+        mismatch_rows = sum(
+            0 if np.array_equal(rc.output_tokens, rg.output_tokens) else 1
+            for rc, rg in zip(res_c, res_g)
+        )
+
+    record = {
+        "metric": "serving_qa_pairs_per_sec_continuous",
+        "value": round(n / cont_s, 3),
+        "unit": "QA pairs/s/chip",
+        "vs_baseline": round(gang_s / cont_s, 3) if gang_s == gang_s else 1.0,
+        "gang_qa_per_sec": round(n / gang_s, 3) if gang_s == gang_s else None,
+        "requests": n,
+        "slots": args.slots,
+        "refill_group": args.refill_group,
+        "chunk_steps": args.chunk_steps,
+        "max_new": args.max_new,
+        "prompt_len": prompt_len,
+        "budget_mean": round(float(budgets.mean()), 1),
+        "budget_max": int(budgets.max()),
+        "decode_steps_continuous": cont_steps,
+        "decode_steps_gang": gang_steps,
+        "useful_tokens": int(budgets.sum()),
+        "slot_utilization_continuous": round(
+            float(budgets.sum()) / max(1, cont_steps * args.slots), 3
+        ),
+        "slot_utilization_gang": round(
+            float(budgets.sum()) / max(1, gang_steps * args.slots), 3
+        ) if gang_steps else None,
+        "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
+        + ("-int8" if args.int8 else "")
+        + ("-kv8" if args.kv_quant else "")
+        + ("-cpk" if args.compact_transfer else ""),
+        "token_mismatch_rows": mismatch_rows,
+        "init_s": round(init_s, 1),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

@@ -285,7 +285,14 @@ def _stack_layer_caches(layers):
 
 def _cache_write(cache, k, v, cache_index):
     """Write new k/v (B, T, h, d) into a (possibly int8) cache at
-    ``cache_index`` along the sequence axis."""
+    ``cache_index`` along the sequence axis.
+
+    ``cache_index`` is a scalar (every row writes the same slot — the
+    uniform decode loops) or a (B,) vector of per-row slots (continuous
+    batching: slots sit at different decode depths, so each row writes
+    its own next position; requires T == 1)."""
+    if jnp.ndim(cache_index) == 1:
+        return _cache_write_rows(cache, k, v, cache_index)
     out = dict(cache)
     if "k_scale" in cache:
         kq, ks = _quantize_kv(k)
@@ -308,6 +315,40 @@ def _cache_write(cache, k, v, cache_index):
         )
         out["v"] = jax.lax.dynamic_update_slice(
             cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0)
+        )
+    return out
+
+
+def _cache_write_rows(cache, k, v, cache_index):
+    """Per-row cache write: row b's k/v land at slot ``cache_index[b]``.
+
+    Out-of-bounds rows (e.g. an idle continuous-batching slot carrying
+    index -1) are dropped by JAX scatter semantics — their mask keeps
+    them unread anyway."""
+    assert k.shape[1] == 1, "per-row cache write requires T == 1"
+    rows = jnp.arange(k.shape[0])
+    out = dict(cache)
+    if "k_scale" in cache:
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        out["k"] = cache["k"].at[rows, cache_index].set(
+            kq[:, 0], mode="drop"
+        )
+        out["v"] = cache["v"].at[rows, cache_index].set(
+            vq[:, 0], mode="drop"
+        )
+        out["k_scale"] = cache["k_scale"].at[rows, cache_index].set(
+            ks[:, 0], mode="drop"
+        )
+        out["v_scale"] = cache["v_scale"].at[rows, cache_index].set(
+            vs[:, 0], mode="drop"
+        )
+    else:
+        out["k"] = cache["k"].at[rows, cache_index].set(
+            k[:, 0].astype(cache["k"].dtype), mode="drop"
+        )
+        out["v"] = cache["v"].at[rows, cache_index].set(
+            v[:, 0].astype(cache["v"].dtype), mode="drop"
         )
     return out
 

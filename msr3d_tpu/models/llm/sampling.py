@@ -57,6 +57,31 @@ def _mask_min_length(
     return jnp.where((step < min_length - 1) & is_eos, -jnp.inf, logits)
 
 
+def pick_next_rows(
+    logits: jax.Array,  # (B, V) fp32
+    seen: jax.Array,  # (B, V) bool
+    steps: jax.Array,  # (B,) per-row emission step (0 = first token)
+    *,
+    eos_id: int,
+    repetition_penalty: float = 1.0,
+    eos_logit_bias: float = 0.0,
+    min_length: int = 1,
+) -> jax.Array:
+    """Per-row greedy pick: the vectorized form of the decode loops'
+    ``pick`` where each row sits at its own step (continuous batching —
+    slots refill independently, so min_length/eos-bias gating is per-row).
+    Row-for-row identical to the uniform ``pick`` when all steps match."""
+    logits = apply_repetition_penalty(logits, seen, repetition_penalty)
+    is_eos = (jnp.arange(logits.shape[-1]) == eos_id)[None, :]
+    if eos_logit_bias:
+        logits = logits + is_eos * jnp.float32(eos_logit_bias)
+    if min_length > 1:
+        logits = jnp.where(
+            (steps[:, None] < min_length - 1) & is_eos, -jnp.inf, logits
+        )
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
 def greedy_decode(
     decode_step: Callable,
     kv_caches: Dict[str, jax.Array],

@@ -151,3 +151,335 @@ class BatchingServer:
             )
             for i in range(n)
         ]
+
+
+# ---------------------------------------------------------------------------
+# Continuous batching: slot-refill serving
+# ---------------------------------------------------------------------------
+
+
+class ContinuousBatchingServer:
+    """Slot-based continuous batching for greedy serving (vLLM-style
+    scheduling, TPU-static shapes).
+
+    ``BatchingServer`` gang-schedules: every batch decodes until its
+    SLOWEST request finishes, so at variable answer lengths the whole
+    batch pays ``max(len)`` steps per request. This engine keeps
+    ``num_slots`` requests decoding concurrently and refills a slot the
+    moment its request finishes — steady-state decode cost per request
+    approaches ``mean(len)`` steps, the expected-case serving win the
+    fixed batcher leaves on the table.
+
+    TPU-native design — everything is statically shaped, three compiled
+    programs total:
+
+    - ``prefill``: the real ``MSR3DNetwork.prefill`` at the fixed refill
+      group size R and a fixed prompt bucket ``prompt_len`` (includes the
+      trailing bos).
+    - ``insert``: scatters the R prefilled rows (prompt KV, mask, first
+      token, position) into the persistent slot state at R free slots
+      (donated — in-place row updates).
+    - ``decode_chunk``: up to ``chunk_steps`` decode steps in one
+      ``lax.while_loop`` over the donated slot state. Slots sit at
+      different depths, so KV writes take the per-row vector-index path
+      (llama._cache_write_rows) and token picks the per-row
+      ``pick_next_rows``; the prompt KV segment stays a loop-invariant
+      operand exactly like the split-cache greedy loop.
+
+    Per-request token budgets (``max_new_tokens`` per sample, or the
+    ``budgets`` argument to :meth:`run`) are first-class: a row finishes
+    at EOS or at its own budget. Greedy only — beam eval stays on
+    ``BatchingServer`` (beams share a prompt segment; slot-refill across
+    beam groups would forfeit that sharing).
+
+    ``drain_between_batches=True`` disables refill until every slot
+    finishes — the gang-scheduled control arm for benchmarking, using
+    byte-identical kernels (bench_serve.py measures the scheduling gap
+    in isolation).
+    """
+
+    def __init__(
+        self,
+        model,
+        num_slots: int,
+        *,
+        refill_group: int = 4,
+        chunk_steps: int = 16,
+        max_new_tokens: Optional[int] = None,
+        prompt_len: Optional[int] = None,
+        drain_between_batches: bool = False,
+    ):
+        import jax  # lazy: the fixed-batch server above is host-only
+
+        assert 1 <= refill_group <= num_slots
+        self.model = model
+        self.num_slots = num_slots
+        self.refill_group = refill_group
+        self.chunk_steps = chunk_steps
+        self.max_new = int(max_new_tokens or model.max_out_len)
+        self.prompt_len = int(prompt_len or model.prompt_pad_to)
+        self.drain_between_batches = drain_between_batches
+        self._jax = jax
+        self._fns = None  # (init_state, prefill, insert, decode_chunk)
+        self.steps_run = 0  # decode-step census for utilization reporting
+
+    # -- compiled programs ----------------------------------------------
+
+    def _build_fns(self):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        from functools import partial
+
+        from msr3d_tpu.models.llm.llama import _make_cache
+        from msr3d_tpu.models.llm.sampling import pick_next_rows
+        from msr3d_tpu.models.msr3d import MSR3D
+
+        model = self.model
+        network = model.network
+        llm_cfg = model.cfg.llm
+        B, S_p, S_g = self.num_slots, self.prompt_len, self.max_new
+        V = llm_cfg.vocab_size
+        eos = model.tokenizer.eos_id
+        bos = model.tokenizer.bos_id
+        rp = model.repetition_penalty
+        eos_bias = model.eos_logit_bias
+        n_steps = self.chunk_steps
+
+        @jax.jit
+        def init_state():
+            return (
+                _make_cache(llm_cfg, B, S_p),  # prompt_kv
+                jnp.zeros((B, S_p), bool),  # prompt_mask
+                dict(
+                    gen_kv=_make_cache(llm_cfg, B, S_g),
+                    generated=jnp.full((B, S_g), eos, jnp.int32),
+                    cnt=jnp.zeros((B,), jnp.int32),
+                    pos=jnp.zeros((B,), jnp.int32),
+                    finished=jnp.ones((B,), bool),
+                    active=jnp.zeros((B,), bool),
+                    seen=jnp.zeros((B, V), bool),
+                    budget=jnp.zeros((B,), jnp.int32),
+                ),
+            )
+
+        @jax.jit
+        def prefill(variables, batch):
+            batch = MSR3D._unpack_batch(batch)
+            return network.apply(
+                variables, **batch, bos_id=bos, max_cache_len=S_p,
+                method=network.prefill,
+            )
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def insert(
+            prompt_kv, prompt_mask, state,
+            new_kv, new_mask, new_first, new_pos, slots, valid, budgets,
+        ):
+            r = slots.shape[0]
+            prompt_kv = {
+                key: arr.at[:, slots].set(new_kv[key].astype(arr.dtype))
+                for key, arr in prompt_kv.items()
+            }
+            prompt_mask = prompt_mask.at[slots].set(new_mask)
+            tok0 = pick_next_rows(
+                new_first.astype(jnp.float32), jnp.zeros((r, V), bool),
+                jnp.zeros((r,), jnp.int32), eos_id=eos,
+                repetition_penalty=rp, eos_logit_bias=eos_bias,
+            )
+            gen_rows = jnp.full((r, S_g), eos, jnp.int32).at[:, 0].set(tok0)
+            seen_rows = jnp.zeros((r, V), bool).at[jnp.arange(r), tok0].set(True)
+            fin0 = (tok0 == eos) | (budgets <= 1)
+            state = dict(
+                state,
+                generated=state["generated"].at[slots].set(gen_rows),
+                seen=state["seen"].at[slots].set(seen_rows),
+                cnt=state["cnt"].at[slots].set(1),
+                pos=state["pos"].at[slots].set(new_pos.astype(jnp.int32)),
+                finished=state["finished"].at[slots].set(
+                    jnp.where(valid, fin0, True)
+                ),
+                active=state["active"].at[slots].set(valid),
+                budget=state["budget"].at[slots].set(budgets),
+            )
+            return prompt_kv, prompt_mask, state
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def decode_chunk(variables, prompt_kv, prompt_mask, state):
+            rows = jnp.arange(B)
+            slot_iota = jnp.arange(S_g)[None, :]
+
+            def cond(carry):
+                i, st = carry
+                return (i < n_steps) & jnp.any(st["active"] & ~st["finished"])
+
+            def body(carry):
+                i, st = carry
+                run = st["active"] & ~st["finished"]
+                cnt = st["cnt"]
+                tok = st["generated"][rows, jnp.maximum(cnt - 1, 0)]
+                # idle rows carry index -1: the scatter drops their write
+                gen_index = jnp.where(run, cnt - 1, -1)
+                gen_mask = slot_iota < cnt[:, None]
+                logits, gen_kv = network.apply(
+                    variables, tok[:, None], st["pos"][:, None],
+                    prompt_kv, prompt_mask, st["gen_kv"], gen_index,
+                    gen_mask, method=network.decode_step_shared,
+                )
+                nxt = pick_next_rows(
+                    logits[:, -1, :].astype(jnp.float32), st["seen"], cnt,
+                    eos_id=eos, repetition_penalty=rp,
+                    eos_logit_bias=eos_bias,
+                )
+                nxt = jnp.where(run, nxt, jnp.int32(eos))
+                col = jnp.minimum(cnt, S_g - 1)
+                cur = st["generated"][rows, col]
+                generated = st["generated"].at[rows, col].set(
+                    jnp.where(run, nxt, cur)
+                )
+                seen = jnp.where(
+                    run[:, None], st["seen"].at[rows, nxt].set(True),
+                    st["seen"],
+                )
+                finished = st["finished"] | (
+                    run & ((nxt == eos) | (cnt + 1 >= st["budget"]))
+                )
+                inc = run.astype(jnp.int32)
+                st = dict(
+                    st, gen_kv=gen_kv, generated=generated, seen=seen,
+                    finished=finished, cnt=cnt + inc, pos=st["pos"] + inc,
+                )
+                return i + 1, st
+
+            steps, state = lax.while_loop(
+                cond, body, (jnp.int32(0), state)
+            )
+            return steps, state
+
+        self._fns = (init_state, prefill, insert, decode_chunk)
+        return self._fns
+
+    # -- host side -------------------------------------------------------
+
+    def _prefill_group(self, samples: List[Dict[str, Any]]):
+        from msr3d_tpu.models.msr3d import _to_jax
+
+        model = self.model
+        data = _collate(samples)
+        prompts = model.build_text_prompt(data)
+        ids, attn = model._encode_prompts(prompts)
+        width = self.prompt_len - 1  # prefill appends the trailing bos
+        assert ids.shape[1] <= width, (
+            f"prompt ({ids.shape[1]} tokens) exceeds the engine bucket "
+            f"({width}); raise prompt_len"
+        )
+        pad = width - ids.shape[1]
+        if pad:
+            b = ids.shape[0]
+            ids = np.concatenate(
+                [np.full((b, pad), model.tokenizer.pad_id, ids.dtype), ids],
+                axis=1,
+            )
+            attn = np.concatenate(
+                [np.zeros((b, pad), attn.dtype), attn], axis=1
+            )
+        batch = model._maybe_pack(model._scene_batch(data))
+        batch.update(input_ids=ids, attention_mask=attn)
+        _, prefill, _, _ = self._fns
+        first, kv, mask, next_pos = prefill(model.params, _to_jax(batch))
+        return first, kv, mask, next_pos
+
+    def run(
+        self,
+        samples: Iterable[Dict[str, Any]],
+        *,
+        budgets: Optional[Iterable[int]] = None,
+    ) -> List[Result]:
+        """Serve all requests; returns results in request order.
+
+        Per-request token budgets come from ``budgets`` (parallel to
+        ``samples``) or a sample's ``max_new_tokens`` key, defaulting to
+        the engine-wide ``max_new_tokens``."""
+        import jax.numpy as jnp
+
+        model = self.model
+        assert model.params is not None, "init or load params first"
+        if self._fns is None:
+            self._build_fns()
+        init_state, _, insert, decode_chunk = self._fns
+
+        budget_list = list(budgets) if budgets is not None else None
+        queue: deque = deque()
+        for i, s in enumerate(samples):
+            b = (
+                budget_list[i]
+                if budget_list is not None
+                else s.get("max_new_tokens", self.max_new)
+            )
+            queue.append((i, s, max(1, min(int(b), self.max_new))))
+        n_requests = len(queue)
+        results: List[Optional[Result]] = [None] * n_requests
+
+        prompt_kv, prompt_mask, state = init_state()
+        free: deque = deque(range(self.num_slots))
+        slot_rid: Dict[int, int] = {}
+        self.steps_run = 0
+        r = self.refill_group
+
+        while queue or slot_rid:
+            # refill whenever a full group of free slots is available.
+            # Drain mode (the gang-scheduled control arm): refill only in
+            # a burst once EVERY slot has come home — but the burst still
+            # fills group-by-group at the same R, so both arms run the
+            # byte-identical compiled prefill program (bf16 argmax decode
+            # is sensitive to batch-shape-dependent compilation).
+            burst = not (self.drain_between_batches and slot_rid)
+            can_refill = burst and len(free) >= r and bool(queue)
+            while can_refill:
+                n_real = min(r, len(queue))
+                group = [queue.popleft() for _ in range(n_real)]
+                g_samples = [s for _, s, _ in group]
+                g_budgets = [b for _, _, b in group]
+                while len(g_samples) < r:  # pad the tail group
+                    g_samples.append(g_samples[-1])
+                    g_budgets.append(1)
+                first, kv, mask, next_pos = self._prefill_group(g_samples)
+                slots = [free.popleft() for _ in range(r)]
+                valid = np.zeros(r, bool)
+                valid[:n_real] = True
+                prompt_kv, prompt_mask, state = insert(
+                    prompt_kv, prompt_mask, state,
+                    kv, mask, first, next_pos,
+                    jnp.asarray(np.asarray(slots, np.int32)),
+                    jnp.asarray(valid),
+                    jnp.asarray(np.asarray(g_budgets, np.int32)),
+                )
+                for j, (rid, _, _) in enumerate(group):
+                    slot_rid[slots[j]] = rid
+                for s_pad in slots[n_real:]:  # padding rows are idle
+                    free.append(s_pad)
+                can_refill = burst and len(free) >= r and bool(queue)
+
+            if not slot_rid:
+                continue  # nothing running (all-padding group edge case)
+
+            steps, state = decode_chunk(
+                model.params, prompt_kv, prompt_mask, state
+            )
+            self.steps_run += int(steps)
+
+            finished = np.asarray(state["finished"])
+            done = [s for s in list(slot_rid) if finished[s]]
+            if done:
+                gen = np.asarray(state["generated"])
+                texts = model.batch_detokenize(
+                    np.stack([gen[s] for s in done])
+                )
+                for j, s in enumerate(done):
+                    rid = slot_rid.pop(s)
+                    results[rid] = Result(
+                        id=rid, output_text=texts[j], output_tokens=gen[s]
+                    )
+                    free.append(s)
+
+        return [res for res in results if res is not None]

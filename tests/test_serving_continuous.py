@@ -1,0 +1,157 @@
+"""ContinuousBatchingServer: slot-refill greedy serving must be
+token-identical per request to the fixed-batch generate path (greedy rows
+are independent, so scheduling must not change tokens), budgets must act
+as per-request token caps, and the per-row vector-index cache write must
+match the scalar path bit-for-bit."""
+
+import numpy as np
+import pytest
+
+from msr3d_tpu.serving import ContinuousBatchingServer
+from tests.test_serving import _requests
+
+
+def _batch_of(reqs):
+    keys = (
+        "obj_fts", "obj_masks", "obj_locs", "anchor_locs",
+        "anchor_orientation", "msr3d_imgs", "msr3d_img_masks",
+    )
+    return {
+        "msr3d_prompt": [r["msr3d_prompt"] for r in reqs],
+        **{k: np.stack([r[k] for r in reqs]) for k in keys},
+    }
+
+
+def _direct_tokens(model, reqs, max_new):
+    out = model.generate(_batch_of(reqs), use_beam=False, max_new_tokens=max_new)
+    return np.asarray(out["output_tokens"])
+
+
+def test_continuous_matches_generate(tiny_msr3d, rng):
+    reqs = _requests(rng, 7)
+    max_new = 8
+    direct = _direct_tokens(tiny_msr3d, reqs, max_new)
+    # same prompt bucket as generate (pad-to-32 + trailing bos) so the
+    # comparison is step-for-step, not just pad-invariance
+    ii, _ = tiny_msr3d._encode_prompts(tiny_msr3d.build_text_prompt(_batch_of(reqs)))
+    prompt_len = max(32, -(-ii.shape[1] // 32) * 32) + 1
+
+    server = ContinuousBatchingServer(
+        tiny_msr3d, num_slots=3, refill_group=1, chunk_steps=4,
+        max_new_tokens=max_new, prompt_len=prompt_len,
+    )
+    results = server.run(reqs)
+    assert [r.id for r in results] == list(range(7))
+    for r in results:
+        np.testing.assert_array_equal(r.output_tokens, direct[r.id])
+    assert server.steps_run > 0
+
+
+def test_continuous_group_refill_and_drain_mode(tiny_msr3d, rng):
+    reqs = _requests(rng, 5)
+    max_new = 6
+    direct = _direct_tokens(tiny_msr3d, reqs, max_new)
+    ii, _ = tiny_msr3d._encode_prompts(tiny_msr3d.build_text_prompt(_batch_of(reqs)))
+    prompt_len = max(32, -(-ii.shape[1] // 32) * 32) + 1
+
+    # group refill (R=2, tail group padded) — continuous mode
+    cont = ContinuousBatchingServer(
+        tiny_msr3d, num_slots=4, refill_group=2, chunk_steps=3,
+        max_new_tokens=max_new, prompt_len=prompt_len,
+    )
+    for r in cont.run(reqs):
+        np.testing.assert_array_equal(r.output_tokens, direct[r.id])
+
+    # drain mode = gang scheduling with identical kernels; burst-fills
+    # group-by-group (R=2 twice) before decoding
+    gang = ContinuousBatchingServer(
+        tiny_msr3d, num_slots=4, refill_group=2, chunk_steps=3,
+        max_new_tokens=max_new, prompt_len=prompt_len,
+        drain_between_batches=True,
+    )
+    for r in gang.run(reqs):
+        np.testing.assert_array_equal(r.output_tokens, direct[r.id])
+    assert gang.steps_run >= 0
+
+
+def test_continuous_per_request_budgets(tiny_msr3d, rng):
+    reqs = _requests(rng, 4)
+    max_new = 8
+    direct = _direct_tokens(tiny_msr3d, reqs, max_new)
+    ii, _ = tiny_msr3d._encode_prompts(tiny_msr3d.build_text_prompt(_batch_of(reqs)))
+    prompt_len = max(32, -(-ii.shape[1] // 32) * 32) + 1
+    eos = tiny_msr3d.tokenizer.eos_id
+
+    budgets = [1, 3, 8, 5]
+    server = ContinuousBatchingServer(
+        tiny_msr3d, num_slots=2, refill_group=1, chunk_steps=4,
+        max_new_tokens=max_new, prompt_len=prompt_len,
+    )
+    results = server.run(reqs, budgets=budgets)
+    for r in results:
+        b = budgets[r.id]
+        # prefix property: a budget caps a row without changing its tokens
+        np.testing.assert_array_equal(r.output_tokens[:b], direct[r.id][:b])
+        assert (r.output_tokens[b:] == eos).all()
+
+
+def test_cache_write_rows_matches_scalar():
+    """Vector-index KV write == scalar write, bf16 and int8 layouts."""
+    import jax.numpy as jnp
+
+    from msr3d_tpu.models.llm.llama import (
+        _cache_write, quantize_kv_cache,
+    )
+
+    rng = np.random.default_rng(0)
+    b, s, h, d = 3, 7, 2, 4
+    k = jnp.asarray(rng.normal(size=(b, 1, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, 1, h, d)).astype(np.float32))
+    for quant in (False, True):
+        cache = {
+            "k": jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32)),
+            "v": jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32)),
+        }
+        if quant:
+            cache = quantize_kv_cache(cache)
+        scalar = _cache_write(cache, k, v, 4)
+        vector = _cache_write(cache, k, v, jnp.full((b,), 4, jnp.int32))
+        for key in scalar:
+            np.testing.assert_array_equal(
+                np.asarray(scalar[key]), np.asarray(vector[key])
+            )
+        # distinct per-row slots: row i lands at its own index, others keep
+        idx = jnp.asarray(np.array([1, 5, 2], np.int32))
+        out = _cache_write(cache, k, v, idx)
+        for i, slot_i in enumerate([1, 5, 2]):
+            one = _cache_write(
+                {key: val[i : i + 1] for key, val in cache.items()},
+                k[i : i + 1], v[i : i + 1], int(slot_i),
+            )
+            for key in one:
+                np.testing.assert_array_equal(
+                    np.asarray(out[key][i]), np.asarray(one[key][0])
+                )
+
+
+def test_continuous_with_eos_termination(tiny_msr3d, rng):
+    """With an EOS logit bias rows terminate early and slots refill on
+    EOS (not just budget exhaustion) — tokens still match generate."""
+    reqs = _requests(rng, 4)
+    max_new = 8
+    old_bias = tiny_msr3d.eos_logit_bias
+    tiny_msr3d.eos_logit_bias = 4.0
+    try:
+        direct = _direct_tokens(tiny_msr3d, reqs, max_new)
+        ii, _ = tiny_msr3d._encode_prompts(
+            tiny_msr3d.build_text_prompt(_batch_of(reqs))
+        )
+        prompt_len = max(32, -(-ii.shape[1] // 32) * 32) + 1
+        server = ContinuousBatchingServer(
+            tiny_msr3d, num_slots=2, refill_group=1, chunk_steps=4,
+            max_new_tokens=max_new, prompt_len=prompt_len,
+        )
+        for r in server.run(reqs):
+            np.testing.assert_array_equal(r.output_tokens, direct[r.id])
+    finally:
+        tiny_msr3d.eos_logit_bias = old_bias
