@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip-gang", action="store_true",
                    help="only measure the continuous arm")
+    p.add_argument("--lookahead", type=int, default=1,
+                   help="decode chunks dispatched before fetching flags "
+                        "(both arms; 0 = synchronous host loop)")
     # bench_qa.build_model compatibility
     p.add_argument("--beams", type=int, default=1)
     p.add_argument("--eos-bias", type=float, default=0.0)
@@ -114,7 +117,7 @@ def main() -> None:
     cont = ContinuousBatchingServer(
         model, args.slots, refill_group=args.refill_group,
         chunk_steps=args.chunk_steps, max_new_tokens=args.max_new,
-        prompt_len=prompt_len,
+        prompt_len=prompt_len, lookahead=args.lookahead,
     )
     # gang arm: same refill group (identical compiled prefill program —
     # the measured gap must be the scheduling policy, nothing else), but
@@ -123,6 +126,7 @@ def main() -> None:
         model, args.slots, refill_group=args.refill_group,
         chunk_steps=args.chunk_steps, max_new_tokens=args.max_new,
         prompt_len=prompt_len, drain_between_batches=True,
+        lookahead=args.lookahead,
     )
     cont._build_fns()
     gang._fns = cont._fns  # same shapes: share the compiled programs

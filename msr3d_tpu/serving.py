@@ -208,6 +208,7 @@ class ContinuousBatchingServer:
         max_new_tokens: Optional[int] = None,
         prompt_len: Optional[int] = None,
         drain_between_batches: bool = False,
+        lookahead: int = 1,
     ):
         import jax  # lazy: the fixed-batch server above is host-only
 
@@ -219,6 +220,13 @@ class ContinuousBatchingServer:
         self.max_new = int(max_new_tokens or model.max_out_len)
         self.prompt_len = int(prompt_len or model.prompt_pad_to)
         self.drain_between_batches = drain_between_batches
+        # dispatch up to `lookahead` further chunks before fetching a
+        # chunk's finished-flags (the flags travel as separate device
+        # copies, so the donated state can flow into the next chunk while
+        # the host still reads them). Scheduling decisions lag by at most
+        # `lookahead` chunks — worth it because the flag fetch is a full
+        # host<->device round trip per chunk (0 = fully synchronous).
+        self.lookahead = max(0, lookahead)
         self._jax = jax
         self._fns = None  # (init_state, prefill, insert, decode_chunk)
         self.steps_run = 0  # decode-step census for utilization reporting
@@ -425,8 +433,29 @@ class ContinuousBatchingServer:
         slot_rid: Dict[int, int] = {}
         self.steps_run = 0
         r = self.refill_group
+        done_count = 0
+        inflight: deque = deque()  # (steps, finished-copy, generated-copy)
 
-        while queue or slot_rid:
+        def process_one():
+            nonlocal done_count
+            steps, fin_dev, gen_dev = inflight.popleft()
+            self.steps_run += int(steps)
+            finished = np.asarray(fin_dev)
+            done = [s for s in list(slot_rid) if finished[s]]
+            if done:
+                gen = np.asarray(gen_dev)
+                texts = model.batch_detokenize(
+                    np.stack([gen[s] for s in done])
+                )
+                for j, s in enumerate(done):
+                    rid = slot_rid.pop(s)
+                    results[rid] = Result(
+                        id=rid, output_text=texts[j], output_tokens=gen[s]
+                    )
+                    free.append(s)
+                    done_count += 1
+
+        while done_count < n_requests:
             # refill whenever a full group of free slots is available.
             # Drain mode (the gang-scheduled control arm): refill only in
             # a burst once EVERY slot has come home — but the burst still
@@ -460,26 +489,22 @@ class ContinuousBatchingServer:
                     free.append(s_pad)
                 can_refill = burst and len(free) >= r and bool(queue)
 
-            if not slot_rid:
-                continue  # nothing running (all-padding group edge case)
-
-            steps, state = decode_chunk(
-                model.params, prompt_kv, prompt_mask, state
-            )
-            self.steps_run += int(steps)
-
-            finished = np.asarray(state["finished"])
-            done = [s for s in list(slot_rid) if finished[s]]
-            if done:
-                gen = np.asarray(state["generated"])
-                texts = model.batch_detokenize(
-                    np.stack([gen[s] for s in done])
+            if slot_rid:
+                steps, state = decode_chunk(
+                    model.params, prompt_kv, prompt_mask, state
                 )
-                for j, s in enumerate(done):
-                    rid = slot_rid.pop(s)
-                    results[rid] = Result(
-                        id=rid, output_text=texts[j], output_tokens=gen[s]
-                    )
-                    free.append(s)
+                # flags travel as explicit device copies: the state
+                # buffers themselves get donated into the NEXT chunk, and
+                # fetching a donated buffer is an error by design
+                inflight.append(
+                    (steps, jnp.copy(state["finished"]),
+                     jnp.copy(state["generated"]))
+                )
+
+            # fetch past-chunk flags; keep at most `lookahead` chunks
+            # outstanding while work remains, drain fully otherwise
+            target = self.lookahead if slot_rid else 0
+            while len(inflight) > target or (not slot_rid and inflight):
+                process_one()
 
         return [res for res in results if res is not None]

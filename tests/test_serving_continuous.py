@@ -74,6 +74,28 @@ def test_continuous_group_refill_and_drain_mode(tiny_msr3d, rng):
     assert gang.steps_run >= 0
 
 
+def test_continuous_lookahead_modes(tiny_msr3d, rng):
+    """Flag-fetch lookahead (0 = synchronous, N = N chunks outstanding)
+    only changes host scheduling — tokens must match generate in every
+    mode, including drain (gang) mode under lookahead."""
+    reqs = _requests(rng, 5)
+    max_new = 6
+    direct = _direct_tokens(tiny_msr3d, reqs, max_new)
+    ii, _ = tiny_msr3d._encode_prompts(tiny_msr3d.build_text_prompt(_batch_of(reqs)))
+    prompt_len = max(32, -(-ii.shape[1] // 32) * 32) + 1
+
+    for lookahead, drain in ((0, False), (3, False), (2, True)):
+        server = ContinuousBatchingServer(
+            tiny_msr3d, num_slots=3, refill_group=1, chunk_steps=3,
+            max_new_tokens=max_new, prompt_len=prompt_len,
+            drain_between_batches=drain, lookahead=lookahead,
+        )
+        results = server.run(reqs)
+        assert [r.id for r in results] == list(range(5))
+        for r in results:
+            np.testing.assert_array_equal(r.output_tokens, direct[r.id])
+
+
 def test_continuous_per_request_budgets(tiny_msr3d, rng):
     reqs = _requests(rng, 4)
     max_new = 8
