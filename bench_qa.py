@@ -22,6 +22,12 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="small LLM")
     parser.add_argument("--int8", action="store_true", help="int8 weight-only base")
+    parser.add_argument("--int4", action="store_true",
+                        help="int4 split-nibble weight-only base (~3.4 GB at "
+                        "7B): capacity knob for larger decode batch")
+    parser.add_argument("--quant-group", type=int, default=0,
+                        help="int4 group-scale size along the input dim "
+                        "(0 = per-output-channel)")
     parser.add_argument("--act-quant", action="store_true",
                         help="s8xs8: also quantize activations (needs --int8)")
     parser.add_argument("--kv-quant", action="store_true",
@@ -78,7 +84,9 @@ def build_model(args):
             lora_rank=0 if args.merged_lora else 16,
             dtype=jnp.bfloat16,
             param_dtype=jnp.bfloat16,  # frozen base stored bf16: 13.5 GB
-            quantize=args.int8,        # int8 weight-only: ~6.8 GB
+            quantize=args.int8 or getattr(args, "int4", False),
+            quantize_bits=4 if getattr(args, "int4", False) else 8,
+            quantize_group=getattr(args, "quant_group", 0) or None,
             act_quantize=getattr(args, "act_quant", False),
             kv_quantize=getattr(args, "kv_quant", False),
         )
@@ -203,6 +211,8 @@ def run(args) -> dict:
                 "beams": args.beams,
                 "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
                 + ("-int8" if args.int8 else "")
+                + ("-int4" if getattr(args, "int4", False) else "")
+                + (f"-g{args.quant_group}" if getattr(args, "quant_group", 0) else "")
                 + ("-s8s8" if getattr(args, "act_quant", False) else "")
                 + ("-kv8" if getattr(args, "kv_quant", False) else "")
                 + ("-cpk" if getattr(args, "compact_transfer", False) else ""),

@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="small LLM smoke")
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--int4", action="store_true")
+    p.add_argument("--quant-group", type=int, default=0)
     p.add_argument("--kv-quant", action="store_true")
     p.add_argument("--merged-lora", action="store_true")
     p.add_argument("--compact-transfer", action="store_true")

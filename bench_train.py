@@ -21,6 +21,11 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument(
+        "--int4", action="store_true",
+        help="QLoRA-4bit: int4 split-nibble frozen base (~3.4 GB at 7B) — "
+        "frees HBM for larger micro-batch; dequant cost amortizes over "
+        "batch")
+    parser.add_argument(
         "--int8", action="store_true",
         help="QLoRA-style: int8 frozen base (stop-gradient, weight-only "
         "quant) under bf16 LoRA — halves the 13.5 GB weight footprint so "
@@ -70,7 +75,9 @@ def main() -> None:
             vocab_size=32000, hidden_size=4096, intermediate_size=11008,
             num_hidden_layers=32, num_attention_heads=32,
             max_position_embeddings=2048, lora_rank=16, dtype=jnp.bfloat16,
-            param_dtype=jnp.bfloat16, remat=True, quantize=args.int8,
+            param_dtype=jnp.bfloat16, remat=True,
+            quantize=args.int8 or getattr(args, "int4", False),
+            quantize_bits=4 if getattr(args, "int4", False) else 8,
             remat_policy=args.remat_policy,
         )
     cfg = MSR3DNetworkConfig(
@@ -210,6 +217,7 @@ def main() -> None:
                 "answer_tokens": T_OUT,
                 "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
                 + ("-int8base" if args.int8 else "")
+                + ("-int4base" if getattr(args, "int4", False) else "")
                 + (f"-scan/{args.remat_policy}" if args.scan_layers
                    else f"-unroll/{args.remat_policy}")
                 + ("-fullw" if args.full_width_loss else "-answin"),

@@ -40,6 +40,8 @@ def build_llm_config(llm_cfg, tokenizer, dtype=jnp.bfloat16) -> LlamaConfig:
     extra = dict(
         param_dtype=jnp.bfloat16 if llm_cfg.get("param_dtype", "bf16") == "bf16" else jnp.float32,
         quantize=bool(llm_cfg.get("quantize", False)),
+        quantize_bits=int(llm_cfg.get("quantize_bits", 8)),
+        quantize_group=llm_cfg.get("quantize_group", None),
         remat=bool(llm_cfg.get("remat", False)),
     )
 

@@ -19,6 +19,7 @@ import re
 from pathlib import Path
 from typing import Any, Dict
 
+import ml_dtypes
 import numpy as np
 
 from msr3d_tpu.models.llm.llama import LlamaConfig
@@ -187,13 +188,21 @@ def init_lora_params(params: Dict[str, Any], cfg: LlamaConfig, seed: int = 0):
                 if proj not in cfg.lora_targets:
                     continue
                 dst = params[f"layer_{i}"][block][proj]
-                fan_in = dst["kernel"].shape[0]
+                if "kernel" in dst:
+                    fan_in = dst["kernel"].shape[0]
+                    fan_out = dst["kernel"].shape[1]
+                else:  # QLoRA: quantized base (int8: rows = fan_in;
+                    # int4 split-nibble packing: rows = fan_in/2)
+                    fan_in = dst["kernel_q"].shape[0] * (
+                        2 if cfg.quantize_bits == 4 else 1
+                    )
+                    fan_out = dst["kernel_q"].shape[1]
                 bound = np.sqrt(6.0 / fan_in)
                 dst["lora_a"] = rng.uniform(
                     -bound, bound, size=(fan_in, cfg.lora_rank)
                 ).astype(np.float32)
                 dst["lora_b"] = np.zeros(
-                    (cfg.lora_rank, dst["kernel"].shape[1]), np.float32
+                    (cfg.lora_rank, fan_out), np.float32
                 )
     return params
 
@@ -256,15 +265,58 @@ def load_hf_checkpoint(path: str | Path, dtype=np.float32, **config_overrides):
     return cfg, params
 
 
+def pack_int4(q: np.ndarray) -> np.ndarray:
+    """(in, F) int4-valued int8 → (in/2, F) split-nibble packed int8.
+
+    Low nibbles hold rows [0, in/2), high nibbles rows [in/2, in) — the
+    layout ``LoraDense(bits=4)`` unpacks with two sign-extending shifts
+    and contracts as two half-dots (no interleave on device)."""
+    assert q.shape[0] % 2 == 0
+    half = q.shape[0] // 2
+    return ((q[:half] & 0x0F) | (q[half:] << 4)).astype(np.int8)
+
+
+def unpack_int4(packed: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pack_int4` (host-side oracle for tests)."""
+    lo = (packed.astype(np.int8) << 4).astype(np.int8) >> 4
+    hi = packed.astype(np.int8) >> 4
+    return np.concatenate([lo, hi], axis=0)
+
+
 def quantize_llm_params(params: Dict[str, Any], cfg: LlamaConfig) -> Dict[str, Any]:
-    """bf16/fp32 base kernels → int8 weight-only (per-output-channel absmax
-    scales). Produces the param layout of ``LoraDense(quantized=True)``:
-    each projection's ``kernel`` is replaced by ``kernel_q`` + ``kernel_scale``.
-    Norms, embeddings, the LM head, and LoRA stay unquantized.
+    """bf16/fp32 base kernels → weight-only quantized layout matching
+    ``LoraDense(quantized=True)``: each projection's ``kernel`` is replaced
+    by ``kernel_q`` + ``kernel_scale``. Norms, embeddings, the LM head, and
+    LoRA stay unquantized.
+
+    ``cfg.quantize_bits=8``: int8, per-output-channel absmax scales.
+    ``cfg.quantize_bits=4``: split-nibble packed int4 (two weights/byte),
+    per-output-channel or ``cfg.quantize_group``-wise absmax scales.
     """
+    bits = cfg.quantize_bits
+    group = cfg.quantize_group
 
     def quantize_leaf(kernel: np.ndarray):
         k = np.asarray(kernel, np.float32)
+        if bits == 4:
+            if group:
+                d = k.shape[0]
+                assert d % group == 0 and (d // 2) % group == 0
+                kg = k.reshape(d // group, group, -1)
+                scale = np.abs(kg).max(axis=1) / 7.0  # (d/G, F)
+                scale = np.where(scale == 0, 1.0, scale)
+                # round the scale to bf16 storage precision BEFORE
+                # quantizing (same discipline as the KV-cache scales)
+                scale = scale.astype(ml_dtypes.bfloat16).astype(np.float32)
+                q = np.clip(
+                    np.round(kg / scale[:, None, :]), -8, 7
+                ).astype(np.int8).reshape(d, -1)
+            else:
+                scale = np.abs(k).max(axis=0) / 7.0
+                scale = np.where(scale == 0, 1.0, scale)
+                scale = scale.astype(ml_dtypes.bfloat16).astype(np.float32)
+                q = np.clip(np.round(k / scale), -8, 7).astype(np.int8)
+            return pack_int4(q), scale
         scale = np.abs(k).max(axis=0) / 127.0  # per output channel
         scale = np.where(scale == 0, 1.0, scale)
         q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)

@@ -54,6 +54,15 @@ class LlamaConfig:
     remat_policy: str = "full"  # "full" (nothing saved) | "dots" (matmul
     # outputs saved — ~25% less recompute, more activation memory)
     quantize: bool = False  # int8 weight-only base kernels (inference)
+    quantize_bits: int = 8  # 8 (one byte/weight) or 4 (two weights/byte,
+    # split-nibble packing). int4 halves the frozen-base HBM footprint
+    # again (7B: ~6.8 → ~3.4 GB) at a measured ~20% per-matmul dequant
+    # cost (the decode matmuls are VPU-dequant-bound, not HBM-bound, on
+    # v5e) — a CAPACITY knob: it buys decode batch at the 256-token
+    # budget where int8 hits the OOM walls recorded in ROUND3_NOTES.md
+    quantize_group: Optional[int] = None  # int4 only: group size along
+    # the input dim for the quantization scales (GPTQ/AWQ-style, e.g.
+    # 128). None = per-output-channel scales (faster dequant, coarser)
     # sequence parallelism: name of the mesh axis to shard the sequence
     # over in the training/teacher-forcing forward — attention runs as an
     # exact ring schedule (parallel/ring_attention.py) and every other op
@@ -75,6 +84,16 @@ class LlamaConfig:
                 "act_quantize (s8×s8) requires quantize=True — without the "
                 "int8 base it would silently run the plain bf16 path"
             )
+        if self.quantize_bits not in (4, 8):
+            raise ValueError("quantize_bits must be 4 or 8")
+        if self.quantize_group is not None:
+            if self.quantize_bits != 4:
+                raise ValueError("quantize_group is an int4-only knob")
+            if self.act_quantize:
+                raise ValueError(
+                    "quantize_group + act_quantize unsupported: group "
+                    "scales do not commute out of the s8×s8 dot"
+                )
 
     @property
     def kv_heads(self) -> int:
@@ -136,6 +155,13 @@ class LoraDense(nn.Module):
     bf16 scale (weight-only quantization). Decode at 7B is HBM-bandwidth
     bound on the weight read; int8 halves it. XLA fuses the
     dequant (convert×scale) into the dot's operand load.
+
+    ``bits=4``: split-nibble packing — ``kernel_q`` is int8 of shape
+    (in/2, features) whose low nibbles hold input rows [0, in/2) and high
+    nibbles rows [in/2, in). The matmul runs as two half-contraction dots
+    (no interleave/concat materializes — measured fastest layout on v5e),
+    with either per-output-channel scales or GPTQ-style group scales
+    (``quant_group`` along the input dim).
     """
 
     features: int
@@ -148,11 +174,78 @@ class LoraDense(nn.Module):
     param_dtype: Any = jnp.float32
     quantized: bool = False
     act_quant: bool = False  # s8×s8 dot (needs quantized=True)
+    bits: int = 8  # 8 or 4 (split-nibble packed; see class docstring)
+    quant_group: Optional[int] = None  # int4 group-scale size (None = per-channel)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         in_features = x.shape[-1]
-        if self.quantized:
+        if self.quantized and self.bits == 4:
+            assert in_features % 2 == 0, "int4 packing needs even in_features"
+            half = in_features // 2
+            kernel_q = self.param(
+                "kernel_q", nn.initializers.zeros, (half, self.features), jnp.int8
+            )
+            if self.quant_group:
+                g = self.quant_group
+                assert half % g == 0, (
+                    f"quant_group {g} must divide half the input dim {half}"
+                )
+                kernel_scale = self.param(
+                    "kernel_scale", nn.initializers.ones,
+                    (in_features // g, self.features), jnp.bfloat16,
+                )
+            else:
+                kernel_scale = self.param(
+                    "kernel_scale", nn.initializers.ones,
+                    (self.features,), jnp.bfloat16,
+                )
+            kernel_q = jax.lax.stop_gradient(kernel_q)
+            kernel_scale = jax.lax.stop_gradient(kernel_scale)
+            # sign-extending nibble unpack (int8 arithmetic shifts)
+            lo = jnp.right_shift(jnp.left_shift(kernel_q, 4), 4)
+            hi = jnp.right_shift(kernel_q, 4)
+            x_lo, x_hi = x[..., :half], x[..., half:]
+            if self.act_quant:
+                # per-channel scales only (enforced by LlamaConfig): the
+                # output rescale commutes out of both half-dots
+                lead = x.shape[:-1]
+                x2 = x.reshape(-1, in_features)
+                amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+                x_scale = jnp.maximum(amax, 1e-6).astype(jnp.float32) / 127.0
+                xq = jnp.clip(
+                    jnp.round(x2.astype(jnp.float32) / x_scale), -127, 127
+                ).astype(jnp.int8)
+                y32 = jax.lax.dot_general(
+                    xq[:, :half], lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ) + jax.lax.dot_general(
+                    xq[:, half:], hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = (
+                    y32.astype(jnp.float32)
+                    * x_scale
+                    * kernel_scale.astype(jnp.float32)[None, :]
+                ).astype(self.dtype)
+                y = y.reshape(*lead, self.features)
+            elif self.quant_group:
+                g = self.quant_group
+                gs = kernel_scale.astype(self.dtype)
+                k_lo = (
+                    lo.astype(self.dtype).reshape(half // g, g, self.features)
+                    * gs[: half // g, None, :]
+                ).reshape(half, self.features)
+                k_hi = (
+                    hi.astype(self.dtype).reshape(half // g, g, self.features)
+                    * gs[half // g :, None, :]
+                ).reshape(half, self.features)
+                y = x_lo @ k_lo + x_hi @ k_hi
+            else:
+                y = (
+                    x_lo @ lo.astype(self.dtype) + x_hi @ hi.astype(self.dtype)
+                ) * kernel_scale.astype(self.dtype)
+        elif self.quantized:
             kernel_q = self.param(
                 "kernel_q",
                 nn.initializers.zeros,
@@ -376,7 +469,8 @@ class LlamaAttention(nn.Module):
             lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
             lora_dropout=cfg.lora_dropout, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, quantized=cfg.quantize,
-            act_quant=cfg.act_quantize,
+            act_quant=cfg.act_quantize, bits=cfg.quantize_bits,
+            quant_group=cfg.quantize_group,
         )
 
         def proj(name, features):
@@ -507,7 +601,8 @@ class LlamaMLP(nn.Module):
             lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
             lora_dropout=cfg.lora_dropout, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, quantized=cfg.quantize,
-            act_quant=cfg.act_quantize,
+            act_quant=cfg.act_quantize, bits=cfg.quantize_bits,
+            quant_group=cfg.quantize_group,
         )
 
         def proj(name, features):

@@ -526,3 +526,189 @@ class TestGreedySharedCache:
             max_new_tokens=12, eos_id=2, pad_id=0, repetition_penalty=2.0,
         ))
         np.testing.assert_array_equal(got, want)
+
+
+class TestInt4:
+    """int4 split-nibble weight-only quantization (LoraDense bits=4)."""
+
+    def test_pack_unpack_roundtrip(self, rng):
+        from msr3d_tpu.models.llm.convert import pack_int4, unpack_int4
+
+        q = rng.integers(-8, 8, size=(64, 24)).astype(np.int8)
+        packed = pack_int4(q)
+        assert packed.shape == (32, 24) and packed.dtype == np.int8
+        np.testing.assert_array_equal(unpack_int4(packed), q)
+
+    def test_device_unpack_matches_host(self, rng):
+        """The sign-extending shift unpack inside LoraDense must equal the
+        host-side oracle."""
+        from msr3d_tpu.models.llm.convert import pack_int4
+
+        q = rng.integers(-8, 8, size=(16, 8)).astype(np.int8)
+        p = jnp.asarray(pack_int4(q))
+        lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+        hi = jnp.right_shift(p, 4)
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(lo), np.asarray(hi)], axis=0), q
+        )
+
+    @pytest.mark.parametrize("group", [None, 32])
+    def test_int4_dense_matches_oracle(self, rng, group):
+        """LoraDense(bits=4) == host dequant matmul, per-channel and group
+        scale layouts."""
+        from msr3d_tpu.models.llm.convert import pack_int4
+        from msr3d_tpu.models.llm.llama import LoraDense
+
+        d_in, d_out, b = 64, 24, 3
+        q = rng.integers(-8, 8, size=(d_in, d_out)).astype(np.int8)
+        x = rng.normal(size=(b, d_in)).astype(np.float32)
+        if group:
+            scale = (rng.random((d_in // group, d_out)).astype(np.float32)
+                     * 0.05 + 0.01)
+            scale = scale.astype(np.float32)
+            kernel = (q.reshape(d_in // group, group, d_out).astype(np.float32)
+                      * scale[:, None, :]).reshape(d_in, d_out)
+        else:
+            scale = rng.random(d_out).astype(np.float32) * 0.05 + 0.01
+            kernel = q.astype(np.float32) * scale
+        # bf16 storage rounding of the scale, as the param layout stores it
+        import ml_dtypes
+        scale_bf = scale.astype(ml_dtypes.bfloat16)
+        want = x @ (
+            (q.reshape(d_in // group, group, d_out).astype(np.float32)
+             * scale_bf.astype(np.float32)[:, None, :]).reshape(d_in, d_out)
+            if group else q.astype(np.float32) * scale_bf.astype(np.float32)
+        )
+
+        dense = LoraDense(d_out, quantized=True, bits=4, quant_group=group,
+                          dtype=jnp.float32)
+        params = {
+            "kernel_q": jnp.asarray(pack_int4(q)),
+            "kernel_scale": jnp.asarray(scale_bf),
+        }
+        got = np.asarray(dense.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("group", [None, 32])
+    def test_int4_logits_close_to_fp(self, rng, hf_model, group):
+        """int4 weight-only logits track the fp model (loose but meaningful;
+        group scales must be at least as tight as per-channel)."""
+        from msr3d_tpu.models.llm.convert import quantize_llm_params
+
+        cfg_fp = config_from_hf(TINY_HF, dtype=jnp.float32)
+        params_fp = params_from_hf_state_dict(hf_model.state_dict(), cfg_fp)
+        model_fp = LlamaModel(cfg_fp)
+
+        cfg_q = config_from_hf(
+            TINY_HF, dtype=jnp.float32, quantize=True, quantize_bits=4,
+            quantize_group=group,
+        )
+        params_q = quantize_llm_params(params_fp, cfg_q)
+        # packed shape sanity: half the input dim
+        l0 = params_q["layer_0"]["attn"]["q_proj"]
+        assert l0["kernel_q"].shape[0] == cfg_fp.hidden_size // 2
+        model_q = LlamaModel(cfg_q)
+
+        ids = rng.integers(5, 120, size=(2, 8)).astype(np.int32)
+        mask = np.ones((2, 8), np.int32)
+        vars_fp = {"params": jax.tree_util.tree_map(jnp.asarray, params_fp)}
+        vars_q = {"params": jax.tree_util.tree_map(jnp.asarray, params_q)}
+        embeds = model_fp.apply(vars_fp, jnp.asarray(ids), method=model_fp.embed_tokens)
+
+        logits_fp, _, _ = model_fp.apply(vars_fp, embeds, jnp.asarray(mask))
+        logits_q, _, _ = model_q.apply(vars_q, embeds, jnp.asarray(mask))
+        lf, lq = np.asarray(logits_fp), np.asarray(logits_q)
+        top_match = (lf.argmax(-1) == lq.argmax(-1)).mean()
+        drift = np.abs(lf - lq).mean() / np.abs(lf).mean()
+        if group:
+            assert top_match > 0.6, top_match
+            assert drift < 0.35, drift
+        else:
+            assert top_match > 0.4, top_match
+            assert drift < 0.6, drift
+
+    def test_int4_greedy_decode_runs(self, rng, hf_model):
+        """Prefill + KV-cache greedy decode runs under int4 weights and
+        matches the teacher-forced argmax of the same quantized model."""
+        from msr3d_tpu.models.llm.convert import quantize_llm_params
+
+        cfg_fp = config_from_hf(TINY_HF, dtype=jnp.float32)
+        params_fp = params_from_hf_state_dict(hf_model.state_dict(), cfg_fp)
+        cfg_q = config_from_hf(
+            TINY_HF, dtype=jnp.float32, quantize=True, quantize_bits=4,
+        )
+        params_q = quantize_llm_params(params_fp, cfg_q)
+        model_q = LlamaModel(cfg_q)
+        vars_q = {"params": jax.tree_util.tree_map(jnp.asarray, params_q)}
+
+        ids = rng.integers(5, 120, size=(2, 6)).astype(np.int32)
+        mask = np.ones((2, 6), np.int32)
+        embeds = model_q.apply(vars_q, jnp.asarray(ids), method=model_q.embed_tokens)
+        logits, _, caches, cache_mask, next_pos = model_q.apply(
+            vars_q, jnp.asarray(embeds), jnp.asarray(mask), 16,
+            method=model_q.prefill_with_cache,
+        )
+        first = jnp.asarray(np.asarray(logits)[np.arange(2), -1])
+        toks = np.asarray(greedy_decode(
+            _decode_fixture(model_q, vars_q), caches, cache_mask, next_pos,
+            first, max_new_tokens=5, eos_id=2, pad_id=0, prompt_len=6,
+        ))
+        assert toks.shape == (2, 5)
+        # step 1 must equal the prefill's last-position argmax
+        np.testing.assert_array_equal(
+            toks[:, 0], np.asarray(first).argmax(-1)
+        )
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError):
+            LlamaConfig.tiny(quantize=True, quantize_bits=3)
+        with pytest.raises(ValueError):
+            LlamaConfig.tiny(quantize=True, quantize_group=32)  # bits=8
+        with pytest.raises(ValueError):
+            LlamaConfig.tiny(quantize=True, quantize_bits=4,
+                             quantize_group=32, act_quantize=True)
+
+    def test_int4_qlora_grads_flow_to_lora_only(self, rng, hf_model):
+        """QLoRA-4bit: training through the int4 frozen base — LoRA params
+        get nonzero grads, quantized base params get zero grads."""
+        from msr3d_tpu.models.llm.convert import (
+            init_lora_params, quantize_llm_params,
+        )
+
+        cfg_fp = config_from_hf(TINY_HF, dtype=jnp.float32)
+        params_fp = params_from_hf_state_dict(hf_model.state_dict(), cfg_fp)
+        cfg_q = config_from_hf(
+            TINY_HF, dtype=jnp.float32, quantize=True, quantize_bits=4,
+            lora_rank=4,
+        )
+        params_q = quantize_llm_params(params_fp, cfg_q)
+        params_q = init_lora_params(params_q, cfg_q, seed=0)
+        model = LlamaModel(cfg_q)
+        params_q = jax.tree_util.tree_map(jnp.asarray, params_q)
+
+        embeds = jnp.asarray(
+            rng.normal(size=(2, 6, cfg_q.hidden_size)).astype(np.float32)
+        )
+        mask = jnp.ones((2, 6), jnp.int32)
+
+        # grad only over the trainable (LoRA) leaves — the int8-packed base
+        # is not differentiable (the trainer partitions the same way)
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        flat = flatten_dict(params_q)
+        lora = {k: v for k, v in flat.items() if k[-1].startswith("lora")}
+        rest = {k: v for k, v in flat.items() if not k[-1].startswith("lora")}
+
+        def loss(lora_leaves):
+            p = unflatten_dict({**rest, **lora_leaves})
+            logits, _, _ = model.apply({"params": p}, embeds, mask)
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+        val, grads = jax.value_and_grad(loss)(lora)
+        assert np.isfinite(float(val)) and float(val) > 0
+        # B starts at zero → dL/dA = 0 but dL/dB ≠ 0 (PEFT init)
+        b_total = sum(
+            float(jnp.abs(g).sum()) for k, g in grads.items()
+            if k[-1] == "lora_b"
+        )
+        assert b_total > 0
