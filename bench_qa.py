@@ -53,6 +53,21 @@ def parse_args(argv=None):
         "(expected-case eval throughput, not the never-EOS worst case)",
     )
     parser.add_argument(
+        "--spec-k", type=int, default=0,
+        help="n-gram speculative decoding: draft tokens per verify window "
+        "(greedy only; forces repetition_penalty 1.0 — token-identical to "
+        "penalty-free greedy)",
+    )
+    parser.add_argument(
+        "--spec-ngram", type=int, default=3,
+        help="suffix n-gram length for the prompt-lookup proposal",
+    )
+    parser.add_argument(
+        "--rep-penalty", type=float, default=3.0,
+        help="repetition penalty (reference eval default 3.0; use 1.0 for "
+        "penalty-free greedy serving / the spec-decode control arm)",
+    )
+    parser.add_argument(
         "--pipeline-depth", type=int, default=1,
         help="outstanding requests before fetching (0 = fully serial); "
         "deeper pipelines hide the tunnel dispatch+fetch latency",
@@ -97,11 +112,16 @@ def build_model(args):
         llm=llm,
         backbone_name="convnext_test",
     )
+    spec_k = getattr(args, "spec_k", 0)
+    penalty = getattr(args, "rep_penalty", 3.0)
+    if spec_k > 0:
+        penalty = 1.0  # speculative verification requires penalty-free greedy
     model = MSR3D(
         cfg, tok, scene_token_len=60, max_out_len=args.new_tokens,
-        num_beams=args.beams, repetition_penalty=3.0,
+        num_beams=args.beams, repetition_penalty=penalty,
         compact_transfer=getattr(args, "compact_transfer", False),
         eos_logit_bias=getattr(args, "eos_bias", 0.0),
+        spec_k=spec_k, spec_ngram=getattr(args, "spec_ngram", 3),
     )
     return model, llm
 
@@ -219,6 +239,7 @@ def run(args) -> dict:
                 "step_ms": round(dt * 1000, 1),
                 "pipeline_depth": depth,
                 "eos_bias": getattr(args, "eos_bias", 0.0),
+                "spec_k": getattr(args, "spec_k", 0),
                 "mean_answer_len": answer_lens[0],
                 "max_answer_len": answer_lens[1],
                 "init_s": round(init_s, 1),

@@ -413,35 +413,36 @@ def _cache_write(cache, k, v, cache_index):
 
 
 def _cache_write_rows(cache, k, v, cache_index):
-    """Per-row cache write: row b's k/v land at slot ``cache_index[b]``.
+    """Per-row cache write: row b's T tokens land at consecutive slots
+    ``cache_index[b] .. cache_index[b]+T-1``.
 
     Out-of-bounds rows (e.g. an idle continuous-batching slot carrying
-    index -1) are dropped by JAX scatter semantics — their mask keeps
-    them unread anyway."""
-    assert k.shape[1] == 1, "per-row cache write requires T == 1"
-    rows = jnp.arange(k.shape[0])
+    index -1, or a finished speculative row parked at index S) are
+    dropped by JAX scatter semantics — their mask keeps them unread
+    anyway. T == 1 is the continuous-batching decode step; T > 1 is the
+    speculative-decoding verify window."""
+    b, t = k.shape[:2]
+    s = cache["k"].shape[1]
+    rows = jnp.arange(b)[:, None]  # (B, 1)
+    idx = cache_index[:, None] + jnp.arange(t)[None, :]  # (B, T)
+    # a negative start must drop the whole window — scatter mode="drop"
+    # only drops indices >= S; NEGATIVE indices wrap NumPy-style, so map
+    # them explicitly past the end
+    idx = jnp.where(cache_index[:, None] < 0, s, idx)
     out = dict(cache)
     if "k_scale" in cache:
         kq, ks = _quantize_kv(k)
         vq, vs = _quantize_kv(v)
-        out["k"] = cache["k"].at[rows, cache_index].set(
-            kq[:, 0], mode="drop"
-        )
-        out["v"] = cache["v"].at[rows, cache_index].set(
-            vq[:, 0], mode="drop"
-        )
-        out["k_scale"] = cache["k_scale"].at[rows, cache_index].set(
-            ks[:, 0], mode="drop"
-        )
-        out["v_scale"] = cache["v_scale"].at[rows, cache_index].set(
-            vs[:, 0], mode="drop"
-        )
+        out["k"] = cache["k"].at[rows, idx].set(kq, mode="drop")
+        out["v"] = cache["v"].at[rows, idx].set(vq, mode="drop")
+        out["k_scale"] = cache["k_scale"].at[rows, idx].set(ks, mode="drop")
+        out["v_scale"] = cache["v_scale"].at[rows, idx].set(vs, mode="drop")
     else:
-        out["k"] = cache["k"].at[rows, cache_index].set(
-            k[:, 0].astype(cache["k"].dtype), mode="drop"
+        out["k"] = cache["k"].at[rows, idx].set(
+            k.astype(cache["k"].dtype), mode="drop"
         )
-        out["v"] = cache["v"].at[rows, cache_index].set(
-            v[:, 0].astype(cache["v"].dtype), mode="drop"
+        out["v"] = cache["v"].at[rows, idx].set(
+            v.astype(cache["v"].dtype), mode="drop"
         )
     return out
 
@@ -748,8 +749,25 @@ class LlamaModel(nn.Module):
             # decode: attend over cache slots marked valid + current position
             s = kv_caches["k"].shape[2]
             assert cache_mask is not None
+            valid = cache_mask[:, None, :].astype(bool)  # (B, 1, S)
+            if t > 1:
+                # multi-token verify window (speculative decoding): query t
+                # additionally sees this call's own writes at slots
+                # cache_index .. cache_index+t — causal WITHIN the window,
+                # without the caller pre-marking slots whose tokens may be
+                # rejected. T == 1 keeps the legacy contract (caller marks
+                # the current slot in cache_mask).
+                start = jnp.asarray(cache_index)
+                start = (
+                    start[:, None, None] if start.ndim == 1
+                    else start.reshape(1, 1, 1)
+                )
+                s_idx = jnp.arange(s)[None, None, :]
+                tq = jnp.arange(t)[None, :, None]
+                win = (s_idx >= start) & (s_idx <= start + tq)
+                valid = valid | win
             attn_bias = jnp.where(
-                cache_mask[:, None, None, :].astype(bool), 0.0, -1e30
+                valid[:, None], 0.0, -1e30
             ).astype(jnp.float32)
 
         x = inputs_embeds.astype(cfg.dtype)
@@ -786,18 +804,36 @@ class LlamaModel(nn.Module):
     ):
         """One decode step over a split cache: shared prompt segment
         (batch B, never copied per beam) + per-beam generated segment.
-        Returns (logits (B·K, 1, V), new gen_kv)."""
+        Returns (logits (B·K, T, V), new gen_kv).
+
+        T == 1 is the plain decode loops; T > 1 is the speculative verify
+        window (``gen_index`` may then be a (B,) vector — rows at
+        different depths — and query t additionally sees this call's own
+        generated-segment writes causally from ``gen_index``)."""
         cfg = self.cfg
-        bk = inputs_embeds.shape[0]
+        bk, t, _ = inputs_embeds.shape
         b = next(iter(prompt_kv.values())).shape[1]
         bias_p = jnp.where(
             jnp.repeat(prompt_mask, bk // b, axis=0)[:, None, None, :].astype(bool),
             0.0, -1e30,
         ).astype(jnp.float32)
-        bias_g = jnp.where(
-            gen_mask[:, None, None, :].astype(bool), 0.0, -1e30
-        ).astype(jnp.float32)
-        attn_bias = jnp.concatenate([bias_p, bias_g], axis=-1)
+        valid_g = gen_mask[:, None, :].astype(bool)  # (B·K, 1, S_g)
+        if t > 1:
+            s_g = gen_mask.shape[1]
+            start = jnp.asarray(gen_index)
+            start = (
+                start[:, None, None] if start.ndim == 1
+                else start.reshape(1, 1, 1)
+            )
+            s_idx = jnp.arange(s_g)[None, None, :]
+            tq = jnp.arange(t)[None, :, None]
+            valid_g = valid_g | ((s_idx >= start) & (s_idx <= start + tq))
+        bias_g = jnp.where(valid_g[:, None], 0.0, -1e30).astype(jnp.float32)
+        attn_bias = jnp.concatenate(
+            [jnp.broadcast_to(bias_p, bias_p.shape[:2] + (t, bias_p.shape[-1])),
+             bias_g],
+            axis=-1,
+        )
 
         x = inputs_embeds.astype(cfg.dtype)
         updated_layers = []

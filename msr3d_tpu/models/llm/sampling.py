@@ -543,3 +543,188 @@ def beam_search_decode_shared(
     all_tokens = jnp.concatenate([hyp_tokens, unflat(generated)], axis=1)
     best = jnp.argmax(all_scores, axis=1)
     return all_tokens[jnp.arange(b), best]
+
+
+def ngram_speculative_decode(
+    decode_step: Callable,
+    kv_caches: Dict[str, jax.Array],
+    cache_mask: jax.Array,  # (B, S) valid PROMPT slots only
+    next_positions: jax.Array,  # (B,)
+    first_token_logits: jax.Array,  # (B, V)
+    prompt_ids: jax.Array,  # (B, P) int32 context mined for proposals
+    *,
+    max_new_tokens: int,
+    eos_id: int,
+    pad_id: int,
+    prompt_len: int,
+    spec_k: int = 4,
+    ngram_n: int = 3,
+    min_length: int = 1,
+    eos_logit_bias: float = 0.0,
+    return_stats: bool = False,
+) -> jax.Array:
+    """Greedy decode with n-gram (prompt-lookup) speculative decoding.
+
+    Each loop iteration proposes ``spec_k`` draft tokens by matching the
+    current ``ngram_n``-gram suffix against the prompt + generated
+    context (most recent earlier occurrence wins; vLLM/HF
+    "prompt-lookup" self-speculation — no draft model), then runs ONE
+    verification forward over the (1 + spec_k)-token window and emits
+    the longest accepted prefix plus the model's bonus token: 1 to
+    spec_k+1 tokens per model call. **Token-identical to
+    ``greedy_decode``** by construction — acceptance compares the draft
+    against the model's own argmax, so proposal quality only affects
+    speed, never output. Decode cost per iteration is one T=spec_k+1
+    forward (cheaper than T sequential steps whenever drafts hit; QA
+    answers echoing scene/object names from the prompt are exactly the
+    high-hit regime).
+
+    Static shapes throughout: rows advance at their own pace (per-row
+    cache write offsets — the continuous-batching vector-index machinery)
+    inside a single ``lax.while_loop``; rejected draft KV slots stay
+    masked out of ``cache_mask`` and are overwritten by later windows.
+
+    Repetition penalty is NOT supported (the penalty makes pick t depend
+    on which tokens were accepted before it within the same window,
+    serializing verification); the greedy serving path runs penalty-free.
+
+    ``decode_step(token_ids (B,T), positions (B,T), kv_caches,
+    cache_index (B,), cache_mask) -> (logits (B,T,V), new kv_caches)``.
+    ``cache_mask`` must mark ONLY slots whose tokens are accepted context
+    (the model masks this call's own window causally from
+    ``cache_index``) — unlike ``greedy_decode``, do not pre-mark the
+    current slot.
+    """
+    b, v = first_token_logits.shape
+    k = spec_k
+    rows = jnp.arange(b)
+    s_total = cache_mask.shape[1]
+    p_len_ids = prompt_ids.shape[1]
+    l_ctx = p_len_ids + max_new_tokens
+
+    def mask_eos(logits, steps):
+        # logits (B, T, V); steps (B, T) = emission index of each pick
+        is_eos = jnp.arange(v) == eos_id
+        if eos_logit_bias:
+            logits = logits + is_eos * jnp.float32(eos_logit_bias)
+        if min_length > 1:
+            logits = jnp.where(
+                (steps[..., None] < min_length - 1) & is_eos, -jnp.inf, logits
+            )
+        return logits
+
+    first = mask_eos(
+        first_token_logits.astype(jnp.float32)[:, None], jnp.zeros((b, 1), jnp.int32)
+    )[:, 0]
+    tok0 = jnp.argmax(first, axis=-1).astype(jnp.int32)
+    generated0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
+    generated0 = generated0.at[:, 0].set(tok0)
+    finished0 = (tok0 == eos_id) | (max_new_tokens <= 1)
+    n_emitted0 = jnp.ones((b,), jnp.int32)
+
+    def cond(state):
+        _, _, _, _, finished, _, _ = state
+        return ~jnp.all(finished)
+
+    def body(state):
+        generated, caches, cmask, n_emitted, finished, accepted_total, iters = state
+        j = n_emitted - 1  # index of the last emitted token
+        last_tok = generated[rows, j]
+        ctx = jnp.concatenate([prompt_ids.astype(jnp.int32), generated], axis=1)
+        cur = p_len_ids + n_emitted  # context length per row
+
+        # ---- n-gram proposal (pure index math, no model call) ----
+        gidx = jnp.maximum(
+            cur[:, None] - ngram_n + jnp.arange(ngram_n)[None, :], 0
+        )
+        gram = jnp.take_along_axis(ctx, gidx, axis=1)  # (B, n)
+        lw = l_ctx - ngram_n + 1
+        windows = jnp.stack(
+            [ctx[:, i : i + lw] for i in range(ngram_n)], axis=-1
+        )  # (B, Lw, n)
+        match = jnp.all(windows == gram[:, None, :], axis=-1)  # (B, Lw)
+        p_pos = jnp.arange(lw)[None, :]
+        ok = match & (p_pos <= (cur - ngram_n - 1)[:, None])
+        pbest = jnp.max(jnp.where(ok, p_pos, -1), axis=1)  # (B,) -1 = none
+        pidx = jnp.clip(
+            pbest[:, None] + ngram_n + jnp.arange(k)[None, :], 0, l_ctx - 1
+        )
+        props = jnp.where(
+            pbest[:, None] >= 0,
+            jnp.take_along_axis(ctx, pidx, axis=1),
+            pad_id,
+        ).astype(jnp.int32)  # (B, K)
+
+        # ---- one verification forward over the window ----
+        verify = jnp.concatenate([last_tok[:, None], props], axis=1)  # (B, K+1)
+        pos = (next_positions.astype(jnp.int32) + j)[:, None] + jnp.arange(k + 1)
+        start = prompt_len + j  # (B,) cache slot of last_tok's KV
+        start_w = jnp.where(finished, -1, start)  # finished rows drop writes
+        logits, caches = decode_step(verify, pos, caches, start_w, cmask)
+
+        steps_idx = n_emitted[:, None] + jnp.arange(k + 1)[None, :]  # (B, K+1)
+        y = jnp.argmax(
+            mask_eos(logits.astype(jnp.float32), steps_idx), axis=-1
+        ).astype(jnp.int32)  # (B, K+1)
+
+        # ---- longest accepted prefix + bonus token ----
+        acc = jnp.cumprod((props == y[:, :k]).astype(jnp.int32), axis=1)
+        m = jnp.sum(acc, axis=1)  # (B,) accepted draft count
+        is_eos_y = y == eos_id
+        before_eos = jnp.cumsum(is_eos_y.astype(jnp.int32), axis=1) - is_eos_y
+        emit = (
+            (jnp.arange(k + 1)[None, :] <= m[:, None])
+            & (before_eos == 0)
+            & (steps_idx < max_new_tokens)
+            & ~finished[:, None]
+        )  # (B, K+1)
+        out_idx = jnp.where(emit, steps_idx, max_new_tokens)
+        generated = generated.at[rows[:, None], out_idx].set(
+            jnp.where(emit, y, pad_id), mode="drop"
+        )
+
+        # permanent cache validity: slot start+0 = last_tok; slot start+1+t
+        # holds props[t] == y[t] — valid iff y[t] was emitted
+        slot_valid = jnp.concatenate(
+            [~finished[:, None], emit[:, :k]], axis=1
+        )  # (B, K+1)
+        slot_idx = jnp.where(
+            slot_valid, start[:, None] + jnp.arange(k + 1)[None, :], s_total
+        )
+        cmask = cmask.at[rows[:, None], slot_idx].set(True, mode="drop")
+
+        n_new = jnp.sum(emit.astype(jnp.int32), axis=1)
+        finished = (
+            finished
+            | jnp.any(emit & is_eos_y, axis=1)
+            | (n_emitted + n_new >= max_new_tokens)
+        )
+        n_emitted = n_emitted + n_new
+        accepted_total = accepted_total + jnp.sum(
+            jnp.where(emit, acc_pad(acc, k + 1), 0)
+        )
+        return generated, caches, cmask, n_emitted, finished, accepted_total, iters + 1
+
+    def acc_pad(acc, width):
+        # emitted drafts (exclude the bonus pick): pad acc (B,K) to (B,K+1)
+        return jnp.concatenate(
+            [acc, jnp.zeros((acc.shape[0], width - acc.shape[1]), acc.dtype)],
+            axis=1,
+        )
+
+    state = (
+        generated0, kv_caches, cache_mask, n_emitted0, finished0,
+        jnp.int32(0), jnp.int32(0),
+    )
+    generated, _, _, n_emitted, _, accepted, iters = lax.while_loop(
+        cond, body, state
+    )
+    if return_stats:
+        # emitted = total tokens produced; accepted = emitted draft
+        # tokens (the free ones); iters = verify forwards (model calls)
+        return generated, {
+            "emitted": jnp.sum(n_emitted),
+            "accepted_drafts": accepted,
+            "verify_calls": iters,
+        }
+    return generated

@@ -38,6 +38,7 @@ from msr3d_tpu.models.llm.sampling import (
     beam_search_decode_shared,
     greedy_decode,
     greedy_decode_shared,
+    ngram_speculative_decode,
 )
 from msr3d_tpu.models.llm.tokenizer import (
     BaseTokenizer,
@@ -348,6 +349,12 @@ class MSR3D:
         length_penalty: float = 1.0,
         compact_transfer: bool = False,
         eos_logit_bias: float = 0.0,  # length-control serving knob
+        spec_k: int = 0,  # greedy path: n-gram speculative decoding —
+        # draft tokens proposed per verify window (0 = off). Token-
+        # identical to plain greedy; requires repetition_penalty == 1.0
+        # (greedy serving runs penalty-free; the reference's penalty 3.0
+        # applies to its beam-5 eval setting)
+        spec_ngram: int = 3,  # suffix n-gram length for proposal lookup
         seed: int = 0,
     ):
         self.tokenizer = tokenizer or build_tokenizer()
@@ -367,6 +374,14 @@ class MSR3D:
         self.repetition_penalty = repetition_penalty
         self.length_penalty = length_penalty
         self.eos_logit_bias = eos_logit_bias
+        if spec_k > 0 and repetition_penalty != 1.0:
+            raise ValueError(
+                "speculative greedy (spec_k > 0) requires "
+                "repetition_penalty == 1.0 — the penalty serializes "
+                "verification (pick t depends on in-window acceptance)"
+            )
+        self.spec_k = int(spec_k)
+        self.spec_ngram = int(spec_ngram)
         # serving knob: ship obj_fts over the host↔device link as
         # int16 xyz + int8 rgb (9 B/point vs 24 B fp32). Points are
         # unit-sphere normalized by preprocess_pcd so a fixed 1.0 scale
@@ -618,6 +633,21 @@ class MSR3D:
                     method=network.decode_step_shared,
                 )
 
+            if self.spec_k > 0:
+                # n-gram speculative decoding over the same split cache:
+                # slot base 0 in the generated segment, prompt slots live
+                # in the loop-invariant prompt_kv. Token-identical to the
+                # greedy_decode_shared path (verified by construction +
+                # tests/test_speculative.py).
+                return ngram_speculative_decode(
+                    decode_shared, gen_kv,
+                    jnp.zeros((first.shape[0], max_new), bool),
+                    next_pos, first, batch["input_ids"],
+                    max_new_tokens=max_new, eos_id=eos_id, pad_id=eos_id,
+                    prompt_len=0, spec_k=self.spec_k,
+                    ngram_n=self.spec_ngram, min_length=1,
+                    eos_logit_bias=self.eos_logit_bias,
+                )
             return greedy_decode_shared(
                 decode_shared, next_pos, first,
                 gen_kv, max_new_tokens=max_new, eos_id=eos_id, pad_id=eos_id,
@@ -661,7 +691,8 @@ class MSR3D:
         prompt_len = input_ids.shape[1] + 1
         beams = self.num_beams if use_beam is None else (self.num_beams if use_beam else 1)
         key = (prompt_len, max_new, beams, input_ids.shape[0],
-               tuple(sorted(batch)), self.eos_logit_bias)
+               tuple(sorted(batch)), self.eos_logit_bias, self.spec_k,
+               self.spec_ngram)
         if not hasattr(self, "_generate_cache"):
             self._generate_cache = {}
         if key not in self._generate_cache:

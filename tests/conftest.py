@@ -58,6 +58,7 @@ def tiny_msr3d(shared_tiny_msr3d):
     model, pristine = shared_tiny_msr3d
     model.params = jax.tree_util.tree_map(lambda x: x, pristine)
     model.compact_transfer = False
+    model.spec_k = 0
     if getattr(model, "_serving_mesh", None) is not None:
         # a prior test sharded the model: drop mesh state and the
         # sharded-layout compiled fns
