@@ -189,6 +189,7 @@ def run(args) -> dict:
         toks.shape[1],
     )
     answer_lens = (int(eos_pos.mean()), int(eos_pos.max()))
+    spec_stats = warm.get("spec_stats")
 
     # steady state with varying data. Host-side data generation happens
     # OUTSIDE the timed region: in production the DataLoader prefetches
@@ -240,6 +241,13 @@ def run(args) -> dict:
                 "pipeline_depth": depth,
                 "eos_bias": getattr(args, "eos_bias", 0.0),
                 "spec_k": getattr(args, "spec_k", 0),
+                # per-row emitted tokens per verify forward (>1 = spec
+                # pays; rows finishing early dilute the mean) + raw census
+                **({"spec_tokens_per_row_call": round(
+                    spec_stats["emitted"]
+                    / max(1, spec_stats["verify_calls"] * B), 2
+                ), "spec_verify_calls": spec_stats["verify_calls"]}
+                   if spec_stats else {}),
                 "mean_answer_len": answer_lens[0],
                 "max_answer_len": answer_lens[1],
                 "init_s": round(init_s, 1),

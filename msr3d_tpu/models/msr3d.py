@@ -639,7 +639,7 @@ class MSR3D:
                 # in the loop-invariant prompt_kv. Token-identical to the
                 # greedy_decode_shared path (verified by construction +
                 # tests/test_speculative.py).
-                return ngram_speculative_decode(
+                tokens, stats = ngram_speculative_decode(
                     decode_shared, gen_kv,
                     jnp.zeros((first.shape[0], max_new), bool),
                     next_pos, first, batch["input_ids"],
@@ -647,7 +647,9 @@ class MSR3D:
                     prompt_len=0, spec_k=self.spec_k,
                     ngram_n=self.spec_ngram, min_length=1,
                     eos_logit_bias=self.eos_logit_bias,
+                    return_stats=True,
                 )
+                return tokens, stats
             return greedy_decode_shared(
                 decode_shared, next_pos, first,
                 gen_kv, max_new_tokens=max_new, eos_id=eos_id, pad_id=eos_id,
@@ -709,11 +711,18 @@ class MSR3D:
             device_batch = {
                 k: jax.device_put(v, sharding) for k, v in device_batch.items()
             }
-        tokens = self._generate_cache[key](self.params, device_batch)
+        out = self._generate_cache[key](self.params, device_batch)
+        tokens, spec_stats = out if isinstance(out, tuple) else (out, None)
 
         def finalize() -> Dict[str, Any]:
             data_dict["output_tokens"] = np.asarray(tokens)
             data_dict["output_text"] = self.batch_detokenize(data_dict["output_tokens"])
+            if spec_stats is not None:
+                # emitted tokens / accepted draft tokens / verify
+                # forwards — the speculative-decoding efficiency census
+                data_dict["spec_stats"] = {
+                    k: int(np.asarray(v)) for k, v in spec_stats.items()
+                }
             return data_dict
 
         return finalize
