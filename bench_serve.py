@@ -57,6 +57,12 @@ def parse_args(argv=None):
     p.add_argument("--beams", type=int, default=1)
     p.add_argument("--eos-bias", type=float, default=0.0)
     p.add_argument("--act-quant", action="store_true")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="n-gram speculative decoding inside the engine "
+                   "(forces penalty-free greedy; the control arm becomes "
+                   "the plain continuous engine instead of gang)")
+    p.add_argument("--spec-ngram", type=int, default=3)
+    p.add_argument("--rep-penalty", type=float, default=3.0)
     args = p.parse_args(argv)
     args.new_tokens = args.max_new  # model.max_out_len
     return args
@@ -116,27 +122,44 @@ def main() -> None:
     wi, _ = model._encode_prompts(model.build_text_prompt(data))
     prompt_len = max(32, -(-wi.shape[1] // 32) * 32) + 1
 
+    spec_k = getattr(args, "spec_k", 0)
     cont = ContinuousBatchingServer(
         model, args.slots, refill_group=args.refill_group,
         chunk_steps=args.chunk_steps, max_new_tokens=args.max_new,
         prompt_len=prompt_len, lookahead=args.lookahead,
+        spec_k=spec_k, spec_ngram=getattr(args, "spec_ngram", 3),
     )
-    # gang arm: same refill group (identical compiled prefill program —
-    # the measured gap must be the scheduling policy, nothing else), but
-    # refills only once every slot has drained
-    gang = ContinuousBatchingServer(
-        model, args.slots, refill_group=args.refill_group,
-        chunk_steps=args.chunk_steps, max_new_tokens=args.max_new,
-        prompt_len=prompt_len, drain_between_batches=True,
-        lookahead=args.lookahead,
-    )
-    cont._build_fns()
-    gang._fns = cont._fns  # same shapes: share the compiled programs
+    if spec_k:
+        # control arm: the PLAIN continuous engine (same scheduling,
+        # T=1 decode) — isolates the speculative-decoding delta
+        gang = ContinuousBatchingServer(
+            model, args.slots, refill_group=args.refill_group,
+            chunk_steps=args.chunk_steps, max_new_tokens=args.max_new,
+            prompt_len=prompt_len, lookahead=args.lookahead,
+        )
+        cont._build_fns()
+        gang._build_fns()  # different decode program; no sharing
+    else:
+        # gang arm: same refill group (identical compiled prefill program —
+        # the measured gap must be the scheduling policy, nothing else), but
+        # refills only once every slot has drained
+        gang = ContinuousBatchingServer(
+            model, args.slots, refill_group=args.refill_group,
+            chunk_steps=args.chunk_steps, max_new_tokens=args.max_new,
+            prompt_len=prompt_len, drain_between_batches=True,
+            lookahead=args.lookahead,
+        )
+        cont._build_fns()
+        gang._fns = cont._fns  # same shapes: share the compiled programs
 
     # warm/compile: a small prefix of the workload at tiny budgets
     warm_reqs = requests[: args.refill_group]
     t0 = time.time()
     cont.run(warm_reqs, budgets=[2] * len(warm_reqs))
+    if spec_k and not args.skip_gang:
+        # spec mode: the control arm runs DIFFERENT compiled programs
+        # (T=1 chunk) — warm it too so the timed run is compile-free
+        gang.run(warm_reqs, budgets=[2] * len(warm_reqs))
     compile_s = time.time() - t0
 
     t0 = time.perf_counter()

@@ -545,6 +545,36 @@ def beam_search_decode_shared(
     return all_tokens[jnp.arange(b), best]
 
 
+def ngram_propose(ctx, cur, *, ngram_n: int, k: int, pad_id: int):
+    """Prompt-lookup draft proposal: match the ``ngram_n``-gram suffix of
+    each row's context against the full context and return the ``k``
+    tokens following the most recent earlier occurrence (``pad_id`` fill
+    when no match). ``ctx`` (B, L) int32 token context; ``cur`` (B,)
+    per-row context lengths (suffix ends at ``cur-1``). Pure index math,
+    no model call — static shapes, fully traceable."""
+    l_ctx = ctx.shape[1]
+    gidx = jnp.maximum(
+        cur[:, None] - ngram_n + jnp.arange(ngram_n)[None, :], 0
+    )
+    gram = jnp.take_along_axis(ctx, gidx, axis=1)  # (B, n)
+    lw = l_ctx - ngram_n + 1
+    windows = jnp.stack(
+        [ctx[:, i : i + lw] for i in range(ngram_n)], axis=-1
+    )  # (B, Lw, n)
+    match = jnp.all(windows == gram[:, None, :], axis=-1)  # (B, Lw)
+    p_pos = jnp.arange(lw)[None, :]
+    ok = match & (p_pos <= (cur - ngram_n - 1)[:, None])
+    pbest = jnp.max(jnp.where(ok, p_pos, -1), axis=1)  # (B,) -1 = none
+    pidx = jnp.clip(
+        pbest[:, None] + ngram_n + jnp.arange(k)[None, :], 0, l_ctx - 1
+    )
+    return jnp.where(
+        pbest[:, None] >= 0,
+        jnp.take_along_axis(ctx, pidx, axis=1),
+        pad_id,
+    ).astype(jnp.int32)  # (B, K)
+
+
 def ngram_speculative_decode(
     decode_step: Callable,
     kv_caches: Dict[str, jax.Array],
@@ -634,26 +664,7 @@ def ngram_speculative_decode(
         cur = p_len_ids + n_emitted  # context length per row
 
         # ---- n-gram proposal (pure index math, no model call) ----
-        gidx = jnp.maximum(
-            cur[:, None] - ngram_n + jnp.arange(ngram_n)[None, :], 0
-        )
-        gram = jnp.take_along_axis(ctx, gidx, axis=1)  # (B, n)
-        lw = l_ctx - ngram_n + 1
-        windows = jnp.stack(
-            [ctx[:, i : i + lw] for i in range(ngram_n)], axis=-1
-        )  # (B, Lw, n)
-        match = jnp.all(windows == gram[:, None, :], axis=-1)  # (B, Lw)
-        p_pos = jnp.arange(lw)[None, :]
-        ok = match & (p_pos <= (cur - ngram_n - 1)[:, None])
-        pbest = jnp.max(jnp.where(ok, p_pos, -1), axis=1)  # (B,) -1 = none
-        pidx = jnp.clip(
-            pbest[:, None] + ngram_n + jnp.arange(k)[None, :], 0, l_ctx - 1
-        )
-        props = jnp.where(
-            pbest[:, None] >= 0,
-            jnp.take_along_axis(ctx, pidx, axis=1),
-            pad_id,
-        ).astype(jnp.int32)  # (B, K)
+        props = ngram_propose(ctx, cur, ngram_n=ngram_n, k=k, pad_id=pad_id)
 
         # ---- one verification forward over the window ----
         verify = jnp.concatenate([last_tok[:, None], props], axis=1)  # (B, K+1)

@@ -196,6 +196,16 @@ class ContinuousBatchingServer:
     finishes — the gang-scheduled control arm for benchmarking, using
     byte-identical kernels (bench_serve.py measures the scheduling gap
     in isolation).
+
+    ``spec_k > 0`` layers n-gram (prompt-lookup) speculative decoding on
+    top of the slot-refill schedule: each ``decode_chunk`` iteration runs
+    ONE ``spec_k+1``-token verify forward per slot (drafts proposed by
+    suffix n-gram lookup against that slot's prompt+generated context —
+    stored per slot in device state) and emits 1..``spec_k+1`` tokens.
+    Token-identical to ``spec_k=0`` per request (tested); requires the
+    model's ``repetition_penalty == 1.0``. Slots at different depths
+    verify concurrently — the per-row multi-token KV window write is the
+    same vector-index machinery the T=1 path uses.
     """
 
     def __init__(
@@ -209,10 +219,20 @@ class ContinuousBatchingServer:
         prompt_len: Optional[int] = None,
         drain_between_batches: bool = False,
         lookahead: int = 1,
+        spec_k: int = 0,
+        spec_ngram: int = 3,
     ):
         import jax  # lazy: the fixed-batch server above is host-only
 
         assert 1 <= refill_group <= num_slots
+        if spec_k > 0 and model.repetition_penalty != 1.0:
+            raise ValueError(
+                "speculative continuous batching requires "
+                "repetition_penalty == 1.0 (penalty serializes the "
+                "verify window)"
+            )
+        self.spec_k = int(spec_k)
+        self.spec_ngram = int(spec_ngram)
         self.model = model
         self.num_slots = num_slots
         self.refill_group = refill_group
@@ -254,21 +274,28 @@ class ContinuousBatchingServer:
         eos_bias = model.eos_logit_bias
         n_steps = self.chunk_steps
 
+        spec_k = self.spec_k
+        W = S_p - 1  # prompt-id width (prefill appends the trailing bos)
+
         @jax.jit
         def init_state():
+            st = dict(
+                gen_kv=_make_cache(llm_cfg, B, S_g),
+                generated=jnp.full((B, S_g), eos, jnp.int32),
+                cnt=jnp.zeros((B,), jnp.int32),
+                pos=jnp.zeros((B,), jnp.int32),
+                finished=jnp.ones((B,), bool),
+                active=jnp.zeros((B,), bool),
+                seen=jnp.zeros((B, V), bool),
+                budget=jnp.zeros((B,), jnp.int32),
+            )
+            if spec_k:
+                # per-slot prompt token ids: the n-gram proposal context
+                st["prompt_ids"] = jnp.zeros((B, W), jnp.int32)
             return (
                 _make_cache(llm_cfg, B, S_p),  # prompt_kv
                 jnp.zeros((B, S_p), bool),  # prompt_mask
-                dict(
-                    gen_kv=_make_cache(llm_cfg, B, S_g),
-                    generated=jnp.full((B, S_g), eos, jnp.int32),
-                    cnt=jnp.zeros((B,), jnp.int32),
-                    pos=jnp.zeros((B,), jnp.int32),
-                    finished=jnp.ones((B,), bool),
-                    active=jnp.zeros((B,), bool),
-                    seen=jnp.zeros((B, V), bool),
-                    budget=jnp.zeros((B,), jnp.int32),
-                ),
+                st,
             )
 
         @jax.jit
@@ -283,6 +310,7 @@ class ContinuousBatchingServer:
         def insert(
             prompt_kv, prompt_mask, state,
             new_kv, new_mask, new_first, new_pos, slots, valid, budgets,
+            new_ids=None,
         ):
             r = slots.shape[0]
             prompt_kv = {
@@ -310,6 +338,10 @@ class ContinuousBatchingServer:
                 active=state["active"].at[slots].set(valid),
                 budget=state["budget"].at[slots].set(budgets),
             )
+            if new_ids is not None:
+                state["prompt_ids"] = state["prompt_ids"].at[slots].set(
+                    new_ids.astype(jnp.int32)
+                )
             return prompt_kv, prompt_mask, state
 
         @partial(jax.jit, donate_argnums=(3,))
@@ -364,7 +396,97 @@ class ContinuousBatchingServer:
             )
             return steps, state
 
-        self._fns = (init_state, prefill, insert, decode_chunk)
+        @partial(jax.jit, donate_argnums=(3,))
+        def decode_chunk_spec(variables, prompt_kv, prompt_mask, state):
+            """Speculative chunk: each iteration = ONE (spec_k+1)-token
+            verify forward per slot, emitting 1..spec_k+1 tokens. Same
+            schedule contract as ``decode_chunk`` (``steps`` = model
+            calls, not tokens); token-identical to the T=1 chunk."""
+            from msr3d_tpu.models.llm.sampling import ngram_propose
+
+            rows = jnp.arange(B)
+            slot_iota = jnp.arange(S_g)[None, :]
+            kk = spec_k
+
+            def cond(carry):
+                i, st = carry
+                return (i < n_steps) & jnp.any(st["active"] & ~st["finished"])
+
+            def body(carry):
+                i, st = carry
+                run = st["active"] & ~st["finished"]
+                cnt = st["cnt"]  # ≥1 on active slots (insert emits tok0)
+                last_tok = st["generated"][rows, jnp.maximum(cnt - 1, 0)]
+                # proposal context: prompt ids + generated (the trailing
+                # bos the prefill appends sits between them and is
+                # invisible here — a proposal-quality artifact only,
+                # acceptance keeps tokens exact)
+                ctx = jnp.concatenate(
+                    [st["prompt_ids"], st["generated"]], axis=1
+                )
+                props = ngram_propose(
+                    ctx, W + cnt, ngram_n=self.spec_ngram, k=kk, pad_id=eos
+                )
+                verify = jnp.concatenate([last_tok[:, None], props], axis=1)
+                pos = st["pos"][:, None] + jnp.arange(kk + 1)
+                # window writes land at slots cnt-1..cnt-1+kk; idle rows
+                # carry start -1 (whole window dropped)
+                gen_index = jnp.where(run, cnt - 1, -1)
+                # accepted context = slots 0..cnt-2 (slot cnt-1 is being
+                # rewritten by this window); the model masks the window
+                # causally from gen_index
+                gen_mask = slot_iota < (cnt - 1)[:, None]
+                logits, gen_kv = network.apply(
+                    variables, verify, pos, prompt_kv, prompt_mask,
+                    st["gen_kv"], gen_index, gen_mask,
+                    method=network.decode_step_shared,
+                )
+                lg = logits.astype(jnp.float32)
+                if eos_bias:
+                    lg = lg + (jnp.arange(V) == eos) * jnp.float32(eos_bias)
+                y = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (B, K+1)
+
+                acc = jnp.cumprod((props == y[:, :kk]).astype(jnp.int32), axis=1)
+                m = jnp.sum(acc, axis=1)
+                is_eos_y = y == eos
+                before_eos = (
+                    jnp.cumsum(is_eos_y.astype(jnp.int32), axis=1) - is_eos_y
+                )
+                steps_idx = cnt[:, None] + jnp.arange(kk + 1)[None, :]
+                emit = (
+                    (jnp.arange(kk + 1)[None, :] <= m[:, None])
+                    & (before_eos == 0)
+                    & (steps_idx < st["budget"][:, None])
+                    & run[:, None]
+                )
+                out_idx = jnp.where(emit, steps_idx, S_g)
+                generated = st["generated"].at[rows[:, None], out_idx].set(
+                    jnp.where(emit, y, eos), mode="drop"
+                )
+                n_new = jnp.sum(emit.astype(jnp.int32), axis=1)
+                finished = st["finished"] | (
+                    run
+                    & (
+                        jnp.any(emit & is_eos_y, axis=1)
+                        | (cnt + n_new >= st["budget"])
+                    )
+                )
+                st = dict(
+                    st, gen_kv=gen_kv, generated=generated,
+                    finished=finished, cnt=cnt + n_new,
+                    pos=st["pos"] + n_new,
+                )
+                return i + 1, st
+
+            steps, state = lax.while_loop(
+                cond, body, (jnp.int32(0), state)
+            )
+            return steps, state
+
+        self._fns = (
+            init_state, prefill, insert,
+            decode_chunk_spec if spec_k else decode_chunk,
+        )
         return self._fns
 
     # -- host side -------------------------------------------------------
@@ -395,7 +517,7 @@ class ContinuousBatchingServer:
         batch.update(input_ids=ids, attention_mask=attn)
         _, prefill, _, _ = self._fns
         first, kv, mask, next_pos = prefill(model.params, _to_jax(batch))
-        return first, kv, mask, next_pos
+        return first, kv, mask, next_pos, ids
 
     def run(
         self,
@@ -472,16 +594,21 @@ class ContinuousBatchingServer:
                 while len(g_samples) < r:  # pad the tail group
                     g_samples.append(g_samples[-1])
                     g_budgets.append(1)
-                first, kv, mask, next_pos = self._prefill_group(g_samples)
+                first, kv, mask, next_pos, g_ids = self._prefill_group(g_samples)
                 slots = [free.popleft() for _ in range(r)]
                 valid = np.zeros(r, bool)
                 valid[:n_real] = True
+                spec_args = (
+                    {"new_ids": jnp.asarray(np.asarray(g_ids, np.int32))}
+                    if self.spec_k else {}
+                )
                 prompt_kv, prompt_mask, state = insert(
                     prompt_kv, prompt_mask, state,
                     kv, mask, first, next_pos,
                     jnp.asarray(np.asarray(slots, np.int32)),
                     jnp.asarray(valid),
                     jnp.asarray(np.asarray(g_budgets, np.int32)),
+                    **spec_args,
                 )
                 for j, (rid, _, _) in enumerate(group):
                     slot_rid[slots[j]] = rid

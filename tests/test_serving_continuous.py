@@ -177,3 +177,78 @@ def test_continuous_with_eos_termination(tiny_msr3d, rng):
             np.testing.assert_array_equal(r.output_tokens, direct[r.id])
     finally:
         tiny_msr3d.eos_logit_bias = old_bias
+
+
+def test_continuous_spec_matches_plain(tiny_msr3d, rng):
+    """spec_k > 0 slot-refill serving is token-identical per request to
+    the plain T=1 engine (both penalty-free), across refill scheduling,
+    mixed budgets, and EOS-bias termination."""
+    reqs = _requests(rng, 6)
+    max_new = 10
+    saved = tiny_msr3d.repetition_penalty
+    tiny_msr3d.repetition_penalty = 1.0
+    try:
+        ii, _ = tiny_msr3d._encode_prompts(
+            tiny_msr3d.build_text_prompt(_batch_of(reqs))
+        )
+        prompt_len = max(32, -(-ii.shape[1] // 32) * 32) + 1
+        budgets = [10, 3, 7, 1, 10, 5]
+        plain = ContinuousBatchingServer(
+            tiny_msr3d, num_slots=3, refill_group=1, chunk_steps=4,
+            max_new_tokens=max_new, prompt_len=prompt_len,
+        )
+        want = {r.id: r.output_tokens for r in plain.run(reqs, budgets=budgets)}
+        spec = ContinuousBatchingServer(
+            tiny_msr3d, num_slots=3, refill_group=1, chunk_steps=4,
+            max_new_tokens=max_new, prompt_len=prompt_len,
+            spec_k=3, spec_ngram=2,
+        )
+        results = spec.run(reqs, budgets=budgets)
+        assert sorted(r.id for r in results) == list(range(6))
+        for r in results:
+            np.testing.assert_array_equal(r.output_tokens, want[r.id])
+        # spec chunks count verify calls, not tokens
+        assert 0 < spec.steps_run <= plain.steps_run
+    finally:
+        tiny_msr3d.repetition_penalty = saved
+
+
+def test_continuous_spec_with_eos_bias(tiny_msr3d, rng):
+    reqs = _requests(rng, 4)
+    max_new = 8
+    saved = tiny_msr3d.repetition_penalty
+    old_bias = tiny_msr3d.eos_logit_bias
+    tiny_msr3d.repetition_penalty = 1.0
+    tiny_msr3d.eos_logit_bias = 4.0
+    try:
+        ii, _ = tiny_msr3d._encode_prompts(
+            tiny_msr3d.build_text_prompt(_batch_of(reqs))
+        )
+        prompt_len = max(32, -(-ii.shape[1] // 32) * 32) + 1
+        plain = ContinuousBatchingServer(
+            tiny_msr3d, num_slots=2, refill_group=1, chunk_steps=3,
+            max_new_tokens=max_new, prompt_len=prompt_len,
+        )
+        want = {r.id: r.output_tokens for r in plain.run(reqs)}
+        spec = ContinuousBatchingServer(
+            tiny_msr3d, num_slots=2, refill_group=1, chunk_steps=3,
+            max_new_tokens=max_new, prompt_len=prompt_len,
+            spec_k=4, spec_ngram=3,
+        )
+        for r in spec.run(reqs):
+            np.testing.assert_array_equal(r.output_tokens, want[r.id])
+    finally:
+        tiny_msr3d.repetition_penalty = saved
+        tiny_msr3d.eos_logit_bias = old_bias
+
+
+def test_continuous_spec_requires_penalty_free(tiny_msr3d):
+    saved = tiny_msr3d.repetition_penalty
+    tiny_msr3d.repetition_penalty = 3.0
+    try:
+        with pytest.raises(ValueError, match="repetition_penalty"):
+            ContinuousBatchingServer(
+                tiny_msr3d, num_slots=2, refill_group=1, spec_k=2
+            )
+    finally:
+        tiny_msr3d.repetition_penalty = saved
