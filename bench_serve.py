@@ -211,8 +211,10 @@ def main() -> None:
         ) if gang_steps else None,
         "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
         + ("-int8" if args.int8 else "")
+        + ("-int4" if getattr(args, "int4", False) else "")
         + ("-kv8" if args.kv_quant else "")
         + ("-cpk" if args.compact_transfer else ""),
+        "spec_k": spec_k,
         "token_mismatch_rows": mismatch_rows,
         "init_s": round(init_s, 1),
         "compile_s": round(compile_s, 1),
