@@ -57,6 +57,41 @@ def _mask_min_length(
     return jnp.where((step < min_length - 1) & is_eos, -jnp.inf, logits)
 
 
+def sample_filter_logits(
+    logits: jax.Array,  # (B, V) fp32
+    *,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jax.Array:
+    """HF ``LogitsWarper`` chain (temperature → top-k → top-p).
+
+    Matches transformers' TemperatureLogitsWarper / TopKLogitsWarper /
+    TopPLogitsWarper semantics: top-p keeps the smallest prefix of
+    descending-probability tokens whose cumulative mass reaches
+    ``top_p`` (the most-probable token always survives). Filtered
+    positions get -inf. Ties at the top-k/top-p threshold are all kept
+    (value-threshold form — sort-order among equal logits is
+    implementation-defined in HF too)."""
+    if temperature != 1.0:
+        logits = logits / jnp.float32(max(float(temperature), 1e-6))
+    if top_k:
+        k = min(int(top_k), logits.shape[-1])
+        kth = lax.top_k(logits, k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        srt = jnp.sort(logits, axis=-1)[..., ::-1]  # descending
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # token kept iff the mass strictly before it is < top_p
+        keep = (cum - probs) < jnp.float32(top_p)
+        thresh = jnp.min(
+            jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < thresh, -jnp.inf, logits)
+    return logits
+
+
 def pick_next_rows(
     logits: jax.Array,  # (B, V) fp32
     seen: jax.Array,  # (B, V) bool
@@ -96,6 +131,10 @@ def greedy_decode(
     min_length: int = 1,
     repetition_penalty: float = 1.0,
     eos_logit_bias: float = 0.0,
+    sample_key: jax.Array = None,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
 ) -> jax.Array:
     """Greedy decode loop.
 
@@ -103,51 +142,66 @@ def greedy_decode(
     cache_mask) -> (logits (B,1,V), new_kv_caches)`` — typically a jitted
     closure over the model params.
 
+    With ``sample_key`` set, each step SAMPLES from the warped
+    distribution (temperature/top-k/top-p, HF warper semantics) instead
+    of taking the argmax — same loop, same EOS/penalty handling, one
+    rng split per step carried in the loop state.
+
     Returns generated ids (B, max_new_tokens), padded with ``pad_id`` after
     EOS (EOS itself is kept, mirroring HF outputs before the reference's
     0→2 remap, msr3d.py:515).
     """
     b, v = first_token_logits.shape
+    sampling = sample_key is not None
+    key0 = sample_key if sampling else jax.random.PRNGKey(0)
 
-    def pick(logits, seen, step):
+    def pick(logits, seen, step, key):
         logits = apply_repetition_penalty(logits, seen, repetition_penalty)
         logits = _mask_min_length(logits, step, min_length, eos_id, eos_logit_bias)
+        if sampling:
+            logits = sample_filter_logits(
+                logits, temperature=temperature, top_k=top_k, top_p=top_p
+            )
+            return jax.random.categorical(key, logits).astype(jnp.int32)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
 
     def mark(seen, tok):
         return seen.at[jnp.arange(b), tok].set(True)
 
+    key0, sub0 = jax.random.split(key0)
     generated0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
     seen0 = jnp.zeros((b, v), bool)
-    tok0 = pick(first_token_logits, seen0, jnp.int32(0))
+    tok0 = pick(first_token_logits, seen0, jnp.int32(0), sub0)
     generated0 = generated0.at[:, 0].set(tok0)
     seen0 = mark(seen0, tok0)
     finished0 = tok0 == eos_id
 
     def cond(state):
-        step, _, _, _, _, _, finished = state
+        step, _, _, _, _, _, finished, _ = state
         return (step < max_new_tokens) & ~jnp.all(finished)
 
     def body(state):
-        step, generated, seen, caches, cmask, positions, finished = state
+        step, generated, seen, caches, cmask, positions, finished, key = state
         tok = generated[:, step - 1]
         cache_index = prompt_len + step - 1
         cmask = cmask.at[:, cache_index].set(True)
         logits, caches = decode_step(
             tok[:, None], positions[:, None], caches, cache_index, cmask
         )
-        nxt = pick(logits[:, -1, :].astype(jnp.float32), seen, step)
+        key, sub = jax.random.split(key)
+        nxt = pick(logits[:, -1, :].astype(jnp.float32), seen, step, sub)
         nxt = jnp.where(finished, pad_id, nxt)
         generated = generated.at[:, step].set(nxt)
         seen = jnp.where(finished[:, None], seen, mark(seen, nxt))
         finished = finished | (nxt == eos_id)
-        return step + 1, generated, seen, caches, cmask, positions + 1, finished
+        return (step + 1, generated, seen, caches, cmask, positions + 1,
+                finished, key)
 
     state = (
         jnp.int32(1), generated0, seen0, kv_caches, cache_mask,
-        next_positions.astype(jnp.int32), finished0,
+        next_positions.astype(jnp.int32), finished0, key0,
     )
-    _, generated, _, _, _, _, _ = lax.while_loop(cond, body, state)
+    _, generated, _, _, _, _, _, _ = lax.while_loop(cond, body, state)
     return generated
 
 
@@ -163,6 +217,10 @@ def greedy_decode_shared(
     min_length: int = 1,
     repetition_penalty: float = 1.0,
     eos_logit_bias: float = 0.0,
+    sample_key: jax.Array = None,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
 ) -> jax.Array:
     """Greedy decode over a SPLIT KV cache: the prompt segment is a
     loop-invariant closure operand (never copied into the while-loop
@@ -172,49 +230,59 @@ def greedy_decode_shared(
 
     ``decode_step_shared(token_ids (B,1), positions (B,1), gen_kv,
     gen_index, gen_mask) → (logits, new_gen_kv)``.
-    Same output contract as ``greedy_decode`` (token-exact in tests).
+    Same output contract as ``greedy_decode`` (token-exact in tests),
+    including the ``sample_key`` temperature/top-k/top-p sampling mode.
     """
     b, v = first_token_logits.shape
     slot = jnp.arange(max_new_tokens)[None, :]
+    sampling = sample_key is not None
+    key0 = sample_key if sampling else jax.random.PRNGKey(0)
 
-    def pick(logits, seen, step):
+    def pick(logits, seen, step, key):
         logits = apply_repetition_penalty(logits, seen, repetition_penalty)
         logits = _mask_min_length(logits, step, min_length, eos_id, eos_logit_bias)
+        if sampling:
+            logits = sample_filter_logits(
+                logits, temperature=temperature, top_k=top_k, top_p=top_p
+            )
+            return jax.random.categorical(key, logits).astype(jnp.int32)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def mark(seen, tok):
         return seen.at[jnp.arange(b), tok].set(True)
 
+    key0, sub0 = jax.random.split(key0)
     generated0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
     seen0 = jnp.zeros((b, v), bool)
-    tok0 = pick(first_token_logits, seen0, jnp.int32(0))
+    tok0 = pick(first_token_logits, seen0, jnp.int32(0), sub0)
     generated0 = generated0.at[:, 0].set(tok0)
     seen0 = mark(seen0, tok0)
     finished0 = tok0 == eos_id
 
     def cond(state):
-        step, _, _, _, _, finished = state
+        step, _, _, _, _, finished, _ = state
         return (step < max_new_tokens) & ~jnp.all(finished)
 
     def body(state):
-        step, generated, seen, caches, positions, finished = state
+        step, generated, seen, caches, positions, finished, key = state
         tok = generated[:, step - 1]
         gen_mask = jnp.broadcast_to(slot < step, (b, max_new_tokens))
         logits, caches = decode_step_shared(
             tok[:, None], positions[:, None], caches, step - 1, gen_mask
         )
-        nxt = pick(logits[:, -1, :].astype(jnp.float32), seen, step)
+        key, sub = jax.random.split(key)
+        nxt = pick(logits[:, -1, :].astype(jnp.float32), seen, step, sub)
         nxt = jnp.where(finished, pad_id, nxt)
         generated = generated.at[:, step].set(nxt)
         seen = jnp.where(finished[:, None], seen, mark(seen, nxt))
         finished = finished | (nxt == eos_id)
-        return step + 1, generated, seen, caches, positions + 1, finished
+        return step + 1, generated, seen, caches, positions + 1, finished, key
 
     state = (
         jnp.int32(1), generated0, seen0, gen_kv,
-        next_positions.astype(jnp.int32), finished0,
+        next_positions.astype(jnp.int32), finished0, key0,
     )
-    _, generated, _, _, _, _ = lax.while_loop(cond, body, state)
+    _, generated, _, _, _, _, _ = lax.while_loop(cond, body, state)
     return generated
 
 

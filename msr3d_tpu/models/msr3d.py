@@ -355,6 +355,12 @@ class MSR3D:
         # (greedy serving runs penalty-free; the reference's penalty 3.0
         # applies to its beam-5 eval setting)
         spec_ngram: int = 3,  # suffix n-gram length for proposal lookup
+        do_sample: bool = False,  # greedy path: sample from the warped
+        # distribution instead of argmax (HF do_sample semantics)
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        sample_seed: int = 0,
         seed: int = 0,
     ):
         self.tokenizer = tokenizer or build_tokenizer()
@@ -382,6 +388,17 @@ class MSR3D:
             )
         self.spec_k = int(spec_k)
         self.spec_ngram = int(spec_ngram)
+        if do_sample and spec_k > 0:
+            raise ValueError(
+                "do_sample and spec_k are mutually exclusive — n-gram "
+                "verification accepts drafts against the argmax pick"
+            )
+        self.do_sample = bool(do_sample)
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        self.sample_seed = int(sample_seed)
+        self._sample_calls = 0  # per-call rng fold so batches differ
         # serving knob: ship obj_fts over the host↔device link as
         # int16 xyz + int8 rgb (9 B/point vs 24 B fp32). Points are
         # unit-sphere normalized by preprocess_pcd so a fixed 1.0 scale
@@ -567,9 +584,13 @@ class MSR3D:
         batch["obj_fts"] = jnp.concatenate([xyz, rgb], axis=-1)
         return batch
 
-    def _make_generate_fn(self, prompt_len: int, max_new: int, beams: int):
+    def _make_generate_fn(
+        self, prompt_len: int, max_new: int, beams: int, sample: bool = False
+    ):
         """Build ONE jitted function running prefill + the full decode loop
-        on device (no host round-trips per token)."""
+        on device (no host round-trips per token). With ``sample`` the
+        function takes a PRNG key and the greedy loop samples from the
+        temperature/top-k/top-p-warped distribution instead of argmax."""
         network = self.network
         cache_len = prompt_len + max_new
         bos_id = self.tokenizer.bos_id
@@ -585,9 +606,18 @@ class MSR3D:
         length_penalty = self.length_penalty
 
         llm_cfg = self.cfg.llm
+        sample_kw = (
+            dict(
+                temperature=self.temperature,
+                top_k=self.top_k,
+                top_p=self.top_p,
+            )
+            if sample
+            else {}
+        )
 
         @jax.jit
-        def generate_fn(variables, batch):
+        def generate_fn(variables, batch, sample_key=None):
             from msr3d_tpu.models.llm.llama import _make_cache
 
             batch = MSR3D._unpack_batch(batch)
@@ -655,6 +685,8 @@ class MSR3D:
                 gen_kv, max_new_tokens=max_new, eos_id=eos_id, pad_id=eos_id,
                 min_length=1, repetition_penalty=self.repetition_penalty,
                 eos_logit_bias=self.eos_logit_bias,
+                sample_key=sample_key if sample else None,
+                **sample_kw,
             )
 
         return generate_fn
@@ -692,13 +724,27 @@ class MSR3D:
         max_new = max_new_tokens or self.max_out_len
         prompt_len = input_ids.shape[1] + 1
         beams = self.num_beams if use_beam is None else (self.num_beams if use_beam else 1)
+        sample = self.do_sample and beams == 1
+        if self.do_sample and beams > 1:
+            raise ValueError(
+                "do_sample requires the greedy path (num_beams == 1 or "
+                "use_beam=False) — beam-sampling is not supported"
+            )
+        if sample and self.spec_k > 0:
+            raise ValueError(
+                "do_sample and spec_k are mutually exclusive — n-gram "
+                "verification accepts drafts against the argmax pick"
+            )
         key = (prompt_len, max_new, beams, input_ids.shape[0],
                tuple(sorted(batch)), self.eos_logit_bias, self.spec_k,
-               self.spec_ngram)
+               self.spec_ngram,
+               (self.temperature, self.top_k, self.top_p) if sample else None)
         if not hasattr(self, "_generate_cache"):
             self._generate_cache = {}
         if key not in self._generate_cache:
-            self._generate_cache[key] = self._make_generate_fn(prompt_len, max_new, beams)
+            self._generate_cache[key] = self._make_generate_fn(
+                prompt_len, max_new, beams, sample=sample
+            )
         device_batch = _to_jax({"input_ids": input_ids, "attention_mask": attn, **batch})
         if getattr(self, "_serving_mesh", None) is not None:
             # dp-sharded serving: batch rows spread over the mesh's data
@@ -711,7 +757,14 @@ class MSR3D:
             device_batch = {
                 k: jax.device_put(v, sharding) for k, v in device_batch.items()
             }
-        out = self._generate_cache[key](self.params, device_batch)
+        if sample:
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(self.sample_seed), self._sample_calls
+            )
+            self._sample_calls += 1
+            out = self._generate_cache[key](self.params, device_batch, rng)
+        else:
+            out = self._generate_cache[key](self.params, device_batch)
         tokens, spec_stats = out if isinstance(out, tuple) else (out, None)
 
         def finalize() -> Dict[str, Any]:

@@ -39,6 +39,7 @@ _BATCH_KEYS = (
     "anchor_orientation",
     "msr3d_imgs",
     "msr3d_img_masks",
+    "img_fts",  # LEO-format single ego view (msr3d.py:246-268)
 )
 
 
@@ -57,6 +58,47 @@ def _collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
         if key in samples[0] and samples[0][key] is not None:
             batch[key] = np.stack([np.asarray(s[key]) for s in samples])
     return batch
+
+
+def uncollate_batch(data_dict: Dict[str, Any]) -> List[Dict[str, Any]]:
+    """Split one collated loader batch back into per-request sample
+    dicts — the inverse of :func:`_collate`, so eval loader batches can
+    feed the continuous engine.
+
+    Prompts are re-emitted in the UNEXPANDED placeholder form the
+    engine's prefill expects: ``msr3d_prompt`` passes through; LEO-format
+    prompt parts (prompt_before_obj / middles / after_obj — the
+    reference's model/msr3d/msr3d.py:291-326 fallback) are composed into
+    the equivalent single-placeholder prompt string, which
+    ``build_text_prompt`` then expands identically to its LEO branch.
+    """
+    from msr3d_tpu.models.msr3d import IMAGE_PLACEHOLDER, SCENE_PLACEHOLDER
+
+    if "msr3d_prompt" in data_dict:
+        prompts = list(data_dict["msr3d_prompt"])
+    else:
+        prompts = [
+            f"{before} {mid1}{IMAGE_PLACEHOLDER}. {mid2} "
+            f"{SCENE_PLACEHOLDER}. {after}"
+            for before, mid1, mid2, after in zip(
+                data_dict["prompt_before_obj"],
+                data_dict["prompt_middle_1"],
+                data_dict["prompt_middle_2"],
+                data_dict["prompt_after_obj"],
+            )
+        ]
+    samples: List[Dict[str, Any]] = [{"msr3d_prompt": p} for p in prompts]
+    for key in _BATCH_KEYS:
+        v = data_dict.get(key)
+        if v is None:
+            continue
+        arr = np.asarray(v)
+        assert arr.shape[0] == len(samples), (
+            f"{key}: leading dim {arr.shape[0]} != batch {len(samples)}"
+        )
+        for i, s in enumerate(samples):
+            s[key] = arr[i]
+    return samples
 
 
 class BatchingServer:
@@ -524,12 +566,22 @@ class ContinuousBatchingServer:
         samples: Iterable[Dict[str, Any]],
         *,
         budgets: Optional[Iterable[int]] = None,
+        on_result=None,
     ) -> List[Result]:
         """Serve all requests; returns results in request order.
 
-        Per-request token budgets come from ``budgets`` (parallel to
-        ``samples``) or a sample's ``max_new_tokens`` key, defaulting to
-        the engine-wide ``max_new_tokens``."""
+        ``samples`` is consumed LAZILY — at most one refill group is
+        pulled from the iterator beyond what free slots can take, so an
+        eval-split-sized request stream never materializes on the host
+        (each sample carries ~1.4 MB of fp32 points at reference scale).
+
+        Per-request token budgets come from ``budgets`` (an iterable
+        parallel to ``samples``) or a sample's ``max_new_tokens`` key,
+        defaulting to the engine-wide ``max_new_tokens``.
+
+        ``on_result``, if given, is called with each :class:`Result` the
+        moment its request finishes — in COMPLETION order, not request
+        order (the return value remains request-ordered)."""
         import jax.numpy as jnp
 
         model = self.model
@@ -538,28 +590,40 @@ class ContinuousBatchingServer:
             self._build_fns()
         init_state, _, insert, decode_chunk = self._fns
 
-        budget_list = list(budgets) if budgets is not None else None
-        queue: deque = deque()
-        for i, s in enumerate(samples):
-            b = (
-                budget_list[i]
-                if budget_list is not None
-                else s.get("max_new_tokens", self.max_new)
-            )
-            queue.append((i, s, max(1, min(int(b), self.max_new))))
-        n_requests = len(queue)
-        results: List[Optional[Result]] = [None] * n_requests
+        if budgets is not None:
+            pairs = iter(zip(samples, budgets))
+        else:
+            pairs = iter((s, None) for s in samples)
+        next_rid = 0
+        exhausted = False
+        queue: deque = deque()  # (rid, sample, budget)
+
+        def pull(n: int) -> None:
+            # top the queue up to n pending requests (or iterator end)
+            nonlocal next_rid, exhausted
+            while not exhausted and len(queue) < n:
+                try:
+                    s, b = next(pairs)
+                except StopIteration:
+                    exhausted = True
+                    return
+                if b is None:
+                    b = s.get("max_new_tokens", self.max_new)
+                queue.append(
+                    (next_rid, s, max(1, min(int(b), self.max_new)))
+                )
+                next_rid += 1
+
+        results: Dict[int, Result] = {}
 
         prompt_kv, prompt_mask, state = init_state()
         free: deque = deque(range(self.num_slots))
         slot_rid: Dict[int, int] = {}
         self.steps_run = 0
         r = self.refill_group
-        done_count = 0
         inflight: deque = deque()  # (steps, finished-copy, generated-copy)
 
         def process_one():
-            nonlocal done_count
             steps, fin_dev, gen_dev = inflight.popleft()
             self.steps_run += int(steps)
             finished = np.asarray(fin_dev)
@@ -571,13 +635,15 @@ class ContinuousBatchingServer:
                 )
                 for j, s in enumerate(done):
                     rid = slot_rid.pop(s)
-                    results[rid] = Result(
+                    res = Result(
                         id=rid, output_text=texts[j], output_tokens=gen[s]
                     )
+                    results[rid] = res
+                    if on_result is not None:
+                        on_result(res)
                     free.append(s)
-                    done_count += 1
 
-        while done_count < n_requests:
+        while True:
             # refill whenever a full group of free slots is available.
             # Drain mode (the gang-scheduled control arm): refill only in
             # a burst once EVERY slot has come home — but the burst still
@@ -585,6 +651,11 @@ class ContinuousBatchingServer:
             # byte-identical compiled prefill program (bf16 argmax decode
             # is sensitive to batch-shape-dependent compilation).
             burst = not (self.drain_between_batches and slot_rid)
+            if burst and len(free) >= r:
+                # pull lazily: a sub-r queue here implies the iterator is
+                # exhausted, so partial groups only form at the tail —
+                # exactly the eager version's behavior
+                pull(r)
             can_refill = burst and len(free) >= r and bool(queue)
             while can_refill:
                 n_real = min(r, len(queue))
@@ -614,6 +685,8 @@ class ContinuousBatchingServer:
                     slot_rid[slots[j]] = rid
                 for s_pad in slots[n_real:]:  # padding rows are idle
                     free.append(s_pad)
+                if len(free) >= r:
+                    pull(r)
                 can_refill = burst and len(free) >= r and bool(queue)
 
             if slot_rid:
@@ -634,4 +707,9 @@ class ContinuousBatchingServer:
             while len(inflight) > target or (not slot_rid and inflight):
                 process_one()
 
-        return [res for res in results if res is not None]
+            if not slot_rid and not inflight and not queue:
+                pull(r)
+                if not queue:
+                    break  # iterator exhausted, everything served
+
+        return [results[k] for k in sorted(results)]

@@ -42,6 +42,13 @@ def main(argv=None) -> None:
     save_config(cfg, Path(cfg.exp_dir) / "config.yaml")
     logger.info(f"exp_dir: {cfg.exp_dir}")
 
+    if cfg.get("compile_cache", True) not in (False, "false", "off", 0):
+        from msr3d_tpu.utils.compile_cache import enable_compile_cache
+
+        cache_dir = enable_compile_cache(cfg.get("compile_cache_dir"))
+        if cache_dir:
+            logger.info(f"persistent compilation cache: {cache_dir}")
+
     from msr3d_tpu.trainer.leo_trainer import build_trainer
 
     trainer = build_trainer(cfg)

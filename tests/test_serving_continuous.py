@@ -252,3 +252,80 @@ def test_continuous_spec_requires_penalty_free(tiny_msr3d):
             )
     finally:
         tiny_msr3d.repetition_penalty = saved
+
+
+def test_continuous_lazy_feed_and_on_result(tiny_msr3d, rng):
+    """run() must consume the sample iterator LAZILY (never more than a
+    refill group beyond what free slots can take), deliver on_result
+    callbacks as requests complete, and still return request-ordered
+    results identical to the eager path."""
+    n = 9
+    reqs = _requests(rng, n)
+    max_new = 6
+    direct = _direct_tokens(tiny_msr3d, reqs, max_new)
+    ii, _ = tiny_msr3d._encode_prompts(
+        tiny_msr3d.build_text_prompt(_batch_of(reqs))
+    )
+    prompt_len = max(32, -(-ii.shape[1] // 32) * 32) + 1
+
+    num_slots, r = 3, 2
+    server = ContinuousBatchingServer(
+        tiny_msr3d, num_slots=num_slots, refill_group=r, chunk_steps=3,
+        max_new_tokens=max_new, prompt_len=prompt_len,
+    )
+    pulled = [0]
+    completed = []
+
+    def lazy_iter():
+        for req in reqs:
+            # laziness bound: the engine holds at most num_slots requests
+            # in flight plus one pending refill group in its queue
+            assert pulled[0] - len(completed) <= num_slots + r
+            pulled[0] += 1
+            yield req
+
+    results = server.run(lazy_iter(), on_result=lambda res: completed.append(res))
+    assert pulled[0] == n
+    assert len(completed) == n
+    assert [res.id for res in results] == list(range(n))
+    for res in results:
+        np.testing.assert_array_equal(res.output_tokens, direct[res.id])
+    # the callback saw exactly the returned results (by id)
+    assert sorted(res.id for res in completed) == list(range(n))
+    for res in completed:
+        np.testing.assert_array_equal(res.output_tokens, direct[res.id])
+
+
+def test_uncollate_batch_roundtrip(rng):
+    """uncollate_batch(_collate(samples)) reproduces the samples, and the
+    LEO prompt-format fallback composes the same final prompt string
+    build_text_prompt's LEO branch produces."""
+    from msr3d_tpu.models.msr3d import IMAGE_PLACEHOLDER, SCENE_PLACEHOLDER
+    from msr3d_tpu.serving import _collate, uncollate_batch
+    from tests.test_msr3d import tiny_data_dict
+
+    dd = tiny_data_dict(rng)
+    samples = uncollate_batch(dd)
+    assert [s["msr3d_prompt"] for s in samples] == list(dd["msr3d_prompt"])
+    rebuilt = _collate(samples)
+    for k in ("obj_fts", "obj_masks", "obj_locs", "anchor_locs",
+              "anchor_orientation", "msr3d_imgs", "msr3d_img_masks"):
+        np.testing.assert_array_equal(rebuilt[k], dd[k])
+
+    leo = {
+        "prompt_before_obj": ["role A.", "role B."],
+        "prompt_middle_1": ["egoview", "egoview"],
+        "prompt_middle_2": ["objects", "objects"],
+        "prompt_after_obj": ["q1?", "q2?"],
+        "obj_fts": dd["obj_fts"],
+        "obj_masks": dd["obj_masks"],
+        "obj_locs": dd["obj_locs"],
+        "anchor_locs": dd["anchor_locs"],
+        "anchor_orientation": dd["anchor_orientation"],
+    }
+    got = [s["msr3d_prompt"] for s in uncollate_batch(leo)]
+    want = [
+        f"role A. egoview{IMAGE_PLACEHOLDER}. objects {SCENE_PLACEHOLDER}. q1?",
+        f"role B. egoview{IMAGE_PLACEHOLDER}. objects {SCENE_PLACEHOLDER}. q2?",
+    ]
+    assert got == want

@@ -472,3 +472,99 @@ class TestPartitionedTrainStep:
             np.asarray(sa.params["params"]["w"]), np.asarray(sb.params["params"]["w"]),
             atol=1e-6,
         )
+
+
+@pytest.mark.slow
+class TestContinuousEval:
+    def test_continuous_eval_matches_blocking(self, tmp_path):
+        """eval_engine: continuous routes greedy generation eval through
+        the slot-refill engine; the evaluator must see exactly the same
+        output_text per batch, in the same batch order, as the blocking
+        generate loop."""
+        from msr3d_tpu.trainer.leo_trainer import LeoTrainer
+        from tests.test_msr3d import tiny_model
+
+        class Recorder:
+            def __init__(self):
+                self.records = []
+
+            def reset(self):
+                self.records = []
+
+            def update(self, record):
+                self.records.append(list(record["output_text"]))
+
+            def record(self, split):
+                return False, {"n": sum(len(r) for r in self.records)}
+
+        def make(engine):
+            cfg = {
+                "exp_dir": str(tmp_path / f"exp_{engine or 'block'}"),
+                "mode": "eval",
+                "eval_pipeline_depth": 0,
+                "solver": {
+                    "gradient_accumulation_steps": 1, "grad_norm": 5.0,
+                    "epochs": 1,
+                    "optim": {"name": "AdamW", "args": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 0.0}},
+                    "sched": {"name": "warmup_cosine_instructblip", "args": {"warmup_steps": 2}},
+                },
+            }
+            if engine:
+                cfg["eval_engine"] = engine
+                # small slots/groups so refill actually interleaves
+                # requests from different loader batches
+                cfg["eval_engine_opts"] = {
+                    "num_slots": 3, "refill_group": 2, "chunk_steps": 3,
+                }
+            rec = Recorder()
+            # greedy: the engine is greedy-only (beam keeps batched path)
+            model = tiny_model()
+            model.num_beams = 1
+            trainer = LeoTrainer(
+                config_from_dict(cfg),
+                loaders={"msqa": {"val": SyntheticLoader(3, with_eval_keys=True)}},
+                evaluators={"msqa": rec},
+                model=model,
+            )
+            trainer.eval_task("msqa", "val")
+            return rec.records
+
+        blocking = make(None)
+        continuous = make("continuous")
+        assert len(blocking) == 3 and all(len(r) == 2 for r in blocking)
+        assert continuous == blocking
+
+    def test_continuous_eval_rejects_beam(self, tmp_path):
+        from msr3d_tpu.trainer.leo_trainer import LeoTrainer
+        from tests.test_msr3d import tiny_model
+
+        cfg = config_from_dict({
+            "exp_dir": str(tmp_path / "exp_beam"),
+            "mode": "eval",
+            "eval_engine": "continuous",
+            "solver": {
+                "gradient_accumulation_steps": 1, "grad_norm": 5.0,
+                "epochs": 1,
+                "optim": {"name": "AdamW", "args": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 0.0}},
+                "sched": {"name": "warmup_cosine_instructblip", "args": {"warmup_steps": 2}},
+            },
+        })
+
+        class NullEval:
+            def reset(self):
+                pass
+
+            def update(self, record):
+                pass
+
+            def record(self, split):
+                return False, {}
+
+        trainer = LeoTrainer(
+            cfg,
+            loaders={"msqa": {"val": SyntheticLoader(1, with_eval_keys=True)}},
+            evaluators={"msqa": NullEval()},
+            model=tiny_model(),  # num_beams=2
+        )
+        with pytest.raises(ValueError, match="greedy-only"):
+            trainer.eval_task("msqa", "val")
