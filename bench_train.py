@@ -42,7 +42,7 @@ def main() -> None:
         "parallel/llm_pp.py) instead of 32 inlined block copies",
     )
     parser.add_argument(
-        "--remat-policy", choices=["full", "dots"], default="full",
+        "--remat-policy", choices=["full", "dots", "residuals"], default="full",
         help="rematerialization policy (scan body or unrolled blocks): "
         "full = nothing saved (min memory), dots = matmul outputs saved "
         "(less recompute, more memory)",

@@ -43,6 +43,7 @@ def build_llm_config(llm_cfg, tokenizer, dtype=jnp.bfloat16) -> LlamaConfig:
         quantize_bits=int(llm_cfg.get("quantize_bits", 8)),
         quantize_group=llm_cfg.get("quantize_group", None),
         remat=bool(llm_cfg.get("remat", False)),
+        remat_policy=str(llm_cfg.get("remat_policy", "full")),
     )
 
     cfg_path = llm_cfg.get("cfg_path", "")
@@ -97,6 +98,19 @@ def build_msr3d_from_config(cfg) -> MSR3D:
         max_context_len=llm_cfg.get("max_context_len", 256),
         max_out_len=llm_cfg.get("max_out_len", 256),
         num_beams=cfg.get("eval_num_beams", 5),
+        # serving/generation knobs (defaults = the reference's beam-5
+        # eval settings, model/msr3d/msr3d.py:449-513)
+        repetition_penalty=float(cfg.get("eval_repetition_penalty", 3.0)),
+        length_penalty=float(cfg.get("eval_length_penalty", 1.0)),
+        eos_logit_bias=float(cfg.get("eval_eos_logit_bias", 0.0)),
+        spec_k=int(cfg.get("eval_spec_k", 0)),
+        spec_ngram=int(cfg.get("eval_spec_ngram", 3)),
+        do_sample=bool(cfg.get("eval_do_sample", False)),
+        temperature=float(cfg.get("eval_temperature", 1.0)),
+        top_k=int(cfg.get("eval_top_k", 0)),
+        top_p=float(cfg.get("eval_top_p", 1.0)),
+        sample_seed=int(cfg.get("eval_sample_seed", 0)),
+        compact_transfer=bool(cfg.get("compact_transfer", False)),
     )
 
 

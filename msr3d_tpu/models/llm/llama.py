@@ -26,6 +26,7 @@ from typing import Any, Dict, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,7 +53,9 @@ class LlamaConfig:
     # (bf16 halves HBM for 7B-scale single-chip runs; LoRA stays fp32)
     remat: bool = False  # rematerialize blocks (trade recompute for HBM in training)
     remat_policy: str = "full"  # "full" (nothing saved) | "dots" (matmul
-    # outputs saved — ~25% less recompute, more activation memory)
+    # outputs saved — ~25% less recompute, more activation memory) |
+    # "residuals" (only the two per-layer branch outputs saved — ~5×
+    # less memory than dots; backward recomputes the projections)
     quantize: bool = False  # int8 weight-only base kernels (inference)
     quantize_bits: int = 8  # 8 (one byte/weight) or 4 (two weights/byte,
     # split-nibble packing). int4 halves the frozen-base HBM footprint
@@ -113,6 +116,20 @@ class LlamaConfig:
         )
         base.update(kw)
         return LlamaConfig(**base)
+
+
+def resolve_remat_policy(name: str):
+    """Map a remat-policy name (LlamaConfig.remat_policy) to the XLA
+    saveable-set policy for ``nn.remat``/``jax.checkpoint``."""
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name == "residuals":
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "mlp_out"
+        )
+    if name in (None, "full"):
+        return None
+    raise ValueError(f"unknown remat_policy: {name!r}")
 
 
 class RMSNorm(nn.Module):
@@ -636,9 +653,16 @@ class LlamaBlock(nn.Module):
             h, positions, attn_bias, kv_cache, cache_index, shared_prompt_kv,
             key_valid, return_kv=return_kv, deterministic=deterministic,
         )
+        # checkpoint_name tags are no-ops outside remat; under the
+        # "residuals" policy only these two (T, hidden) branch outputs
+        # are saved — ~5× less than "dots" (which also keeps the q/k/v
+        # and gate/up projections), buying micro-batch headroom at the
+        # cost of recomputing those projections in backward
+        h = checkpoint_name(h, "attn_out")
         x = x + h
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="post_attn_norm")(x)
         h = LlamaMLP(cfg, name="mlp")(h, deterministic=deterministic)
+        h = checkpoint_name(h, "mlp_out")
         return x + h, new_cache
 
 
@@ -676,11 +700,7 @@ class LlamaModel(nn.Module):
             param_dtype=cfg.param_dtype,
             name="embed_tokens",
         )
-        policy = (
-            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            if cfg.remat_policy == "dots"
-            else None
-        )
+        policy = resolve_remat_policy(cfg.remat_policy)
         block_cls = (
             nn.remat(
                 LlamaBlock, prevent_cse=False, static_argnums=(5,),

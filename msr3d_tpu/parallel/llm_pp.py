@@ -92,10 +92,8 @@ def unstack_llm_blocks(variables: Any, llm_key: str = "llm") -> Any:
     return out
 
 
-_REMAT_POLICIES = {
-    "full": None,  # nothing saveable — max recompute, min memory
-    "dots": "dots_with_no_batch_dims_saveable",  # save matmul outputs
-}
+# policy names resolve via llama.resolve_remat_policy ("full" | "dots" |
+# "residuals")
 
 
 def scan_blocks(
@@ -120,13 +118,11 @@ def scan_blocks(
         return h2, None
 
     if remat:
-        policy_name = _REMAT_POLICIES.get(remat_policy)
-        policy = (
-            getattr(jax.checkpoint_policies, policy_name)
-            if policy_name
-            else None
+        from msr3d_tpu.models.llm.llama import resolve_remat_policy
+
+        body = jax.checkpoint(
+            body, prevent_cse=False, policy=resolve_remat_policy(remat_policy)
         )
-        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     x, _ = lax.scan(body, x, blocks_params)
     return x
 

@@ -7,6 +7,7 @@ saves the resolved config snapshot, builds the trainer, runs.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -41,6 +42,16 @@ def main(argv=None) -> None:
     Path(cfg.exp_dir).mkdir(parents=True, exist_ok=True)
     save_config(cfg, Path(cfg.exp_dir) / "config.yaml")
     logger.info(f"exp_dir: {cfg.exp_dir}")
+
+    # platform override (e.g. jax_platform=cpu for the reference's
+    # `--mode python` debug flow on a host whose default is a TPU):
+    # must land before any JAX backend initialization
+    platform = cfg.get("jax_platform") or os.environ.get("MSR3D_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", str(platform))
+        logger.info(f"jax platform: {platform}")
 
     if cfg.get("compile_cache", True) not in (False, "false", "off", 0):
         from msr3d_tpu.utils.compile_cache import enable_compile_cache
