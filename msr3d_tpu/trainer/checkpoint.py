@@ -43,9 +43,19 @@ class Tracker:
 
 
 class CheckpointManager:
-    def __init__(self, ckpt_dir: str | Path, max_to_keep: int = 1):
+    def __init__(
+        self,
+        ckpt_dir: str | Path,
+        max_to_keep: int = 1,
+        async_save: bool = False,
+    ):
         self.dir = Path(ckpt_dir).resolve()
         self.dir.mkdir(parents=True, exist_ok=True)
+        # orbax's CheckpointManager writes in a background thread; with
+        # async_save the trainer keeps stepping while a full-state save
+        # (minutes at 7B scale) streams to disk. orbax itself serializes
+        # back-to-back saves, and `wait()` fences before restore/exit.
+        self.async_save = bool(async_save)
         self._mgr = ocp.CheckpointManager(
             self.dir / "state",
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
@@ -61,12 +71,18 @@ class CheckpointManager:
                 tracker=ocp.args.JsonSave(tracker.state_dict()),
             ),
         )
+        if not self.async_save:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Fence: block until all in-flight (async) saves are durable."""
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
     def restore_state(self, abstract_state: Any, tracker: Tracker) -> Any:
+        self._mgr.wait_until_finished()
         step = self._mgr.latest_step()
         if step is None:
             return None

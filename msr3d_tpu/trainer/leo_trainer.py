@@ -225,7 +225,10 @@ class LeoTrainer:
 
         # bookkeeping
         self.tracker = Tracker(run_id=str(uuid.uuid4())[:8])
-        self.ckpt = CheckpointManager(self.exp_dir / "ckpt")
+        self.ckpt = CheckpointManager(
+            self.exp_dir / "ckpt",
+            async_save=bool(self.cfg.get("async_checkpoint", False)),
+        )
         self.logger = MetricLogger(
             exp_dir=self.exp_dir,
             project=cfg.get("name", "msr3d_tpu"),
@@ -388,6 +391,31 @@ class LeoTrainer:
         losses = []
         group: List[Dict[str, Any]] = []
         skip = self.tracker.loader_step if epoch == self.tracker.epoch else 0
+        # pipelined metrics: fetching a step's loss (a host↔device value
+        # sync) lags `metrics_lag` steps behind dispatch, so the log path
+        # never stalls the device between steps (the fetch flush costs
+        # ~0.5 s/step through a remote-dispatch runtime; ms-scale even on
+        # local PCIe). 0 = fully synchronous (the reference's behavior).
+        lag = max(0, int(self.cfg.get("train_metrics_lag", 1)))
+        pending: List[tuple] = []  # (metrics, host_step, t0)
+        host_step = int(self.state.step)  # one sync per epoch
+
+        def process_one() -> None:
+            metrics, step, t0 = pending.pop(0)
+            loss = float(metrics["loss"])  # value fetch = completion sync
+            dt = time.time() - t0
+            losses.append(loss)
+            if step % 10 == 0 or step <= 2:
+                self.logger.log(
+                    {
+                        "train/loss": loss,
+                        "train/grad_norm": float(metrics["grad_norm"]),
+                        "train/lr": float(self.schedule(step)),
+                        "train/step_time_s": dt,
+                        "epoch": epoch,
+                    },
+                    step=step,
+                )
 
         def flush(consumed_through: int) -> None:
             """Run one optimizer step over the accumulated group. A tail
@@ -395,7 +423,7 @@ class LeoTrainer:
             weight-0 duplicates so every batch contributes exactly once —
             the reference's ``accelerator.accumulate`` processes the tail
             too (reference trainer/leo_trainer.py:211)."""
-            nonlocal group
+            nonlocal group, host_step
             real = len(group)
             padded = group + [group[-1]] * (self.accum_steps - real)
             batch = self._device_batch(padded)
@@ -411,39 +439,31 @@ class LeoTrainer:
                 from msr3d_tpu.parallel.mesh import globalize_replicated
 
                 step_rng = globalize_replicated(self.mesh, step_rng)
-            self.timer.tic()
+            t0 = time.time()
             with self.mesh:  # ambient mesh for pp/sp shard_maps
                 self.state, metrics = self._train_step(self.state, batch, step_rng)
+            host_step += 1
             # the step donates the old state; repoint the model at the new
             # params so eval/generate never touches donated buffers
             if self._stacked:
                 self._eval_params_stale = True
             else:
                 self.model.params = self.state.params
-            loss = float(metrics["loss"])
-            dt = self.timer.toc()
-            losses.append(loss)
-            step = int(metrics["step"])
+            # dispatch-time bookkeeping: the state/tracker here belong to
+            # exactly this step (a checkpoint save fetches device values,
+            # which waits for the step anyway)
             self.tracker.loader_step = consumed_through
-            if self.profile_steps and step == 2:
+            if self.profile_steps and host_step == 2:
                 # trace a few steady-state steps into exp_dir/profile
                 jax.profiler.start_trace(str(self.exp_dir / "profile"))
-            if self.profile_steps and step == 2 + self.profile_steps:
+            if self.profile_steps and host_step == 2 + self.profile_steps:
                 jax.profiler.stop_trace()
                 logger.info(f"profiler trace written to {self.exp_dir}/profile")
-            if self.save_frequency and step % self.save_frequency == 0:
-                self.ckpt.save_state(step, self.state, self.tracker)
-            if step % 10 == 0 or step <= 2:
-                self.logger.log(
-                    {
-                        "train/loss": loss,
-                        "train/grad_norm": float(metrics["grad_norm"]),
-                        "train/lr": float(self.schedule(step)),
-                        "train/step_time_s": dt,
-                        "epoch": epoch,
-                    },
-                    step=step,
-                )
+            if self.save_frequency and host_step % self.save_frequency == 0:
+                self.ckpt.save_state(host_step, self.state, self.tracker)
+            pending.append((metrics, host_step, t0))
+            while len(pending) > lag:
+                process_one()
 
         i = -1
         for i, data_dict in enumerate(self.train_loader):
@@ -454,6 +474,8 @@ class LeoTrainer:
                 flush(i + 1)
         if group:
             flush(i + 1)
+        while pending:
+            process_one()
         return {"loss": float(np.mean(losses)) if losses else float("nan")}
 
     @staticmethod
@@ -668,6 +690,7 @@ class LeoTrainer:
             if self.ckpt.has_weights("best"):
                 self.load_learnable("best")
             self._run_eval("test", 0)
+        self.ckpt.wait()  # fence any async saves before declaring done
         self.logger.close()
 
     def _run_eval(self, split: str, epoch: int) -> None:

@@ -568,3 +568,95 @@ class TestContinuousEval:
         )
         with pytest.raises(ValueError, match="greedy-only"):
             trainer.eval_task("msqa", "val")
+
+
+@pytest.mark.slow
+class TestMetricsLag:
+    def test_lagged_metrics_equal_synchronous(self, tmp_path):
+        """train_metrics_lag pipelines the per-step loss fetch one step
+        behind dispatch; the logged losses and final state must be
+        identical to the synchronous (lag 0) loop."""
+        from msr3d_tpu.trainer.leo_trainer import LeoTrainer
+        from tests.test_msr3d import tiny_model
+
+        def run(lag):
+            cfg = config_from_dict(
+                {
+                    "exp_dir": str(tmp_path / f"exp_lag{lag}"),
+                    "mode": "train",
+                    "rng_seed": 0,
+                    "train_metrics_lag": lag,
+                    "solver": {
+                        "gradient_accumulation_steps": 2,
+                        "grad_norm": 5.0,
+                        "epochs": 1,
+                        "eval_interval": 10,
+                        "optim": {"name": "AdamW", "args": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 0.0}},
+                        "sched": {"name": "warmup_cosine_instructblip", "args": {"warmup_steps": 2}},
+                    },
+                }
+            )
+            trainer = LeoTrainer(
+                cfg,
+                loaders={"msr3d_train": {"train": SyntheticLoader(5)}},
+                evaluators={},
+                model=tiny_model(),
+            )
+            stats = trainer.train_one_epoch(0)
+            leaf = jax.tree_util.tree_leaves(trainer.state.params["params"])[0]
+            return stats["loss"], int(trainer.state.step), np.asarray(leaf)
+
+        loss0, step0, leaf0 = run(0)
+        loss1, step1, leaf1 = run(1)
+        assert step0 == step1 == 3
+        assert loss0 == pytest.approx(loss1, rel=0, abs=0)
+        np.testing.assert_array_equal(leaf0, leaf1)
+
+
+@pytest.mark.slow
+class TestAsyncCheckpoint:
+    def test_async_save_roundtrip(self, tmp_path):
+        """async_checkpoint saves in the background; wait() fences, and
+        the restored state matches the synchronous save exactly."""
+        from msr3d_tpu.trainer.leo_trainer import LeoTrainer
+        from tests.test_msr3d import tiny_model
+
+        cfg = config_from_dict(
+            {
+                "exp_dir": str(tmp_path / "exp_async"),
+                "mode": "train",
+                "rng_seed": 0,
+                "async_checkpoint": True,
+                "solver": {
+                    "gradient_accumulation_steps": 2,
+                    "grad_norm": 5.0,
+                    "epochs": 1,
+                    "eval_interval": 10,
+                    "optim": {"name": "AdamW", "args": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 0.0}},
+                    "sched": {"name": "warmup_cosine_instructblip", "args": {"warmup_steps": 2}},
+                },
+            }
+        )
+        trainer = LeoTrainer(
+            cfg,
+            loaders={"msr3d_train": {"train": SyntheticLoader(4)}},
+            evaluators={},
+            model=tiny_model(),
+        )
+        trainer.run()  # run() fences in-flight saves before returning
+        assert trainer.ckpt.latest_step() == 2
+
+        # resume sees the async-saved state
+        cfg["resume"] = True
+        t2 = LeoTrainer(
+            cfg,
+            loaders={"msr3d_train": {"train": SyntheticLoader(4)}},
+            evaluators={},
+            model=tiny_model(),
+        )
+        assert int(t2.state.step) == 2
+        for a, b in zip(
+            jax.tree_util.tree_leaves(trainer.state.params),
+            jax.tree_util.tree_leaves(t2.state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
