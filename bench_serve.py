@@ -97,7 +97,10 @@ def main() -> None:
 
     import jax
 
-    from msr3d_tpu.serving import ContinuousBatchingServer
+    from msr3d_tpu.serving import (
+        ContinuousBatchingServer,
+        ContinuousBeamBatchingServer,
+    )
 
     model, llm = bench_qa.build_model(args)
 
@@ -123,13 +126,33 @@ def main() -> None:
     prompt_len = max(32, -(-wi.shape[1] // 32) * 32) + 1
 
     spec_k = getattr(args, "spec_k", 0)
-    cont = ContinuousBatchingServer(
-        model, args.slots, refill_group=args.refill_group,
-        chunk_steps=args.chunk_steps, max_new_tokens=args.max_new,
-        prompt_len=prompt_len, lookahead=args.lookahead,
-        spec_k=spec_k, spec_ngram=getattr(args, "spec_ngram", 3),
-    )
-    if spec_k:
+    if args.beams > 1:
+        # beam slot-refill engine vs its own gang-scheduled control (the
+        # fixed-batch beam eval policy): each slot runs a full HF beam
+        # search at its own depth (the reference's beam-5/rep-3.0 eval
+        # decode), budgets model per-request termination lengths
+        assert not spec_k, "speculative decoding is greedy-only"
+        cont = ContinuousBeamBatchingServer(
+            model, args.slots, num_beams=args.beams,
+            refill_group=args.refill_group, chunk_steps=args.chunk_steps,
+            max_new_tokens=args.max_new, prompt_len=prompt_len,
+            lookahead=args.lookahead,
+        )
+        gang = ContinuousBeamBatchingServer(
+            model, args.slots, num_beams=args.beams,
+            refill_group=args.refill_group, chunk_steps=args.chunk_steps,
+            max_new_tokens=args.max_new, prompt_len=prompt_len,
+            drain_between_batches=True, lookahead=args.lookahead,
+        )
+        cont._build_fns()
+        gang._fns = cont._fns  # same shapes: share the compiled programs
+    elif spec_k:
+        cont = ContinuousBatchingServer(
+            model, args.slots, refill_group=args.refill_group,
+            chunk_steps=args.chunk_steps, max_new_tokens=args.max_new,
+            prompt_len=prompt_len, lookahead=args.lookahead,
+            spec_k=spec_k, spec_ngram=getattr(args, "spec_ngram", 3),
+        )
         # control arm: the PLAIN continuous engine (same scheduling,
         # T=1 decode) — isolates the speculative-decoding delta
         gang = ContinuousBatchingServer(
@@ -140,6 +163,11 @@ def main() -> None:
         cont._build_fns()
         gang._build_fns()  # different decode program; no sharing
     else:
+        cont = ContinuousBatchingServer(
+            model, args.slots, refill_group=args.refill_group,
+            chunk_steps=args.chunk_steps, max_new_tokens=args.max_new,
+            prompt_len=prompt_len, lookahead=args.lookahead,
+        )
         # gang arm: same refill group (identical compiled prefill program —
         # the measured gap must be the scheduling policy, nothing else), but
         # refills only once every slot has drained
@@ -209,6 +237,7 @@ def main() -> None:
         "slot_utilization_gang": round(
             float(budgets.sum()) / max(1, gang_steps * args.slots), 3
         ) if gang_steps else None,
+        "beams": args.beams,
         "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
         + ("-int8" if args.int8 else "")
         + ("-int4" if getattr(args, "int4", False) else "")

@@ -117,6 +117,44 @@ def pick_next_rows(
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def pick_next_rows_sampled(
+    logits: jax.Array,  # (B, V) fp32
+    seen: jax.Array,  # (B, V) bool
+    steps: jax.Array,  # (B,) per-row emission step (0 = first token)
+    keys: jax.Array,  # (B, 2) uint32 per-row PRNG keys
+    *,
+    eos_id: int,
+    repetition_penalty: float = 1.0,
+    eos_logit_bias: float = 0.0,
+    min_length: int = 1,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jax.Array:
+    """Per-row SAMPLING pick for the continuous engine: the sampled
+    sibling of :func:`pick_next_rows`. Each row draws from its own key —
+    the engine folds (request id, row step) into it — so a request's
+    token stream is a deterministic function of (seed, request id)
+    alone, independent of slot assignment and of which other requests
+    are co-scheduled. Same HF warper chain as the fixed-batch sampling
+    loop (penalty → eos processing → temperature/top-k/top-p →
+    categorical)."""
+    logits = apply_repetition_penalty(logits, seen, repetition_penalty)
+    is_eos = (jnp.arange(logits.shape[-1]) == eos_id)[None, :]
+    if eos_logit_bias:
+        logits = logits + is_eos * jnp.float32(eos_logit_bias)
+    if min_length > 1:
+        logits = jnp.where(
+            (steps[:, None] < min_length - 1) & is_eos, -jnp.inf, logits
+        )
+    logits = sample_filter_logits(
+        logits, temperature=temperature, top_k=top_k, top_p=top_p
+    )
+    return jax.vmap(
+        lambda k, row: jax.random.categorical(k, row)
+    )(keys, logits).astype(jnp.int32)
+
+
 def greedy_decode(
     decode_step: Callable,
     kv_caches: Dict[str, jax.Array],

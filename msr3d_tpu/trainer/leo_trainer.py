@@ -505,10 +505,11 @@ class LeoTrainer:
         the v5e serving bench (BASELINE.md). Token outputs are identical
         to the blocking loop (same batches, same compiled fn — tested).
 
-        ``eval_engine: continuous`` (greedy only) upgrades this further:
-        requests flow through the slot-refill continuous-batching engine
-        so short answers free their slot immediately — 2.03× over gang
-        scheduling at the 256-token budget (see :meth:`_eval_continuous`).
+        ``eval_engine: continuous`` upgrades this further: requests flow
+        through the slot-refill continuous-batching engine (greedy or
+        beam) so short answers free their slot immediately — 1.49× over
+        gang scheduling at the 256-token budget (see
+        :meth:`_eval_continuous`).
         """
         loader = self.loaders[task][split]
         evaluator = self.evaluators.get(task)
@@ -597,40 +598,50 @@ class LeoTrainer:
 
         Requests from ALL loader batches share one slot pool, so a
         finished short answer's slot refills immediately instead of
-        idling until its gang-mates drain — measured 2.03× over gang
+        idling until its gang-mates drain — measured 1.49× over gang
         scheduling at the reference's 256-token eval budget on an
-        MSQA-like answer-length mix (BASELINE.md round 3). Greedy only:
-        beam eval keeps the shared-prompt split cache on the batched
-        path. Per-request tokens are identical to the fixed-batch
-        generate path (engine parity tests + the trainer-level parity
-        test). Batches stream in lazily and are emitted to the evaluator
-        in loader order; a batch's host arrays are retained only until
-        its last request completes.
+        MSQA-like answer-length mix (BASELINE.md round 3). With
+        ``num_beams > 1`` the beam engine serves instead: each slot runs
+        one request's full HF-semantics beam search (the reference's
+        beam-5/rep-3.0 eval setting) at its own depth and refills on its
+        own finish — per-request tokens identical to the fixed-batch
+        beam path at batch 1 (engine parity tests). Batches stream in
+        lazily and are emitted to the evaluator in loader order; a
+        batch's host arrays are retained only until its last request
+        completes.
 
         Engine knobs come from ``eval_engine_opts``
         (num_slots/refill_group/chunk_steps/lookahead/spec_k/...).
         """
         from msr3d_tpu.serving import (
             ContinuousBatchingServer,
+            ContinuousBeamBatchingServer,
             uncollate_batch,
         )
 
-        if self.model.num_beams != 1:
-            raise ValueError(
-                "eval_engine: continuous is greedy-only — set "
-                "model num_beams: 1 (beam eval keeps the batched path, "
-                "where beams share one prompt KV segment)"
-            )
         opts = dict(self.cfg.get("eval_engine_opts", {}) or {})
-        engine = ContinuousBatchingServer(
-            self.model,
-            num_slots=int(opts.pop("num_slots", 32)),
-            refill_group=int(opts.pop("refill_group", 8)),
-            chunk_steps=int(opts.pop("chunk_steps", 16)),
-            lookahead=int(opts.pop("lookahead", 1)),
-            spec_k=int(opts.pop("spec_k", 0)),
-            **opts,
-        )
+        if self.model.num_beams != 1:
+            # beam slots carry num_beams KV rows each — default the pool
+            # smaller so the generated segment stays within the greedy
+            # default's footprint
+            engine = ContinuousBeamBatchingServer(
+                self.model,
+                num_slots=int(opts.pop("num_slots", 8)),
+                refill_group=int(opts.pop("refill_group", 4)),
+                chunk_steps=int(opts.pop("chunk_steps", 16)),
+                lookahead=int(opts.pop("lookahead", 1)),
+                **opts,
+            )
+        else:
+            engine = ContinuousBatchingServer(
+                self.model,
+                num_slots=int(opts.pop("num_slots", 32)),
+                refill_group=int(opts.pop("refill_group", 8)),
+                chunk_steps=int(opts.pop("chunk_steps", 16)),
+                lookahead=int(opts.pop("lookahead", 1)),
+                spec_k=int(opts.pop("spec_k", 0)),
+                **opts,
+            )
 
         batches: Dict[int, list] = {}  # i -> [data_dict, outputs, todo]
         rid_map: List[tuple] = []  # rid -> (batch index, row in batch)

@@ -117,6 +117,79 @@ def test_continuous_per_request_budgets(tiny_msr3d, rng):
         assert (r.output_tokens[b:] == eos).all()
 
 
+def test_continuous_refill_under_lookahead_stale_flags(tiny_msr3d, rng):
+    """Regression: with lookahead > 0, a slot freed while OTHER slots
+    stay active gets refilled while chunks dispatched before the refill
+    are still in flight; those chunks' finished flags still say True for
+    the slot (the previous occupant's), and without the per-slot insert
+    epoch the new request was emitted immediately — with the OLD
+    request's tokens. Budget pattern: tiny budgets on one slot force
+    repeated frees+refills while the long-budget slot keeps the pool
+    active (so the drain-everything path never clears the stale entries)."""
+    reqs = _requests(rng, 6)
+    max_new = 12
+    direct = _direct_tokens(tiny_msr3d, reqs, max_new)
+    ii, _ = tiny_msr3d._encode_prompts(tiny_msr3d.build_text_prompt(_batch_of(reqs)))
+    prompt_len = max(32, -(-ii.shape[1] // 32) * 32) + 1
+    eos = tiny_msr3d.tokenizer.eos_id
+
+    budgets = [1, 12, 2, 1, 3, 12]
+    server = ContinuousBatchingServer(
+        tiny_msr3d, num_slots=2, refill_group=1, chunk_steps=2,
+        max_new_tokens=max_new, prompt_len=prompt_len, lookahead=2,
+    )
+    results = server.run(reqs, budgets=budgets)
+    assert [r.id for r in results] == list(range(6))
+    for r in results:
+        b = budgets[r.id]
+        np.testing.assert_array_equal(r.output_tokens[:b], direct[r.id][:b])
+        assert (r.output_tokens[b:] == eos).all()
+
+
+def test_continuous_sampling_decode(tiny_msr3d, rng):
+    """do_sample in the engine: (a) near-zero temperature reduces to the
+    greedy engine token-for-token (the warper chain collapses to argmax);
+    (b) at a real temperature the per-request (seed, rid)-keyed streams
+    are deterministic AND invariant to slot geometry — the same request
+    gets the same tokens whether it shares the pool with 1 or 2 slots."""
+    from msr3d_tpu.serving import ContinuousBatchingServer
+
+    model = tiny_msr3d
+    reqs = _requests(rng, 4)
+    max_new = 6
+    ii, _ = model._encode_prompts(model.build_text_prompt(_batch_of(reqs)))
+    prompt_len = max(32, -(-ii.shape[1] // 32) * 32) + 1
+    common = dict(
+        refill_group=1, chunk_steps=3, max_new_tokens=max_new,
+        prompt_len=prompt_len,
+    )
+
+    greedy = ContinuousBatchingServer(model, num_slots=2, **common)
+    want = {r.id: r.output_tokens for r in greedy.run(reqs)}
+
+    saved = (model.do_sample, model.temperature, model.top_k, model.top_p)
+    try:
+        model.do_sample = True
+        model.temperature = 1e-5
+        cold = ContinuousBatchingServer(model, num_slots=2, **common)
+        for r in cold.run(reqs):
+            np.testing.assert_array_equal(r.output_tokens, want[r.id])
+
+        model.temperature = 1.0
+        warm2 = ContinuousBatchingServer(model, num_slots=2, **common)
+        first = {r.id: r.output_tokens for r in warm2.run(reqs)}
+        again = {r.id: r.output_tokens for r in warm2.run(reqs)}
+        for i in first:
+            np.testing.assert_array_equal(first[i], again[i])
+        warm3 = ContinuousBatchingServer(model, num_slots=3, **common)
+        other = {r.id: r.output_tokens for r in warm3.run(reqs)}
+        for i in first:
+            np.testing.assert_array_equal(first[i], other[i])
+    finally:
+        (model.do_sample, model.temperature, model.top_k,
+         model.top_p) = saved
+
+
 def test_cache_write_rows_matches_scalar():
     """Vector-index KV write == scalar write, bf16 and int8 layouts."""
     import jax.numpy as jnp

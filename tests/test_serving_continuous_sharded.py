@@ -81,3 +81,33 @@ def test_continuous_engine_spec_under_mesh(tiny_msr3d, rng, cpu_devices):
             np.testing.assert_array_equal(r.output_tokens, want[r.id])
     finally:
         model.repetition_penalty = saved
+
+
+@pytest.mark.slow
+def test_continuous_beam_engine_under_mesh(tiny_msr3d, rng, cpu_devices):
+    """Beam slot-refill engine under dp×tp: GSPMD propagates the megatron
+    shardings into the beam-group slot state (gen KV rows = slots×beams)
+    across prefill/insert/chunk — tokens match the unsharded beam engine
+    per request."""
+    from msr3d_tpu.parallel.mesh import MeshConfig, make_mesh
+    from msr3d_tpu.serving import ContinuousBeamBatchingServer
+
+    model = tiny_msr3d
+    reqs = _requests(rng, 4)
+    pl = _prompt_len(model, reqs)
+    plain = ContinuousBeamBatchingServer(
+        model, num_slots=2, refill_group=1, chunk_steps=3,
+        max_new_tokens=6, prompt_len=pl,
+    )
+    want = {r.id: r.output_tokens for r in plain.run(reqs)}
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=4), devices=cpu_devices)
+    model.shard_for_serving(mesh, tensor_parallel=True)
+    sharded = ContinuousBeamBatchingServer(
+        model, num_slots=2, refill_group=1, chunk_steps=3,
+        max_new_tokens=6, prompt_len=pl,
+    )
+    results = sharded.run(reqs)
+    assert sorted(r.id for r in results) == list(range(4))
+    for r in results:
+        np.testing.assert_array_equal(r.output_tokens, want[r.id])

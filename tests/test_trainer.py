@@ -534,7 +534,11 @@ class TestContinuousEval:
         assert len(blocking) == 3 and all(len(r) == 2 for r in blocking)
         assert continuous == blocking
 
-    def test_continuous_eval_rejects_beam(self, tmp_path):
+    def test_continuous_eval_beam_routes_to_beam_engine(self, tmp_path):
+        """A beam model (num_beams > 1) under eval_engine: continuous is
+        served by the BEAM slot-refill engine; every emitted output_text
+        must match the fixed-batch beam generate of that single request
+        (the beam engine's parity contract), in loader batch order."""
         from msr3d_tpu.trainer.leo_trainer import LeoTrainer
         from tests.test_msr3d import tiny_model
 
@@ -542,6 +546,9 @@ class TestContinuousEval:
             "exp_dir": str(tmp_path / "exp_beam"),
             "mode": "eval",
             "eval_engine": "continuous",
+            "eval_engine_opts": {
+                "num_slots": 2, "refill_group": 1, "chunk_steps": 3,
+            },
             "solver": {
                 "gradient_accumulation_steps": 1, "grad_norm": 5.0,
                 "epochs": 1,
@@ -550,24 +557,44 @@ class TestContinuousEval:
             },
         })
 
-        class NullEval:
+        class Recorder:
+            def __init__(self):
+                self.records = []
+
             def reset(self):
-                pass
+                self.records = []
 
             def update(self, record):
-                pass
+                self.records.append(list(record["output_text"]))
 
             def record(self, split):
                 return False, {}
 
+        rec = Recorder()
+        model = tiny_model()  # num_beams=2
+        loader = SyntheticLoader(2, with_eval_keys=True)
         trainer = LeoTrainer(
             cfg,
-            loaders={"msqa": {"val": SyntheticLoader(1, with_eval_keys=True)}},
-            evaluators={"msqa": NullEval()},
-            model=tiny_model(),  # num_beams=2
+            loaders={"msqa": {"val": loader}},
+            evaluators={"msqa": rec},
+            model=model,
         )
-        with pytest.raises(ValueError, match="greedy-only"):
-            trainer.eval_task("msqa", "val")
+        trainer.eval_task("msqa", "val")
+        assert len(rec.records) == 2
+
+        from msr3d_tpu.serving import uncollate_batch
+
+        for bi, data_dict in enumerate(loader):
+            for ri, req in enumerate(uncollate_batch(data_dict)):
+                batch1 = {
+                    k: (
+                        [v] if k == "msr3d_prompt"
+                        else np.asarray(v)[None]
+                    )
+                    for k, v in req.items()
+                }
+                direct = model.generate(batch1, use_beam=True)
+                assert rec.records[bi][ri] == direct["output_text"][0]
 
 
 @pytest.mark.slow
