@@ -38,6 +38,52 @@ MERGED_QA_TYPES = {
 }
 
 
+def extract_question(text: str) -> Optional[str]:
+    """Question between 'USER:' and 'ASSISTANT:' in a full instruction
+    (reference evaluator/evaluate_msqa.py:8-11)."""
+    import re
+
+    match = re.search(r"USER: (.*?) ASSISTANT:", text)
+    return match.group(1) if match else None
+
+
+def extract_number(text: str) -> Optional[int]:
+    """First integer in the judge's reply (evaluate_msqa.py:13-16)."""
+    import re
+
+    match = re.search(r"\d+", text)
+    return int(match.group(0)) if match else None
+
+
+def make_gpt_scorer(
+    chat_fn: Callable[[List[Dict[str, str]]], str],
+    prompt_messages: Optional[List[Dict[str, str]]] = None,
+) -> Callable[[str, str, str], float]:
+    """Build the reference's GPT-judge scorer around an injected chat
+    callable (``chat_fn(messages) -> reply text`` — the zero-egress
+    environment cannot ship a live client; production injects an Azure/
+    OpenAI call here, tests inject a stub).
+
+    Mirrors evaluate_msqa.py:44-57: system/few-shot messages (the
+    reference loads them from ``gpt_score_prompt_path``, an external
+    asset) + a user message ``Question:/Answer:/Ground Truth:``, judge
+    reply parsed with :func:`extract_number`. The (score−1)·25 rescale
+    happens in :func:`score_results`, as in the reference."""
+    base = list(prompt_messages or [])
+
+    def scorer(question: str, answer: str, gt: str) -> float:
+        q = extract_question(question) or question
+        user_prompt = "\n".join(
+            [f"Question: {q}", f"Answer: {answer}", f"Ground Truth: {gt}"]
+        )
+        messages = base + [{"role": "user", "content": user_prompt}]
+        reply = chat_fn(messages)
+        score = extract_number(reply)
+        return float(score) if score is not None else 1.0
+
+    return scorer
+
+
 def em_instance(pred: str, gts: List[str]) -> Dict[str, int]:
     """EM-R + EM-strict for one sample (evaluator/utils.py:91-117)."""
     pred = clean_answer(pred)
@@ -73,7 +119,11 @@ def score_results(
                 gts = [gts]
             scores = em_instance(pred, gts)
             if gpt_scorer is not None:
-                raw = gpt_scorer(rec.get("instruction", ""), pred, gts[0])
+                # reference precedence: an explicit `question` key, else
+                # the question extracted from the full instruction
+                # (evaluate_msqa.py:80-84)
+                q = rec.get("question") or rec.get("instruction", "")
+                raw = gpt_scorer(q, pred, gts[0])
                 scores["gpt_score"] = (raw - 1) * 25
             qa_type = str(rec.get("type", "")).lower()
             for metric in metric_types:

@@ -63,13 +63,18 @@ class CheckpointManager:
 
     # -- full training state -------------------------------------------------
 
-    def save_state(self, step: int, state: Any, tracker: Tracker) -> None:
+    def save_state(
+        self, step: int, state: Any, tracker: Tracker, *, force: bool = False
+    ) -> None:
+        # force=True overwrites an existing step — the preemption save may
+        # land on a step a save_frequency checkpoint already wrote
         self._mgr.save(
             step,
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
                 tracker=ocp.args.JsonSave(tracker.state_dict()),
             ),
+            force=force,
         )
         if not self.async_save:
             self._mgr.wait_until_finished()

@@ -47,6 +47,12 @@ from msr3d_tpu.utils.logging import MetricLogger, StepTimer, get_logger
 logger = get_logger("msr3d_tpu.trainer")
 
 
+class Preempted(Exception):
+    """Raised at an optimizer-step boundary after a SIGTERM/SIGUSR1
+    (SLURM preemption / timeout warning) — the epoch loop catches it,
+    saves the full training state, and exits cleanly for requeue."""
+
+
 def _find_answer_cands(loader) -> Optional[List[str]]:
     """Walk the loader's dataset chain looking for the SQA3D answer
     vocabulary (``answer_cands`` on ScanNetSQA3D / legacy ScanQA)."""
@@ -86,6 +92,7 @@ class LeoTrainer:
         self.exp_dir = Path(cfg.get("exp_dir") or "./exp_default")
         self.exp_dir.mkdir(parents=True, exist_ok=True)
         self.mode = cfg.get("mode", "train")
+        self._preempted = False  # set by the SIGTERM/SIGUSR1 handler
         # generation (the live path, msr3d.yaml:239) vs retrieval scoring
         # over the answer vocabulary (trainer/build.py:127-143 semantics)
         self.inference_mode = (
@@ -472,6 +479,16 @@ class LeoTrainer:
             group.append(data_dict)
             if len(group) == self.accum_steps:
                 flush(i + 1)
+            if getattr(self, "_preempted", False):
+                # preemption signal: finish the partial group (weight-0
+                # padded, same as the epoch tail) so tracker.loader_step
+                # is a clean step boundary, drain metrics, then raise for
+                # the epoch loop to save + exit
+                if group:
+                    flush(i + 1)
+                while pending:
+                    process_one()
+                raise Preempted()
         if group:
             flush(i + 1)
         while pending:
@@ -681,28 +698,87 @@ class LeoTrainer:
 
     def run(self) -> None:
         if self.mode == "train":
-            start_epoch = self.tracker.epoch
-            for epoch in range(start_epoch, self.epochs):
-                t0 = time.time()
-                stats = self.train_one_epoch(epoch)
-                logger.info(
-                    f"epoch {epoch}: loss {stats['loss']:.4f} "
-                    f"({time.time() - t0:.0f}s)"
-                )
-                self.tracker.step_epoch()
-                self.ckpt.save_state(
-                    int(self.state.step), self.state, self.tracker
-                )
-                self._save_learnable("latest")
-                if (epoch + 1) % self.eval_interval == 0:
-                    self._run_eval("val", epoch)
-            self._run_eval("test", self.epochs)
+            with self._preemption_handlers():
+                self._run_train()
         else:
             if self.ckpt.has_weights("best"):
                 self.load_learnable("best")
             self._run_eval("test", 0)
         self.ckpt.wait()  # fence any async saves before declaring done
         self.logger.close()
+
+    def _run_train(self) -> None:
+        start_epoch = self.tracker.epoch
+        for epoch in range(start_epoch, self.epochs):
+            t0 = time.time()
+            try:
+                stats = self.train_one_epoch(epoch)
+            except Preempted:
+                # SLURM preemption / timeout signal: persist the full
+                # training state at the last completed optimizer step
+                # (tracker.loader_step marks consumed batches, so resume
+                # skips exactly what this run already trained on) and
+                # stop cleanly — the requeued job resumes from here.
+                # (The reference's recovery story is submitit
+                # slurm_max_num_timeout + restart-from-checkpoint,
+                # common/launch_utils.py:83; this closes the loop on the
+                # save side.)
+                self.ckpt.save_state(
+                    int(self.state.step), self.state, self.tracker,
+                    force=True,
+                )
+                self.ckpt.wait()
+                logger.warning(
+                    f"preempted at epoch {epoch}, step {int(self.state.step)}"
+                    f" — full state saved; rerun with the same exp_dir to"
+                    f" resume"
+                )
+                return
+            logger.info(
+                f"epoch {epoch}: loss {stats['loss']:.4f} "
+                f"({time.time() - t0:.0f}s)"
+            )
+            self.tracker.step_epoch()
+            self.ckpt.save_state(
+                int(self.state.step), self.state, self.tracker
+            )
+            self._save_learnable("latest")
+            if (epoch + 1) % self.eval_interval == 0:
+                self._run_eval("val", epoch)
+        self._run_eval("test", self.epochs)
+
+    def _preemption_handlers(self):
+        """Context manager installing SIGTERM/SIGUSR1 handlers that set a
+        flag checked at optimizer-step boundaries (async-signal-safe; the
+        step in flight completes, then the epoch loop saves and exits).
+        Config: ``preempt_save: false`` disables; non-main threads (where
+        ``signal.signal`` raises) degrade to a no-op."""
+        import contextlib
+        import signal as _signal
+
+        if not bool(self.cfg.get("preempt_save", True)):
+            return contextlib.nullcontext()
+
+        trainer = self
+
+        @contextlib.contextmanager
+        def _ctx():
+            def handler(signum, frame):
+                trainer._preempted = True
+
+            saved = []
+            try:
+                for sig in (_signal.SIGTERM, _signal.SIGUSR1):
+                    saved.append((sig, _signal.signal(sig, handler)))
+            except ValueError:  # not the main thread
+                pass
+            try:
+                yield
+            finally:
+                for sig, prev in saved:
+                    _signal.signal(sig, prev)
+
+        return _ctx()
 
     def _run_eval(self, split: str, epoch: int) -> None:
         best_metric = -float("inf")

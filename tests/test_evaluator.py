@@ -419,6 +419,52 @@ class TestGPTBaseline:
         out = score_results({"scannet": results})
         assert out["EM-R_overall"] == 1.0
 
+    def test_gpt_judge_scorer_plumbing(self):
+        """make_gpt_scorer mirrors the reference judge protocol
+        (evaluate_msqa.py:44-57): question extracted from the USER:/
+        ASSISTANT: instruction, Question/Answer/Ground Truth user
+        message appended to the prompt messages, first integer of the
+        reply parsed, (score−1)·25 rescale applied by score_results."""
+        from msr3d_tpu.evaluator.offline_msqa import (
+            extract_number,
+            extract_question,
+            make_gpt_scorer,
+            score_results,
+        )
+
+        assert extract_question("xx USER: How many chairs? ASSISTANT: 3") == (
+            "How many chairs?"
+        )
+        assert extract_question("no markers") is None
+        assert extract_number("I'd rate this 4 out of 5") == 4
+        assert extract_number("no digits") is None
+
+        seen = []
+
+        def chat_fn(messages):
+            seen.append(messages)
+            assert messages[0]["role"] == "system"
+            assert messages[-1]["content"] == (
+                "Question: How many chairs?\nAnswer: three\nGround Truth: 3"
+            )
+            return "Score: 5"
+
+        scorer = make_gpt_scorer(
+            chat_fn, [{"role": "system", "content": "You are a judge."}]
+        )
+        raw = scorer("USER: How many chairs? ASSISTANT:", "three", "3")
+        assert raw == 5.0 and len(seen) == 1
+
+        out = score_results(
+            {"scannet": [{
+                "response_pred": "three", "response_gt": ["3"],
+                "type": "counting",
+                "instruction": "USER: How many chairs? ASSISTANT:",
+            }]},
+            gpt_scorer=scorer,
+        )
+        assert out["GPT-Score_overall"] == (5 - 1) * 25
+
 
 class TestGenerationEval:
     def test_sentence_sim_target(self, tmp_path):

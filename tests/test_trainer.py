@@ -278,6 +278,71 @@ class TestLeoTrainer:
         assert trainer.tracker.loader_step == 5
         assert np.isfinite(stats["loss"])
 
+    def test_preemption_saves_and_resumes(self, tmp_path):
+        """SIGUSR1 (SLURM preemption warning) mid-epoch: the trainer
+        finishes the optimizer step in flight, saves the FULL training
+        state at that step boundary, and exits cleanly; a rerun with the
+        same exp_dir resumes from the saved step and consumes exactly
+        the remaining batches."""
+        import os
+        import signal as _signal
+
+        from msr3d_tpu.trainer.leo_trainer import LeoTrainer
+        from tests.test_msr3d import tiny_model
+
+        class SignalingLoader(SyntheticLoader):
+            def __init__(self, n_batches, signal_at):
+                super().__init__(n_batches)
+                self.signal_at = signal_at
+
+            def __iter__(self):
+                for i, dd in enumerate(super().__iter__()):
+                    if i == self.signal_at:
+                        os.kill(os.getpid(), _signal.SIGUSR1)
+                    yield dd
+
+        cfg = config_from_dict(
+            {
+                "exp_dir": str(tmp_path / "exp_preempt"),
+                "mode": "train",
+                "rng_seed": 0,
+                "solver": {
+                    "gradient_accumulation_steps": 2,
+                    "grad_norm": 5.0,
+                    "epochs": 1,
+                    "eval_interval": 10,
+                    "optim": {"name": "AdamW", "args": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 0.0}},
+                    "sched": {"name": "warmup_cosine_instructblip", "args": {"warmup_steps": 2}},
+                },
+            }
+        )
+        loaders = {"msr3d_train": {"train": SignalingLoader(6, signal_at=3)}}
+        trainer = LeoTrainer(cfg, loaders=loaders, evaluators={}, model=tiny_model())
+        prev_handler = _signal.getsignal(_signal.SIGUSR1)
+        trainer.run()  # returns cleanly on preemption
+        # signal landed while batch 3 (0-based) was being consumed: the
+        # group [2,3] flushed → 2 optimizer steps done, 4 batches consumed
+        assert int(trainer.state.step) == 2
+        assert trainer.tracker.loader_step == 4
+        assert trainer.tracker.epoch == 0  # epoch did NOT complete
+        assert trainer.ckpt.latest_step() == 2
+        # handlers restored
+        assert _signal.getsignal(_signal.SIGUSR1) == prev_handler
+
+        cfg["resume"] = True
+        t2 = LeoTrainer(
+            cfg,
+            loaders={"msr3d_train": {"train": SyntheticLoader(6)}},
+            evaluators={},
+            model=tiny_model(),
+        )
+        assert int(t2.state.step) == 2
+        assert t2.tracker.loader_step == 4
+        t2.run()
+        # remaining batches 4,5 → one more step; epoch completes
+        assert int(t2.state.step) == 3
+        assert t2.tracker.epoch == 1
+
     def test_resume_restores_state(self, trainer, tmp_path):
         trainer.run()
         step = int(trainer.state.step)
