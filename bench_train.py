@@ -48,6 +48,12 @@ def main() -> None:
         "(less recompute, more memory)",
     )
     parser.add_argument(
+        "--flash", action="store_true",
+        help="fused Pallas flash attention for the training forward "
+        "(ops/flash_attention.py): removes the per-layer fp32 (B,H,T,S) "
+        "logits/probs temps that wall the micro-batch",
+    )
+    parser.add_argument(
         "--full-width-loss", action="store_true",
         help="compute CE over full-width logits instead of the exactly-"
         "equal answer-window form (A/B for the memory saving)",
@@ -69,6 +75,7 @@ def main() -> None:
             vocab_size=32000, hidden_size=512, intermediate_size=1376,
             num_hidden_layers=4, num_attention_heads=8,
             max_position_embeddings=2048, lora_rank=16, dtype=jnp.bfloat16,
+            flash_attention=args.flash,
         )
     else:
         llm = LlamaConfig(
@@ -79,6 +86,7 @@ def main() -> None:
             quantize=args.int8 or getattr(args, "int4", False),
             quantize_bits=4 if getattr(args, "int4", False) else 8,
             remat_policy=args.remat_policy,
+            flash_attention=args.flash,
         )
     cfg = MSR3DNetworkConfig(
         prompter=OSE3DConfig(), llm=llm, backbone_name="convnext_test",
@@ -220,6 +228,7 @@ def main() -> None:
                 + ("-int4base" if getattr(args, "int4", False) else "")
                 + (f"-scan/{args.remat_policy}" if args.scan_layers
                    else f"-unroll/{args.remat_policy}")
+                + ("-flash" if args.flash else "")
                 + ("-fullw" if args.full_width_loss else "-answin"),
                 "step_ms": round(dt * 1000, 1),
                 "loss": round(float(metrics["loss"]), 3),

@@ -44,6 +44,7 @@ def build_llm_config(llm_cfg, tokenizer, dtype=jnp.bfloat16) -> LlamaConfig:
         quantize_group=llm_cfg.get("quantize_group", None),
         remat=bool(llm_cfg.get("remat", False)),
         remat_policy=str(llm_cfg.get("remat_policy", "full")),
+        flash_attention=bool(llm_cfg.get("flash_attention", False)),
     )
 
     cfg_path = llm_cfg.get("cfg_path", "")

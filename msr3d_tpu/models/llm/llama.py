@@ -73,6 +73,11 @@ class LlamaConfig:
     # the input sharding alone. Requires an active `with mesh:` context.
     sp_axis: Optional[str] = None
     sp_data_axis: Optional[str] = None  # batch axis for composing dp × sp
+    flash_attention: bool = False  # training/prefill dense attention via
+    # the Pallas fused kernel (ops/flash_attention.py): the fp32 (B,H,T,S)
+    # logits/probs never leave VMEM — they are the allocation that walls
+    # the train micro-batch (ROUND3_NOTES.md). Decode (kv_cache) and
+    # split-cache beam paths are unaffected (S there is the cache, T=1..k)
     act_quantize: bool = False  # s8×s8: also quantize activations per-token
     kv_quantize: bool = False  # int8 KV cache (decode): halves KV HBM traffic
     # and footprint; prefill stays bf16 and the caller quantizes the cache
@@ -524,6 +529,25 @@ class LlamaAttention(nn.Module):
             # over the prompt (no padded cache slots)
             new_cache = {"k": k, "v": v}
 
+        if (
+            cfg.flash_attention
+            and kv_cache is None
+            and shared_prompt_kv is None
+            and cfg.sp_axis is None
+        ):
+            # fused streaming attention: no (B,H,T,S) fp32 temps, GQA
+            # native (no repeated k/v), causality + key padding in-kernel
+            from msr3d_tpu.ops.flash_attention import flash_attention
+
+            if key_valid is None:
+                key_valid = jnp.ones((b, t), bool)
+            out = flash_attention(
+                q, k, v, causal=True, key_valid=key_valid.astype(bool)
+            )
+            out = out.reshape(b, t, cfg.num_attention_heads * cfg.head_dim)
+            out = proj("o_proj", cfg.hidden_size)(out, deterministic=deterministic)
+            return out, new_cache
+
         # GQA: repeat kv heads
         n_rep = cfg.num_attention_heads // cfg.kv_heads
 
@@ -755,9 +779,10 @@ class LlamaModel(nn.Module):
             positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
 
         key_valid = None
-        if kv_caches is None and cfg.sp_axis is not None:
-            # sequence-parallel forward: the T×T bias never materializes —
-            # ring attention applies causality + padding from key_valid
+        if kv_caches is None and (cfg.sp_axis is not None or cfg.flash_attention):
+            # ring attention (sp) and the fused flash kernel both apply
+            # causality + key padding themselves — the dense (B,1,T,S)
+            # fp32 bias never materializes
             attn_bias = None
             key_valid = attention_mask.astype(bool)
         elif kv_caches is None:
@@ -897,16 +922,21 @@ class LlamaModel(nn.Module):
         assert t <= max_cache_len
         positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
 
-        causal = jnp.tril(jnp.ones((t, t), dtype=bool))
-        mask = causal[None, None, :, :] & attention_mask[:, None, None, :].astype(bool)
-        attn_bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+        key_valid = None
+        if cfg.flash_attention:
+            attn_bias = None  # the kernel applies causality + key padding
+            key_valid = attention_mask.astype(bool)
+        else:
+            causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+            mask = causal[None, None, :, :] & attention_mask[:, None, None, :].astype(bool)
+            attn_bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
 
         x = inputs_embeds.astype(cfg.dtype)
         layers = []
         for block in self.blocks:
             x, captured = block(
                 x, positions, attn_bias, return_kv=True,
-                deterministic=deterministic,
+                key_valid=key_valid, deterministic=deterministic,
             )
             layer = dict(captured)
             if cfg.kv_quantize:
