@@ -32,6 +32,9 @@ def parse_args(argv=None):
                         help="s8xs8: also quantize activations (needs --int8)")
     parser.add_argument("--kv-quant", action="store_true",
                         help="int8 KV cache in the decode loop")
+    parser.add_argument("--flash", action="store_true",
+                        help="Pallas fused flash attention for the prefill "
+                        "pass (decode loop is unaffected)")
     parser.add_argument("--beams", type=int, default=1)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--prompt-len", type=int, default=160)
@@ -104,6 +107,7 @@ def build_model(args):
             quantize_group=getattr(args, "quant_group", 0) or None,
             act_quantize=getattr(args, "act_quant", False),
             kv_quantize=getattr(args, "kv_quant", False),
+            flash_attention=getattr(args, "flash", False),
         )
 
     tok = ByteTokenizer()
@@ -236,7 +240,8 @@ def run(args) -> dict:
                 + (f"-g{args.quant_group}" if getattr(args, "quant_group", 0) else "")
                 + ("-s8s8" if getattr(args, "act_quant", False) else "")
                 + ("-kv8" if getattr(args, "kv_quant", False) else "")
-                + ("-cpk" if getattr(args, "compact_transfer", False) else ""),
+                + ("-cpk" if getattr(args, "compact_transfer", False) else "")
+                + ("-flash" if getattr(args, "flash", False) else ""),
                 "step_ms": round(dt * 1000, 1),
                 "pipeline_depth": depth,
                 "eos_bias": getattr(args, "eos_bias", 0.0),

@@ -33,6 +33,8 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--flash", action="store_true",
+                   help="Pallas fused flash attention in the prefill pass")
     args = p.parse_args()
 
     import jax
@@ -56,6 +58,7 @@ def main() -> None:
             num_hidden_layers=32, num_attention_heads=32,
             max_position_embeddings=2048, lora_rank=0, dtype=jnp.bfloat16,
             param_dtype=jnp.bfloat16, quantize=True, kv_quantize=True,
+            flash_attention=args.flash,
         )
     tok = ByteTokenizer()
     model = MSR3D(
