@@ -26,6 +26,7 @@ dropped. Results carry the request's ``id`` (submission order).
 from __future__ import annotations
 
 import dataclasses
+import threading
 from collections import deque
 from typing import Any, Dict, Iterable, Iterator, List, Optional
 
@@ -48,6 +49,84 @@ class Result:
     id: int
     output_text: str
     output_tokens: np.ndarray
+
+
+class RequestStreamIdle(Exception):
+    """Raised by :class:`OnlineRequestStream` when no request is pending
+    right now but more may arrive. The engine treats it as "keep decoding
+    what's in flight" rather than "the stream is exhausted"."""
+
+
+class OnlineRequestStream:
+    """Thread-safe request feed for ONLINE continuous-batching serving.
+
+    A plain iterable ends :meth:`ContinuousBatchingServer.run` when it is
+    exhausted; an online server must instead keep the engine alive across
+    idle gaps while producers (e.g. HTTP handler threads) ``submit()``
+    requests at arbitrary times. This stream
+
+    - never blocks the engine while slots are in flight: ``__next__``
+      raises :class:`RequestStreamIdle` when the queue is momentarily
+      empty, so in-flight decode chunks keep running;
+    - lets the engine sleep at FULL idle (no slots, no queue) via
+      :meth:`wait`, waking on the next ``submit`` or ``close``;
+    - ends the run loop only after :meth:`close` (then drains the queue
+      and raises ``StopIteration``).
+
+    Request ids: the engine assigns ids in pull order, which is FIFO
+    submission order — so :meth:`submit`'s return value IS the ``id`` on
+    the eventual :class:`Result` (valid as long as one ``run()`` call
+    consumes this stream from its start, the only supported use).
+    """
+
+    def __init__(self):
+        self._q: deque = deque()
+        self._cv = threading.Condition()
+        self._closed = False
+        self._n = 0
+
+    def submit(self, sample: Dict[str, Any], budget: Optional[int] = None) -> int:
+        """Enqueue one request; returns its future result id."""
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("stream is closed")
+            self._q.append((sample, budget))
+            rid = self._n
+            self._n += 1
+            self._cv.notify_all()
+            return rid
+
+    def close(self) -> None:
+        """No further submits; the engine drains and run() returns."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+    @property
+    def closed(self) -> bool:
+        with self._cv:
+            return self._closed
+
+    @property
+    def pending(self) -> int:
+        with self._cv:
+            return len(self._q)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        with self._cv:
+            if self._q:
+                return self._q.popleft()
+            if self._closed:
+                raise StopIteration
+            raise RequestStreamIdle
+
+    def wait(self, timeout: Optional[float] = None) -> None:
+        """Block until a request is pending or the stream is closed."""
+        with self._cv:
+            self._cv.wait_for(lambda: self._q or self._closed, timeout)
 
 
 def _collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
@@ -628,7 +707,14 @@ class ContinuousBatchingServer:
 
         ``on_result``, if given, is called with each :class:`Result` the
         moment its request finishes — in COMPLETION order, not request
-        order (the return value remains request-ordered)."""
+        order (the return value remains request-ordered).
+
+        Passing an :class:`OnlineRequestStream` as ``samples`` turns this
+        into a long-running server loop: the engine keeps decoding while
+        the stream is momentarily empty, sleeps at full idle, and returns
+        only after ``stream.close()``. With ``on_result`` set in online
+        mode, results are delivered through the callback only (the return
+        value is empty — a server must not hold every answer forever)."""
         import jax.numpy as jnp
 
         model = self.model
@@ -637,7 +723,14 @@ class ContinuousBatchingServer:
             self._build_fns()
         init_state, _, insert, decode_chunk = self._fns
 
-        if budgets is not None:
+        online = isinstance(samples, OnlineRequestStream)
+        if online:
+            # the stream yields (sample, budget) pairs itself — do NOT
+            # wrap it in a generator: RequestStreamIdle propagating
+            # through a generator would close it permanently
+            assert budgets is None, "online stream carries its own budgets"
+            pairs = samples
+        elif budgets is not None:
             pairs = iter(zip(samples, budgets))
         else:
             pairs = iter((s, None) for s in samples)
@@ -654,6 +747,8 @@ class ContinuousBatchingServer:
                 except StopIteration:
                     exhausted = True
                     return
+                except RequestStreamIdle:
+                    return  # transient: the online stream may refill
                 if b is None:
                     b = s.get("max_new_tokens", self.max_new)
                 queue.append(
@@ -661,6 +756,9 @@ class ContinuousBatchingServer:
                 )
                 next_rid += 1
 
+        # a long-lived online server delivers through on_result; holding
+        # every Result until close() would grow without bound
+        retain_results = not (online and on_result is not None)
         results: Dict[int, Result] = {}
 
         prompt_kv, prompt_mask, state = init_state()
@@ -695,7 +793,8 @@ class ContinuousBatchingServer:
                     res = Result(
                         id=rid, output_text=texts[j], output_tokens=gen[s]
                     )
-                    results[rid] = res
+                    if retain_results:
+                        results[rid] = res
                     if on_result is not None:
                         on_result(res)
                     free.append(s)
@@ -775,6 +874,11 @@ class ContinuousBatchingServer:
             if not slot_rid and not inflight and not queue:
                 pull(r)
                 if not queue:
+                    if online and not exhausted:
+                        # fully idle online server: sleep until the next
+                        # submit (or close), then resume the loop
+                        samples.wait()
+                        continue
                     break  # iterator exhausted, everything served
 
         return [results[k] for k in sorted(results)]

@@ -1,0 +1,297 @@
+"""HTTP serving front-end for MSR3D — a deployable QA endpoint.
+
+The reference has no serving story at all (evaluation runs through its
+training loop, `/root/reference/trainer/leo_trainer.py:385-418`); this
+module turns the continuous-batching engine (:mod:`msr3d_tpu.serving`)
+into a production HTTP service using only the standard library:
+
+    frontend = ServingFrontend(engine)          # engine: Continuous*Server
+    frontend.start()                            # engine + HTTP threads
+    ...                                         # POST /v1/generate
+    frontend.close()
+
+Architecture: handler threads never touch JAX. Each request is parsed,
+``submit()``-ed onto an :class:`~msr3d_tpu.serving.OnlineRequestStream`,
+and the handler blocks on a per-request event. ONE engine thread owns
+all device work — it runs ``engine.run(stream, on_result=...)`` forever,
+continuously batching whatever mixture of requests is in flight (the
+slot-refill scheduling measured at 1.49x over gang scheduling in
+ROUND3_NOTES.md), sleeping when idle, and exiting when the frontend
+closes the stream.
+
+Wire protocol (JSON over POST, stdlib-parseable on both ends):
+
+``POST /v1/generate``
+    {
+      "prompt": "<msr3d_prompt string>",
+      "max_new_tokens": 32,                      # optional, per-request
+      // scene arrays, one of:
+      "scene_b64": "<base64 of an .npz>",        # keys below, compact
+      // or inline JSON lists per key:
+      "obj_fts": [...], "obj_masks": [...], "obj_locs": [...],
+      "anchor_locs": [...], "anchor_orientation": [...]
+    }
+    -> 200 {"id": N, "text": "...", "tokens": [...]}
+    -> 400 {"error": "..."} on malformed requests
+    -> 503 {"error": "..."} when shutting down
+
+``GET /v1/health``
+    -> 200 {"status": "ok", "slots": S, "pending": Q, "in_flight": F,
+            "decode_steps": N, "served": M}
+
+The npz form is the intended one at reference scale (60x1024x6 fp32
+object points are ~1.4 MB — base64-npz ships them in one field; JSON
+lists exist for tests and tiny probes). Array dtypes are coerced to the
+model contract (fp32 features/locs, bool masks).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from .serving import OnlineRequestStream, Result
+
+_SCENE_KEYS: Dict[str, Any] = {
+    "obj_fts": np.float32,
+    "obj_masks": bool,
+    "obj_locs": np.float32,
+    "anchor_locs": np.float32,
+    "anchor_orientation": np.float32,
+    "msr3d_imgs": np.float32,
+    "msr3d_img_masks": bool,
+    "img_fts": np.float32,
+}
+_REQUIRED = ("obj_fts", "obj_masks", "obj_locs", "anchor_locs",
+             "anchor_orientation")
+
+
+class RequestError(ValueError):
+    """Malformed client request (maps to HTTP 400)."""
+
+
+def parse_generate_request(body: Dict[str, Any]) -> Tuple[Dict[str, Any], Optional[int]]:
+    """JSON body -> (engine sample dict, per-request budget or None)."""
+    if not isinstance(body, dict):
+        raise RequestError("body must be a JSON object")
+    prompt = body.get("prompt")
+    if not isinstance(prompt, str) or not prompt:
+        raise RequestError("'prompt' (non-empty string) is required")
+    sample: Dict[str, Any] = {"msr3d_prompt": prompt}
+
+    if "scene_b64" in body:
+        try:
+            raw = base64.b64decode(body["scene_b64"], validate=True)
+            arrays = np.load(io.BytesIO(raw))
+        except Exception as exc:
+            raise RequestError(f"scene_b64 is not a base64 .npz: {exc}")
+        for key in arrays.files:
+            if key in _SCENE_KEYS:
+                sample[key] = np.asarray(arrays[key], dtype=_SCENE_KEYS[key])
+    for key, dtype in _SCENE_KEYS.items():
+        if key in body:
+            try:
+                sample[key] = np.asarray(body[key], dtype=dtype)
+            except Exception as exc:
+                raise RequestError(f"bad array for '{key}': {exc}")
+    missing = [k for k in _REQUIRED if k not in sample]
+    if missing:
+        raise RequestError(f"missing scene arrays: {missing}")
+
+    budget = body.get("max_new_tokens")
+    if budget is not None:
+        try:
+            budget = int(budget)
+        except (TypeError, ValueError):
+            raise RequestError("'max_new_tokens' must be an integer")
+        if budget < 1:
+            raise RequestError("'max_new_tokens' must be >= 1")
+    return sample, budget
+
+
+def encode_scene_b64(sample: Dict[str, Any]) -> str:
+    """Client-side helper: pack a sample's scene arrays into the
+    ``scene_b64`` field (the compact transport for real-scale points)."""
+    buf = io.BytesIO()
+    np.savez(buf, **{k: np.asarray(v) for k, v in sample.items()
+                     if k in _SCENE_KEYS and v is not None})
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+class ServingFrontend:
+    """Ties one continuous-batching engine to a threaded HTTP server.
+
+    ``engine`` is a built :class:`~msr3d_tpu.serving.ContinuousBatchingServer`
+    (or the beam subclass) whose model params are loaded. ``port=0``
+    binds an ephemeral port (read it back from ``frontend.port``).
+    """
+
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        request_timeout: float = 600.0,
+    ):
+        self.engine = engine
+        self.stream = OnlineRequestStream()
+        self.request_timeout = request_timeout
+        self._lock = threading.Lock()
+        self._events: Dict[int, threading.Event] = {}
+        self._results: Dict[int, Result] = {}
+        self._served = 0
+        self._engine_error: Optional[BaseException] = None
+
+        frontend = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # one engine, many handler threads: handlers only parse,
+            # submit, and wait — all JAX work stays on the engine thread
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _reply(self, code: int, payload: Dict[str, Any]) -> None:
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/v1/health":
+                    self._reply(200, frontend.health())
+                else:
+                    self._reply(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/v1/generate":
+                    self._reply(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    sample, budget = parse_generate_request(body)
+                except RequestError as exc:
+                    self._reply(400, {"error": str(exc)})
+                    return
+                except Exception as exc:
+                    self._reply(400, {"error": f"bad request: {exc}"})
+                    return
+                try:
+                    rid = frontend.submit(sample, budget)
+                except RuntimeError as exc:  # stream closed
+                    self._reply(503, {"error": str(exc)})
+                    return
+                res = frontend.wait(rid, frontend.request_timeout)
+                if res is None:
+                    self._reply(
+                        504, {"error": "generation timed out", "id": rid}
+                    )
+                    return
+                self._reply(200, {
+                    "id": res.id,
+                    "text": res.output_text,
+                    "tokens": np.asarray(res.output_tokens).tolist(),
+                })
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.httpd.daemon_threads = True
+        self.host, self.port = self.httpd.server_address[:2]
+        self._engine_thread = threading.Thread(
+            target=self._run_engine, name="msr3d-engine", daemon=True
+        )
+        self._http_thread = threading.Thread(
+            target=self.httpd.serve_forever, name="msr3d-http", daemon=True
+        )
+
+    # -- engine side ----------------------------------------------------
+
+    def _run_engine(self) -> None:
+        try:
+            self.engine.run(self.stream, on_result=self._on_result)
+        except BaseException as exc:  # surface to waiting handlers
+            self._engine_error = exc
+            with self._lock:
+                events = list(self._events.values())
+            for ev in events:
+                ev.set()
+
+    def _on_result(self, res: Result) -> None:
+        with self._lock:
+            self._results[res.id] = res
+            self._served += 1
+            ev = self._events.get(res.id)
+        if ev is not None:
+            ev.set()
+
+    # -- producer side --------------------------------------------------
+
+    def submit(self, sample: Dict[str, Any], budget: Optional[int] = None) -> int:
+        """Register interest and enqueue; returns the request id."""
+        if self._engine_error is not None:
+            raise RuntimeError(f"engine died: {self._engine_error!r}")
+        with self._lock:
+            # the lock orders this against _on_result: the engine cannot
+            # deliver rid's result before its event is registered
+            rid = self.stream.submit(sample, budget)
+            self._events[rid] = threading.Event()
+        return rid
+
+    def wait(self, rid: int, timeout: Optional[float] = None) -> Optional[Result]:
+        """Block until request ``rid`` finishes; None on timeout."""
+        with self._lock:
+            ev = self._events.get(rid)
+        if ev is None:
+            raise KeyError(f"unknown request id {rid}")
+        ev.wait(timeout)
+        with self._lock:
+            self._events.pop(rid, None)
+            res = self._results.pop(rid, None)
+        if res is None and self._engine_error is not None:
+            raise RuntimeError(f"engine died: {self._engine_error!r}")
+        return res
+
+    def health(self) -> Dict[str, Any]:
+        with self._lock:
+            in_flight = len(self._events)
+            served = self._served
+        return {
+            "status": "error" if self._engine_error else "ok",
+            "slots": self.engine.num_slots,
+            "pending": self.stream.pending,
+            "in_flight": in_flight,
+            "decode_steps": int(getattr(self.engine, "steps_run", 0)),
+            "served": served,
+        }
+
+    # -- lifecycle ------------------------------------------------------
+
+    def start(self) -> "ServingFrontend":
+        self._engine_thread.start()
+        self._http_thread.start()
+        return self
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Stop taking requests, drain in-flight work, stop HTTP."""
+        self.stream.close()
+        if self._engine_thread.is_alive():
+            self._engine_thread.join(timeout)
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._http_thread.is_alive():
+            self._http_thread.join(timeout)
+
+    def __enter__(self) -> "ServingFrontend":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.close()

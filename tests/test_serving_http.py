@@ -1,0 +1,233 @@
+"""Online serving: OnlineRequestStream keeps the continuous engine alive
+across idle gaps, and the HTTP front-end serves token-identical answers
+to the fixed-batch generate path over a real socket."""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from msr3d_tpu.serving import ContinuousBatchingServer, OnlineRequestStream
+from msr3d_tpu.serving_http import (
+    RequestError,
+    ServingFrontend,
+    encode_scene_b64,
+    parse_generate_request,
+)
+from tests.test_serving import _requests
+from tests.test_serving_continuous import _batch_of, _direct_tokens
+
+
+def _engine(model, reqs, max_new, **kw):
+    ii, _ = model._encode_prompts(model.build_text_prompt(_batch_of(reqs)))
+    prompt_len = max(32, -(-ii.shape[1] // 32) * 32) + 1
+    kw.setdefault("num_slots", 3)
+    kw.setdefault("refill_group", 1)
+    kw.setdefault("chunk_steps", 3)
+    return ContinuousBatchingServer(
+        model, max_new_tokens=max_new, prompt_len=prompt_len, **kw
+    )
+
+
+# ---------------------------------------------------------------------------
+# OnlineRequestStream against the engine directly (no HTTP)
+
+
+def test_online_stream_waves_match_generate(tiny_msr3d, rng):
+    """Two waves of requests with a full-idle gap between them: the
+    engine must sleep at idle, wake on the second wave, and produce
+    token-identical results throughout; run() returns after close()."""
+    reqs = _requests(rng, 6)
+    max_new = 6
+    direct = _direct_tokens(tiny_msr3d, reqs, max_new)
+
+    stream = OnlineRequestStream()
+    got = {}
+    done = threading.Event()
+
+    def on_result(res):
+        got[res.id] = np.asarray(res.output_tokens)
+        if len(got) == len(reqs):
+            done.set()
+
+    engine = _engine(tiny_msr3d, reqs, max_new)
+    t = threading.Thread(
+        target=engine.run, args=(stream,), kwargs={"on_result": on_result}
+    )
+    t.start()
+    try:
+        for r in reqs[:3]:
+            stream.submit(r)
+        # wait until wave 1 fully served -> engine is provably idle
+        deadline = time.time() + 120
+        while len(got) < 3 and time.time() < deadline:
+            time.sleep(0.05)
+        assert len(got) == 3, "first wave not served"
+        time.sleep(0.2)  # engine sits in stream.wait()
+        for r in reqs[3:]:
+            stream.submit(r)
+        assert done.wait(120), "second wave not served"
+    finally:
+        stream.close()
+        t.join(60)
+    assert not t.is_alive()
+    for rid in range(len(reqs)):
+        np.testing.assert_array_equal(got[rid], direct[rid])
+
+
+def test_online_stream_close_drains_pending(tiny_msr3d, rng):
+    """Requests still queued at close() are served before run returns,
+    and results ARE retained when no on_result callback is given."""
+    reqs = _requests(rng, 4)
+    max_new = 5
+    direct = _direct_tokens(tiny_msr3d, reqs, max_new)
+    stream = OnlineRequestStream()
+    for r in reqs:
+        stream.submit(r)
+    stream.close()
+    with pytest.raises(RuntimeError):
+        stream.submit(reqs[0])
+    results = _engine(tiny_msr3d, reqs, max_new).run(stream)
+    assert [r.id for r in results] == list(range(len(reqs)))
+    for r in results:
+        np.testing.assert_array_equal(r.output_tokens, direct[r.id])
+
+
+# ---------------------------------------------------------------------------
+# request parsing (pure host)
+
+
+def test_parse_generate_request_forms(rng):
+    sample = _requests(rng, 1)[0]
+    body = {
+        "prompt": sample["msr3d_prompt"],
+        "scene_b64": encode_scene_b64(sample),
+        "max_new_tokens": 7,
+    }
+    parsed, budget = parse_generate_request(body)
+    assert budget == 7
+    np.testing.assert_allclose(parsed["obj_fts"], sample["obj_fts"])
+    assert parsed["obj_masks"].dtype == np.bool_
+
+    # inline-list form
+    small = {
+        "prompt": "hi 景",
+        "obj_fts": np.zeros((2, 8, 6)).tolist(),
+        "obj_masks": [True, False],
+        "obj_locs": np.zeros((2, 6)).tolist(),
+        "anchor_locs": [0.0, 0.0, 0.0],
+        "anchor_orientation": [0.0, 0.0, 0.0, 1.0],
+    }
+    parsed, budget = parse_generate_request(small)
+    assert budget is None
+    assert parsed["obj_fts"].dtype == np.float32
+
+    for bad in (
+        {},  # no prompt
+        {"prompt": ""},
+        {"prompt": "x"},  # no scene
+        {**small, "max_new_tokens": 0},
+        {**small, "scene_b64": "!!!notbase64!!!"},
+        [1, 2],  # not an object
+    ):
+        with pytest.raises(RequestError):
+            parse_generate_request(bad)
+
+
+# ---------------------------------------------------------------------------
+# full HTTP stack
+
+
+def _post(port, body, timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/generate",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_http_serving_end_to_end(tiny_msr3d, rng):
+    reqs = _requests(rng, 5)
+    max_new = 6
+    direct = _direct_tokens(tiny_msr3d, reqs, max_new)
+    engine = _engine(tiny_msr3d, reqs, max_new, num_slots=3, refill_group=1)
+
+    with ServingFrontend(engine, port=0) as fe:
+        # concurrent clients
+        out = {}
+
+        def client(i):
+            status, payload = _post(fe.port, {
+                "prompt": reqs[i]["msr3d_prompt"],
+                "scene_b64": encode_scene_b64(reqs[i]),
+            })
+            out[i] = (status, payload)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(180)
+        assert all(not t.is_alive() for t in threads)
+
+        texts = tiny_msr3d.batch_detokenize(direct)
+        for i, (status, payload) in out.items():
+            assert status == 200
+            # ids are completion-dependent; texts must match the fixed
+            # batch generate for THIS request's content
+            assert payload["text"] == texts[i]
+
+        # health endpoint reflects served work
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{fe.port}/v1/health", timeout=30
+        ) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert health["served"] == len(reqs)
+        assert health["in_flight"] == 0
+        assert health["decode_steps"] > 0
+
+        # malformed request -> 400, doesn't wedge the engine
+        try:
+            status, payload = _post(fe.port, {"prompt": ""})
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 400
+
+        # unknown route -> 404
+        try:
+            _post_req = urllib.request.Request(
+                f"http://127.0.0.1:{fe.port}/nope", data=b"{}"
+            )
+            urllib.request.urlopen(_post_req, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 404
+
+    # after close(): engine thread gone, submits refused
+    assert not fe._engine_thread.is_alive()
+    with pytest.raises(RuntimeError):
+        fe.stream.submit(reqs[0])
+
+
+def test_http_per_request_budget(tiny_msr3d, rng):
+    """max_new_tokens in the body caps that request's decode length."""
+    reqs = _requests(rng, 2)
+    engine = _engine(tiny_msr3d, reqs, 8)
+    with ServingFrontend(engine, port=0) as fe:
+        status, payload = _post(fe.port, {
+            "prompt": reqs[0]["msr3d_prompt"],
+            "scene_b64": encode_scene_b64(reqs[0]),
+            "max_new_tokens": 3,
+        })
+        assert status == 200
+        toks = np.asarray(payload["tokens"])
+        # budget 3: at most 3 non-pad tokens before the eos/pad tail
+        assert (toks != tiny_msr3d.tokenizer.eos_id).sum() <= 3
