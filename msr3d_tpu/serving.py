@@ -329,6 +329,8 @@ class ContinuousBatchingServer:
     same vector-index machinery the T=1 path uses.
     """
 
+    supports_progress = True  # on_progress streams greedy prefixes
+
     def __init__(
         self,
         model,
@@ -693,6 +695,7 @@ class ContinuousBatchingServer:
         *,
         budgets: Optional[Iterable[int]] = None,
         on_result=None,
+        on_progress=None,
     ) -> List[Result]:
         """Serve all requests; returns results in request order.
 
@@ -714,9 +717,22 @@ class ContinuousBatchingServer:
         the stream is momentarily empty, sleeps at full idle, and returns
         only after ``stream.close()``. With ``on_result`` set in online
         mode, results are delivered through the callback only (the return
-        value is empty — a server must not hold every answer forever)."""
+        value is empty — a server must not hold every answer forever).
+
+        ``on_progress``, if given, streams partial output: after every
+        decode chunk it is called as ``on_progress(rid, tokens)`` with
+        the tokens emitted SO FAR for each still-running request (a
+        snapshot, not a delta; scheduling may call it with the same
+        prefix twice under lookahead). Greedy engine only — the beam
+        engine finalizes a slot's hypothesis at the end, so there is no
+        meaningful running prefix to stream."""
         import jax.numpy as jnp
 
+        if on_progress is not None and not self.supports_progress:
+            raise ValueError(
+                "on_progress streaming is greedy-engine only (beam "
+                "hypotheses finalize at the end of the search)"
+            )
         model = self.model
         assert model.params is not None, "init or load params first"
         if self._fns is None:
@@ -776,9 +792,16 @@ class ContinuousBatchingServer:
         inflight: deque = deque()  # (steps, finished, generated, epochs)
 
         def process_one():
-            steps, fin_dev, gen_dev, epochs = inflight.popleft()
+            steps, fin_dev, gen_dev, epochs, cnt_dev = inflight.popleft()
             self.steps_run += int(steps)
             finished = np.asarray(fin_dev)
+            if on_progress is not None:
+                gen_all = np.asarray(gen_dev)
+                cnt = np.asarray(cnt_dev)
+                for s, rid in list(slot_rid.items()):
+                    # running slots only; finished ones get on_result below
+                    if epochs[s] == slot_epoch[s] and not finished[s]:
+                        on_progress(rid, gen_all[s, : int(cnt[s])])
             done = [
                 s for s in list(slot_rid)
                 if finished[s] and epochs[s] == slot_epoch[s]
@@ -862,7 +885,9 @@ class ContinuousBatchingServer:
                 # fetching a donated buffer is an error by design
                 inflight.append(
                     (steps, jnp.copy(state["finished"]),
-                     jnp.copy(state["generated"]), tuple(slot_epoch))
+                     jnp.copy(state["generated"]), tuple(slot_epoch),
+                     jnp.copy(state["cnt"]) if on_progress is not None
+                     else None)
                 )
 
             # fetch past-chunk flags; keep at most `lookahead` chunks
@@ -916,6 +941,8 @@ class ContinuousBeamBatchingServer(ContinuousBatchingServer):
 
     Speculative decoding is greedy-only (``spec_k`` rejected here).
     """
+
+    supports_progress = False  # hypotheses finalize at search end
 
     def __init__(
         self,

@@ -35,6 +35,13 @@ Wire protocol (JSON over POST, stdlib-parseable on both ends):
     -> 400 {"error": "..."} on malformed requests
     -> 503 {"error": "..."} when shutting down
 
+    With ``"stream": true`` (greedy engine only) the response is
+    server-sent events (``text/event-stream``): after each decode chunk
+    one ``data: {"text": <text so far>, "done": false}`` snapshot, then a
+    final ``data: {"id": N, "text": ..., "tokens": [...], "done": true}``
+    — time-to-first-token is one chunk (``chunk_steps`` decode steps),
+    not the full answer.
+
 ``GET /v1/health``
     -> 200 {"status": "ok", "slots": S, "pending": Q, "in_flight": F,
             "decode_steps": N, "served": M}
@@ -50,6 +57,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import queue as queue_mod
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional, Tuple
@@ -145,6 +153,7 @@ class ServingFrontend:
         self._lock = threading.Lock()
         self._events: Dict[int, threading.Event] = {}
         self._results: Dict[int, Result] = {}
+        self._progress: Dict[int, "queue_mod.Queue"] = {}
         self._served = 0
         self._engine_error: Optional[BaseException] = None
 
@@ -186,10 +195,22 @@ class ServingFrontend:
                 except Exception as exc:
                     self._reply(400, {"error": f"bad request: {exc}"})
                     return
+                stream_mode = bool(body.get("stream", False))
+                if stream_mode and not getattr(
+                    frontend.engine, "supports_progress", False
+                ):
+                    self._reply(400, {
+                        "error": "stream=true requires the greedy engine "
+                        "(beam hypotheses finalize at search end)"
+                    })
+                    return
                 try:
-                    rid = frontend.submit(sample, budget)
+                    rid = frontend.submit(sample, budget, stream=stream_mode)
                 except RuntimeError as exc:  # stream closed
                     self._reply(503, {"error": str(exc)})
+                    return
+                if stream_mode:
+                    self._stream_events(rid)
                     return
                 res = frontend.wait(rid, frontend.request_timeout)
                 if res is None:
@@ -202,6 +223,69 @@ class ServingFrontend:
                     "text": res.output_text,
                     "tokens": np.asarray(res.output_tokens).tolist(),
                 })
+
+            def _sse(self, payload: Dict[str, Any]) -> None:
+                self.wfile.write(
+                    f"data: {json.dumps(payload)}\n\n".encode()
+                )
+                self.wfile.flush()
+
+            def _stream_events(self, rid: int) -> None:
+                """Server-sent events: a "text so far" snapshot after each
+                decode chunk, then one final event with done=true."""
+                import time as _time
+
+                q = frontend.progress_queue(rid)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "close")
+                self.end_headers()
+                self.close_connection = True
+                model = frontend.engine.model
+                last_len = -1
+                deadline = _time.monotonic() + frontend.request_timeout
+                try:
+                    while True:
+                        left = deadline - _time.monotonic()
+                        if left <= 0:
+                            self._sse({"error": "generation timed out",
+                                       "done": True})
+                            return
+                        try:
+                            kind, payload = q.get(timeout=min(left, 5.0))
+                        except queue_mod.Empty:
+                            self.wfile.write(b": keepalive\n\n")
+                            self.wfile.flush()
+                            continue
+                        if kind == "tokens":
+                            if len(payload) == last_len:
+                                continue  # lookahead re-delivered a prefix
+                            last_len = len(payload)
+                            text = (
+                                model.batch_detokenize(
+                                    np.asarray(payload)[None]
+                                )[0]
+                                if len(payload) else ""
+                            )
+                            self._sse({"text": text, "done": False})
+                        elif kind == "done":
+                            res = payload
+                            self._sse({
+                                "id": res.id,
+                                "text": res.output_text,
+                                "tokens":
+                                    np.asarray(res.output_tokens).tolist(),
+                                "done": True,
+                            })
+                            return
+                        else:  # engine error
+                            self._sse({"error": repr(payload), "done": True})
+                            return
+                except (BrokenPipeError, ConnectionResetError):
+                    return  # client went away; engine finishes on its own
+                finally:
+                    frontend.finish_stream(rid)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.httpd.daemon_threads = True
@@ -217,34 +301,67 @@ class ServingFrontend:
 
     def _run_engine(self) -> None:
         try:
-            self.engine.run(self.stream, on_result=self._on_result)
+            kw = {}
+            if getattr(self.engine, "supports_progress", False):
+                kw["on_progress"] = self._on_progress
+            self.engine.run(self.stream, on_result=self._on_result, **kw)
         except BaseException as exc:  # surface to waiting handlers
             self._engine_error = exc
             with self._lock:
                 events = list(self._events.values())
+                queues = list(self._progress.values())
             for ev in events:
                 ev.set()
+            for q in queues:
+                q.put(("error", exc))
 
     def _on_result(self, res: Result) -> None:
         with self._lock:
             self._results[res.id] = res
             self._served += 1
             ev = self._events.get(res.id)
+            q = self._progress.get(res.id)
+        if q is not None:
+            q.put(("done", res))
         if ev is not None:
             ev.set()
 
+    def _on_progress(self, rid: int, tokens: np.ndarray) -> None:
+        # engine thread; registered streaming requests only, snapshots
+        with self._lock:
+            q = self._progress.get(rid)
+        if q is not None:
+            q.put(("tokens", np.array(tokens, copy=True)))
+
     # -- producer side --------------------------------------------------
 
-    def submit(self, sample: Dict[str, Any], budget: Optional[int] = None) -> int:
+    def submit(
+        self,
+        sample: Dict[str, Any],
+        budget: Optional[int] = None,
+        stream: bool = False,
+    ) -> int:
         """Register interest and enqueue; returns the request id."""
         if self._engine_error is not None:
             raise RuntimeError(f"engine died: {self._engine_error!r}")
         with self._lock:
-            # the lock orders this against _on_result: the engine cannot
-            # deliver rid's result before its event is registered
+            # the lock orders this against _on_result/_on_progress: the
+            # engine cannot deliver rid's events before registration
             rid = self.stream.submit(sample, budget)
             self._events[rid] = threading.Event()
+            if stream:
+                self._progress[rid] = queue_mod.Queue()
         return rid
+
+    def progress_queue(self, rid: int) -> "queue_mod.Queue":
+        with self._lock:
+            return self._progress[rid]
+
+    def finish_stream(self, rid: int) -> None:
+        with self._lock:
+            self._progress.pop(rid, None)
+            self._events.pop(rid, None)
+            self._results.pop(rid, None)
 
     def wait(self, rid: int, timeout: Optional[float] = None) -> Optional[Result]:
         """Block until request ``rid`` finishes; None on timeout."""

@@ -217,6 +217,99 @@ def test_http_serving_end_to_end(tiny_msr3d, rng):
         fe.stream.submit(reqs[0])
 
 
+def test_engine_on_progress_snapshots(tiny_msr3d, rng):
+    """on_progress delivers non-decreasing prefixes of each request's
+    final tokens; the beam engine rejects it."""
+    reqs = _requests(rng, 4)
+    max_new = 8
+    direct = _direct_tokens(tiny_msr3d, reqs, max_new)
+    snaps = {i: [] for i in range(len(reqs))}
+
+    engine = _engine(tiny_msr3d, reqs, max_new, chunk_steps=2)
+    results = engine.run(
+        reqs, on_progress=lambda rid, toks: snaps[rid].append(np.array(toks))
+    )
+    for r in results:
+        np.testing.assert_array_equal(r.output_tokens, direct[r.id])
+        full = np.asarray(r.output_tokens)
+        prev = 0
+        for s in snaps[r.id]:
+            assert len(s) >= prev, "snapshot lengths must be non-decreasing"
+            prev = len(s)
+            # every snapshot is a prefix of the final emitted tokens
+            np.testing.assert_array_equal(s, full[: len(s)])
+        # with chunk_steps=2 and 8-token budget, running requests must
+        # have produced at least one partial snapshot
+    assert any(len(v) > 0 for v in snaps.values())
+
+    from msr3d_tpu.serving import ContinuousBeamBatchingServer
+
+    ii, _ = tiny_msr3d._encode_prompts(
+        tiny_msr3d.build_text_prompt(_batch_of(reqs)))
+    prompt_len = max(32, -(-ii.shape[1] // 32) * 32) + 1
+    beam = ContinuousBeamBatchingServer(
+        tiny_msr3d, num_slots=2, refill_group=1, chunk_steps=2,
+        max_new_tokens=4, prompt_len=prompt_len,
+    )
+    with pytest.raises(ValueError):
+        beam.run(reqs[:1], on_progress=lambda rid, toks: None)
+
+
+def _read_sse(resp):
+    """Parse data: events off an open urllib response until done."""
+    events = []
+    for raw in resp:
+        line = raw.decode().strip()
+        if line.startswith("data: "):
+            ev = json.loads(line[len("data: "):])
+            events.append(ev)
+            if ev.get("done"):
+                break
+    return events
+
+
+def test_http_streaming_sse(tiny_msr3d, rng):
+    reqs = _requests(rng, 2)
+    max_new = 8
+    direct = _direct_tokens(tiny_msr3d, reqs, max_new)
+    texts = tiny_msr3d.batch_detokenize(direct)
+    engine = _engine(tiny_msr3d, reqs, max_new, chunk_steps=2)
+
+    with ServingFrontend(engine, port=0) as fe:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{fe.port}/v1/generate",
+            data=json.dumps({
+                "prompt": reqs[0]["msr3d_prompt"],
+                "scene_b64": encode_scene_b64(reqs[0]),
+                "stream": True,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=180) as resp:
+            assert resp.headers["Content-Type"] == "text/event-stream"
+            events = _read_sse(resp)
+        assert events, "no SSE events received"
+        assert events[-1]["done"] is True
+        assert events[-1]["text"] == texts[0]
+        # at least one partial snapshot before the final event
+        partials = [e for e in events if not e.get("done")]
+        assert partials, "expected partial snapshots with chunk_steps=2"
+        # registration cleaned up (handler's finally runs after the
+        # client stops reading — poll briefly)
+        deadline = time.time() + 10
+        while fe._progress and time.time() < deadline:
+            time.sleep(0.05)
+        assert fe._progress == {}
+
+        # non-streaming requests still work on the same engine
+        status, payload = _post(fe.port, {
+            "prompt": reqs[1]["msr3d_prompt"],
+            "scene_b64": encode_scene_b64(reqs[1]),
+        })
+        assert status == 200
+        assert payload["text"] == texts[1]
+
+
 def test_http_per_request_budget(tiny_msr3d, rng):
     """max_new_tokens in the body caps that request's decode length."""
     reqs = _requests(rng, 2)
