@@ -29,14 +29,28 @@ def _torch_load(path):
 
 
 def load_llm_weights(variables: Dict[str, Any], cfg_path: str | Path, llm_cfg) -> None:
-    """Overlay HF Llama weights into variables['params']['llm'] in place."""
-    from msr3d_tpu.models.llm.convert import load_hf_checkpoint
+    """Overlay HF Llama weights into variables['params']['llm'] in place.
+
+    With a quantized serving config (``llm_cfg.quantize``) the model tree
+    holds ``kernel_q``/``kernel_scale`` leaves, so the checkpoint's fp
+    kernels are quantized to the matching layout first — without this the
+    overlay would silently skip every projection (random base weights)."""
+    from msr3d_tpu.models.llm.convert import (
+        load_hf_checkpoint,
+        quantize_llm_params,
+    )
 
     _, params = load_hf_checkpoint(cfg_path)
+    if getattr(llm_cfg, "quantize", False):
+        params = quantize_llm_params(params, llm_cfg)
     llm = variables["params"]["llm"]
     for key, sub in params.items():
         if key in llm:
             _overlay(llm[key], sub)
+    got = np.asarray(llm["embed_tokens"]["embedding"][:1, :4])
+    want = np.asarray(params["embed_tokens"]["embedding"][:1, :4])
+    assert np.allclose(got.astype(np.float32), want.astype(np.float32),
+                       atol=1e-2), "LLM overlay failed to land"
 
 
 def load_peft_lora(variables: Dict[str, Any], adapter_path: str | Path) -> None:

@@ -77,6 +77,59 @@ class TestLoadWeights:
         want = hf_model.get_input_embeddings().weight.detach().numpy()
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+    def test_hf_llm_overlay_quantized_config(self, tmp_path):
+        """A quantized serving config stores kernel_q/kernel_scale; the
+        loader must quantize the checkpoint's fp kernels to that layout
+        instead of silently skipping every projection."""
+        import json
+
+        import torch
+        from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+
+        hf_cfg = dict(
+            vocab_size=311, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, max_position_embeddings=128,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(3)
+        hf_model = LlamaForCausalLM(HFConfig(**hf_cfg))
+        ckpt = tmp_path / "vicuna_q"
+        ckpt.mkdir()
+        json.dump(hf_cfg, open(ckpt / "config.json", "w"))
+        torch.save(hf_model.state_dict(), ckpt / "pytorch_model.bin")
+
+        from msr3d_tpu.models.llm.convert import (
+            config_from_hf, load_hf_checkpoint, quantize_llm_params,
+        )
+        from msr3d_tpu.models.load_weights import load_llm_weights
+
+        cfg_q = config_from_hf(hf_cfg, quantize=True, quantize_bits=8)
+        _, fp_params = load_hf_checkpoint(ckpt)
+        expected = quantize_llm_params(fp_params, cfg_q)
+
+        def zeroed(tree):
+            if isinstance(tree, dict):
+                return {k: zeroed(v) for k, v in tree.items()}
+            return np.zeros_like(np.asarray(tree))
+
+        variables = {"params": {"llm": zeroed(expected)}}
+        load_llm_weights(variables, ckpt, cfg_q)
+        got = variables["params"]["llm"]
+        q = np.asarray(got["layer_0"]["attn"]["q_proj"]["kernel_q"])
+        s = np.asarray(got["layer_0"]["attn"]["q_proj"]["kernel_scale"])
+        np.testing.assert_array_equal(
+            q, expected["layer_0"]["attn"]["q_proj"]["kernel_q"]
+        )
+        np.testing.assert_allclose(
+            s, expected["layer_0"]["attn"]["q_proj"]["kernel_scale"]
+        )
+        assert np.abs(q).max() > 0, "quantized kernels must be non-zero"
+        mlp = np.asarray(got["layer_1"]["mlp"]["gate_proj"]["kernel_q"])
+        np.testing.assert_array_equal(
+            mlp, expected["layer_1"]["mlp"]["gate_proj"]["kernel_q"]
+        )
+
     def test_peft_lora_overlay(self, tmp_path, model_and_batch):
         import torch
 
