@@ -8,8 +8,10 @@ serving configuration). Extra fields carry the beam-5 eval-decode
 throughput (the reference's accuracy-eval settings: 5 beams, repetition
 penalty 3.0) and the scene-encode latency.
 
-``vs_baseline`` compares headline QA/s against the best prior round
-(BENCH_r*.json on disk, falling back to the round-1 record 11.62).
+``vs_baseline`` compares headline QA/s against the FIXED round-1 record
+(11.62 QA/s) so its meaning is stable across rounds — a cumulative
+speedup, not a tunnel-noise delta vs last round. The best prior round is
+reported separately as ``prior_round_qa``.
 The reference repo publishes no numbers (SURVEY.md §6); its A100 config
 remains unmeasured until real weights/data are mounted.
 """
@@ -129,7 +131,7 @@ def main() -> None:
         "metric": "qa_pairs_per_sec_per_chip",
         "value": greedy["value"],
         "unit": "QA pairs/s/chip",
-        "vs_baseline": round(greedy["value"] / prior, 4) if prior else 1.0,
+        "vs_baseline": round(greedy["value"] / ROUND1_RECORD_QA, 4),
         "beam5_qa_per_sec": beam["value"],
         "scene_encode_ms_per_scene": scene["scene_encode_ms_per_scene"],
         "batch": greedy["batch"],
