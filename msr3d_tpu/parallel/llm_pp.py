@@ -38,7 +38,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from msr3d_tpu.models.llm.llama import FrozenHead, LlamaBlock, LlamaConfig, RMSNorm
-from msr3d_tpu.parallel.mesh import DATA_AXIS, PIPELINE_AXIS
+from msr3d_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, PIPELINE_AXIS
 from msr3d_tpu.parallel.pipeline import pipeline_apply
 
 __all__ = [
@@ -148,6 +148,7 @@ def llm_logits_from_blocks(
     mesh: Optional[Mesh] = None,
     microbatches: int = 1,
     data_parallel: bool = False,
+    tensor_parallel: bool = False,
     remat: bool = False,
     remat_policy: str = "full",
     answer_start: Optional[int] = None,
@@ -197,6 +198,9 @@ def llm_logits_from_blocks(
                 attn_bias.reshape((m, mb) + attn_bias.shape[1:]),
             ),
             data_parallel=data_parallel,
+            auto_axes=(
+                frozenset({MODEL_AXIS}) if tensor_parallel else frozenset()
+            ),
         )
         x = hidden.reshape(b, t, h)
     else:
@@ -224,6 +228,7 @@ def make_pp_apply_fn(
     *,
     microbatches: int = 1,
     data_parallel: bool = False,
+    tensor_parallel: bool = False,
     remat: bool = False,
 ):
     """Loss function running the FULL MSR3DNetwork with its LLM blocks
@@ -252,7 +257,8 @@ def make_pp_apply_fn(
         logits = llm_logits_from_blocks(
             cfg, llm_params, full_embeds, full_attn,
             mesh=mesh, microbatches=microbatches,
-            data_parallel=data_parallel, remat=remat,
+            data_parallel=data_parallel,
+            tensor_parallel=tensor_parallel, remat=remat,
             answer_start=answer_start,
         ).astype(jnp.float32)
         return sequence_ce_loss_windowed(logits, targets, answer_start).mean()
@@ -260,14 +266,34 @@ def make_pp_apply_fn(
     return apply_fn
 
 
-def pp_state_shardings(mesh: Mesh, variables: Any) -> Any:
+def pp_state_shardings(
+    mesh: Mesh, variables: Any, *, tensor_parallel: bool = False
+) -> Any:
     """NamedSharding tree for stacked-layout variables: block leaves'
     leading (L,) axis sharded over pp (stage-contiguous), all else
-    replicated (compose with tp rules separately if needed)."""
+    replicated.
+
+    ``tensor_parallel=True`` composes the megatron tp rules onto the
+    stacked block leaves (the tp spec shifted one dim right of the
+    leading layer axis): q/k/v/gate/up out-sharded, o/down in-sharded,
+    lora following the base where it matters. Non-block llm params
+    (embed/norm/head, <4%% of weights, frozen) stay replicated. Leaves
+    whose sharded dim does not divide the tp axis fall back to
+    pp-only."""
+    from msr3d_tpu.parallel.sharding import _divisible, llama_param_spec
+
+    use_tp = tensor_parallel and mesh.shape.get(MODEL_AXIS, 1) > 1
 
     def spec_for(path, leaf):
-        if "'blocks'" in jax.tree_util.keystr(path):
-            return NamedSharding(mesh, P(PIPELINE_AXIS))
-        return NamedSharding(mesh, P())
+        pstr = jax.tree_util.keystr(path)
+        if "'blocks'" not in pstr:
+            return NamedSharding(mesh, P())
+        if use_tp:
+            base = llama_param_spec(pstr)
+            if base != P():
+                spec = P(PIPELINE_AXIS, *base)
+                if leaf.ndim >= len(spec) and _divisible(leaf, spec, mesh):
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P(PIPELINE_AXIS))
 
     return jax.tree_util.tree_map_with_path(spec_for, variables)

@@ -59,6 +59,7 @@ def pipeline_apply(
     *,
     extras: Any = None,  # pytree of (M, mb, ...) per-microbatch side inputs
     data_parallel: bool = False,
+    auto_axes: frozenset = frozenset(),
 ) -> jax.Array:
     """Run ``stage_fn`` S times over each microbatch, pipelined.
 
@@ -71,6 +72,14 @@ def pipeline_apply(
     ``stage_fn`` takes ``(params, x)`` when ``extras`` is None, else
     ``(params, x, extra)`` — and must return an array of ``x``'s exact
     shape/dtype. Returns outputs shaped like ``microbatches``.
+
+    ``auto_axes``: mesh axes left to GSPMD *inside* the per-device body
+    (partial-manual shard_map). Passing ``{'tp'}`` with stacked params
+    additionally megatron-sharded over ``tp`` runs each pipeline stage
+    tensor-parallel — the stage's dots partition over tp and XLA inserts
+    the reductions, composing dp × tp × pp in one program. Requires the
+    call to sit under ``jit`` (partial-manual shard_map with committed
+    auto-sharded operands trips an eager-mode path in jax 0.9).
     """
     n_stages = mesh.shape[PIPELINE_AXIS]
     for path, leaf in jax.tree_util.tree_leaves_with_path(stacked_params):
@@ -132,10 +141,16 @@ def pipeline_apply(
         outs = jnp.where(s == n_stages - 1, outs, jnp.zeros_like(outs))
         return lax.psum(outs, PIPELINE_AXIS)
 
+    kw = {}
+    if auto_axes:
+        unknown = set(auto_axes) - set(mesh.axis_names)
+        assert not unknown, f"auto_axes not in mesh: {unknown}"
+        kw["axis_names"] = frozenset(mesh.axis_names) - frozenset(auto_axes)
     return shard_map(
         per_device,
         mesh=mesh,
         in_specs=(param_spec, batch_spec, extras_spec),
         out_specs=batch_spec,
         check_vma=False,
+        **kw,
     )(stacked_params, microbatches, extras)

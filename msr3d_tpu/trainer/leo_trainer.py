@@ -177,7 +177,8 @@ class LeoTrainer:
         self._eval_params_stale = False
         train_params = self.model.params
         if self._stacked and train_params is not None:
-            assert self.tp == 1, "tp × pp composition not supported yet"
+            # tp > 1 composes: pp manual (GPipe ring), tp auto (GSPMD
+            # shards each stage's dots from the param shardings)
             from msr3d_tpu.parallel.llm_pp import (
                 pp_state_shardings,
                 stack_llm_blocks,
@@ -185,7 +186,10 @@ class LeoTrainer:
 
             train_params = jax.jit(stack_llm_blocks)(train_params)
             train_params = jax.device_put(
-                train_params, pp_state_shardings(self.mesh, train_params)
+                train_params,
+                pp_state_shardings(
+                    self.mesh, train_params, tensor_parallel=self.tp > 1
+                ),
             )
         elif self.tp > 1 and train_params is not None:
             # megatron-style tensor-parallel training straight from config
@@ -216,6 +220,7 @@ class LeoTrainer:
                 self.model.network, self.mesh,
                 microbatches=self.pp_microbatches,
                 data_parallel=dp > 1,
+                tensor_parallel=self.tp > 1,
                 remat=self.model.cfg.llm.remat,
             )
         else:

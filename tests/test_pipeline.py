@@ -278,6 +278,18 @@ def test_trainer_config_driven_pp_and_sp(tmp_path, cpu_devices):
     sp_losses = run({"sp": 4}, make_model(sp_axis="sp", sp_data_axis="dp"))[1]
     np.testing.assert_allclose(sp_losses, base_losses, rtol=1e-5)
 
+    # tp=2 × pp=2 (dp=2): 3-axis composition straight from config —
+    # pp manual ring, tp auto inside each stage; same losses
+    tp_pp_trainer, tp_pp_losses = run(
+        {"tp": 2, "pp": 2, "microbatches": 1}, make_model()
+    )
+    np.testing.assert_allclose(tp_pp_losses, base_losses, rtol=1e-5)
+    q = tp_pp_trainer.state.params["params"]["llm"]["blocks"]["attn"][
+        "q_proj"]["kernel"]
+    assert q.sharding.spec == jax.sharding.PartitionSpec(
+        "pp", None, "tp"
+    ), q.sharding.spec
+
 
 @pytest.mark.slow
 def test_full_network_pp_train_step_matches(rng, cpu_devices):
@@ -383,5 +395,120 @@ def test_full_network_pp_train_step_matches(rng, cpu_devices):
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
         ),
         new_pp_vars,
+        ref_vars,
+    )
+
+
+@pytest.mark.slow
+def test_full_network_dp_tp_pp_train_step_matches(rng, cpu_devices):
+    """3-axis composition: the FULL MSR3DNetwork train step on a
+    dp=2 × tp=2 × pp=2 mesh — pp manual (GPipe shard_map ring), tp left
+    to GSPMD inside each stage (partial-manual shard_map), dp on the
+    batch — must match the sequential single-device apply."""
+    from msr3d_tpu.config import config_from_dict
+    from msr3d_tpu.optim.build import build_optim
+    from msr3d_tpu.parallel.llm_pp import (
+        make_pp_apply_fn,
+        pp_state_shardings,
+        stack_llm_blocks,
+        unstack_llm_blocks,
+    )
+    from msr3d_tpu.trainer.train_state import TrainState, make_train_step
+    import __graft_entry__ as ge
+
+    from msr3d_tpu.models.llm.llama import LlamaConfig
+    from msr3d_tpu.models.msr3d import MSR3DNetwork, MSR3DNetworkConfig
+    from msr3d_tpu.models.ose3d_situation import OSE3DConfig, SpatialEncoderConfig
+
+    prompter = OSE3DConfig(
+        hidden_size=32,
+        spatial_encoder=SpatialEncoderConfig(
+            num_attention_heads=4, dim_feedforward=64, dropout=0.0, num_layers=1
+        ),
+        sa_n_points=(8, 4, None),
+        sa_n_samples=(8, 8, None),
+        sa_radii=(0.4, 0.8, None),
+        sa_mlps=((3, 8, 8, 16), (16, 16, 16, 32), (32, 32, 32, 64)),
+    )
+    llm = LlamaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, lora_rank=4, dtype=jnp.float32,
+    )
+    network = MSR3DNetwork(MSR3DNetworkConfig(
+        prompter=prompter, llm=llm, backbone_name="convnext_test",
+        scene_token_id=6, img_token_id=4,
+    ))
+    nrng = np.random.default_rng(0)
+    batch_np = ge._make_batch(nrng, b=4, n_obj=6, n_pts=32, t_in=24, t_out=8,
+                              vocab=512)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    variables = network.init(jax.random.key(0), **batch)
+
+    solver = config_from_dict(
+        {
+            "solver": {
+                "grad_norm": 5.0,
+                "optim": {"name": "AdamW", "args": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 0.0}},
+                "sched": {"name": "warmup_cosine_instructblip", "args": {"warmup_steps": 2}},
+            }
+        }
+    )
+
+    def trainable_mask(vs):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: "lora" in jax.tree_util.keystr(p)
+            or "llm_proj" in jax.tree_util.keystr(p),
+            vs["params"],
+        )
+
+    def apply_ref(vars_, batch_, rng_):
+        out = network.apply(vars_, **batch_, deterministic=False,
+                            rngs={"dropout": rng_})
+        return out["loss"].mean()
+
+    mask_ref = trainable_mask(variables)
+    opt_ref, _ = build_optim(solver, total_steps=10, trainable_mask=mask_ref)
+    state_ref = TrainState.create(variables, opt_ref)
+    step_ref = make_train_step(apply_ref, opt_ref, accum_steps=1, donate=False)
+    new_ref, metrics_ref = step_ref(state_ref, batch, jax.random.key(1))
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2, pp=2), devices=cpu_devices)
+    stacked = stack_llm_blocks(variables)
+    mask_3x = trainable_mask(stacked)
+    opt_3x, _ = build_optim(solver, total_steps=10, trainable_mask=mask_3x)
+    apply_3x = make_pp_apply_fn(network, mesh, microbatches=2,
+                                data_parallel=True, tensor_parallel=True)
+    with mesh:
+        shardings = pp_state_shardings(mesh, stacked, tensor_parallel=True)
+        # tp must actually land on the block kernels (not silently fall
+        # back): q_proj kernel (L, H, H_out) sharded (pp, -, tp)
+        q_spec = shardings["params"]["llm"]["blocks"]["attn"]["q_proj"][
+            "kernel"
+        ].spec
+        assert q_spec == jax.sharding.PartitionSpec("pp", None, "tp"), q_spec
+        o_spec = shardings["params"]["llm"]["blocks"]["attn"]["o_proj"][
+            "kernel"
+        ].spec
+        assert o_spec == jax.sharding.PartitionSpec("pp", "tp", None), o_spec
+        stacked = jax.device_put(stacked, shardings)
+        state_3x = TrainState.create(stacked, opt_3x)
+        step_3x = make_train_step(apply_3x, opt_3x, accum_steps=1, donate=False)
+        new_3x, metrics_3x = step_3x(state_3x, batch, jax.random.key(1))
+        new_3x_vars = jax.device_get(unstack_llm_blocks(new_3x.params))
+
+    np.testing.assert_allclose(
+        float(metrics_3x["loss"]), float(metrics_ref["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics_3x["grad_norm"]), float(metrics_ref["grad_norm"]),
+        rtol=1e-4,
+    )
+    ref_vars = jax.device_get(new_ref.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        ),
+        new_3x_vars,
         ref_vars,
     )
