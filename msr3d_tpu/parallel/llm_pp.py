@@ -283,6 +283,7 @@ def pp_state_shardings(
     from msr3d_tpu.parallel.sharding import _divisible, llama_param_spec
 
     use_tp = tensor_parallel and mesh.shape.get(MODEL_AXIS, 1) > 1
+    fallbacks: list = []
 
     def spec_for(path, leaf):
         pstr = jax.tree_util.keystr(path)
@@ -294,6 +295,21 @@ def pp_state_shardings(
                 spec = P(PIPELINE_AXIS, *base)
                 if leaf.ndim >= len(spec) and _divisible(leaf, spec, mesh):
                     return NamedSharding(mesh, spec)
+                fallbacks.append(
+                    f"{pstr} shape={tuple(getattr(leaf, 'shape', ()))} "
+                    f"wanted={spec}"
+                )
         return NamedSharding(mesh, P(PIPELINE_AXIS))
 
-    return jax.tree_util.tree_map_with_path(spec_for, variables)
+    out = jax.tree_util.tree_map_with_path(spec_for, variables)
+    if fallbacks:
+        import logging
+
+        logging.getLogger("msr3d_tpu.sharding").warning(
+            "pp_state_shardings: %d block leaves fell back to pp-only "
+            "(tp dim not divisible) — the tp memory plan does not hold "
+            "for them: %s",
+            len(fallbacks),
+            "; ".join(fallbacks[:8]) + ("; ..." if len(fallbacks) > 8 else ""),
+        )
+    return out

@@ -696,6 +696,7 @@ class ContinuousBatchingServer:
         budgets: Optional[Iterable[int]] = None,
         on_result=None,
         on_progress=None,
+        progress_gate=None,
     ) -> List[Result]:
         """Serve all requests; returns results in request order.
 
@@ -725,7 +726,11 @@ class ContinuousBatchingServer:
         snapshot, not a delta; scheduling may call it with the same
         prefix twice under lookahead). Greedy engine only — the beam
         engine finalizes a slot's hypothesis at the end, so there is no
-        meaningful running prefix to stream."""
+        meaningful running prefix to stream. ``progress_gate``, a zero-
+        arg callable evaluated at each chunk dispatch, suppresses the
+        per-chunk count copy + token fetch while False — so a server
+        that registered ``on_progress`` up front pays nothing until a
+        client actually asks for streaming."""
         import jax.numpy as jnp
 
         if on_progress is not None and not self.supports_progress:
@@ -795,7 +800,7 @@ class ContinuousBatchingServer:
             steps, fin_dev, gen_dev, epochs, cnt_dev = inflight.popleft()
             self.steps_run += int(steps)
             finished = np.asarray(fin_dev)
-            if on_progress is not None:
+            if cnt_dev is not None:
                 gen_all = np.asarray(gen_dev)
                 cnt = np.asarray(cnt_dev)
                 for s, rid in list(slot_rid.items()):
@@ -883,11 +888,13 @@ class ContinuousBatchingServer:
                 # flags travel as explicit device copies: the state
                 # buffers themselves get donated into the NEXT chunk, and
                 # fetching a donated buffer is an error by design
+                want_progress = on_progress is not None and (
+                    progress_gate is None or progress_gate()
+                )
                 inflight.append(
                     (steps, jnp.copy(state["finished"]),
                      jnp.copy(state["generated"]), tuple(slot_epoch),
-                     jnp.copy(state["cnt"]) if on_progress is not None
-                     else None)
+                     jnp.copy(state["cnt"]) if want_progress else None)
                 )
 
             # fetch past-chunk flags; keep at most `lookahead` chunks

@@ -84,6 +84,37 @@ class RequestError(ValueError):
     """Malformed client request (maps to HTTP 400)."""
 
 
+def _check_scene_shapes(sample: Dict[str, Any]) -> None:
+    """Internal-consistency shape validation: a malformed request must be
+    a 400, never an exception inside the (shared) engine thread — one bad
+    request would otherwise kill the server for every client."""
+    fts = sample["obj_fts"]
+    if fts.ndim != 3 or fts.shape[-1] != 6:
+        raise RequestError(f"obj_fts must be (O, P, 6), got {fts.shape}")
+    n_obj = fts.shape[0]
+    if sample["obj_masks"].shape != (n_obj,):
+        raise RequestError(
+            f"obj_masks must be ({n_obj},), got {sample['obj_masks'].shape}"
+        )
+    if sample["obj_locs"].shape != (n_obj, 6):
+        raise RequestError(
+            f"obj_locs must be ({n_obj}, 6), got {sample['obj_locs'].shape}"
+        )
+    if sample["anchor_locs"].shape != (3,):
+        raise RequestError(
+            f"anchor_locs must be (3,), got {sample['anchor_locs'].shape}"
+        )
+    if sample["anchor_orientation"].shape != (4,):
+        raise RequestError(
+            "anchor_orientation must be (4,), got "
+            f"{sample['anchor_orientation'].shape}"
+        )
+    if "msr3d_imgs" in sample and sample["msr3d_imgs"].ndim != 4:
+        raise RequestError(
+            f"msr3d_imgs must be (N, H, W, C), got {sample['msr3d_imgs'].shape}"
+        )
+
+
 def parse_generate_request(body: Dict[str, Any]) -> Tuple[Dict[str, Any], Optional[int]]:
     """JSON body -> (engine sample dict, per-request budget or None)."""
     if not isinstance(body, dict):
@@ -111,6 +142,7 @@ def parse_generate_request(body: Dict[str, Any]) -> Tuple[Dict[str, Any], Option
     missing = [k for k in _REQUIRED if k not in sample]
     if missing:
         raise RequestError(f"missing scene arrays: {missing}")
+    _check_scene_shapes(sample)
 
     budget = body.get("max_new_tokens")
     if budget is not None:
@@ -156,6 +188,7 @@ class ServingFrontend:
         self._progress: Dict[int, "queue_mod.Queue"] = {}
         self._served = 0
         self._engine_error: Optional[BaseException] = None
+        self._scene_shapes = None  # compiled contract, set by request #1
 
         frontend = self
 
@@ -182,13 +215,23 @@ class ServingFrontend:
                     self._reply(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
+                # read the body FIRST: replying without consuming it
+                # desyncs HTTP/1.1 keep-alive (leftover bytes parse as
+                # the connection's next request line)
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    raw = self.rfile.read(n)
+                except Exception:
+                    self.close_connection = True
+                    self._reply(400, {"error": "unreadable body"})
+                    return
                 if self.path != "/v1/generate":
                     self._reply(404, {"error": f"no route {self.path}"})
                     return
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
-                    body = json.loads(self.rfile.read(n) or b"{}")
+                    body = json.loads(raw or b"{}")
                     sample, budget = parse_generate_request(body)
+                    frontend.validate_for_engine(sample)
                 except RequestError as exc:
                     self._reply(400, {"error": str(exc)})
                     return
@@ -212,7 +255,11 @@ class ServingFrontend:
                 if stream_mode:
                     self._stream_events(rid)
                     return
-                res = frontend.wait(rid, frontend.request_timeout)
+                try:
+                    res = frontend.wait(rid, frontend.request_timeout)
+                except RuntimeError as exc:  # engine died mid-request
+                    self._reply(503, {"error": str(exc), "id": rid})
+                    return
                 if res is None:
                     self._reply(
                         504, {"error": "generation timed out", "id": rid}
@@ -304,6 +351,9 @@ class ServingFrontend:
             kw = {}
             if getattr(self.engine, "supports_progress", False):
                 kw["on_progress"] = self._on_progress
+                # per-chunk count-copy + token fetch only while some
+                # client actually registered a streaming request
+                kw["progress_gate"] = lambda: bool(self._progress)
             self.engine.run(self.stream, on_result=self._on_result, **kw)
         except BaseException as exc:  # surface to waiting handlers
             self._engine_error = exc
@@ -317,10 +367,13 @@ class ServingFrontend:
 
     def _on_result(self, res: Result) -> None:
         with self._lock:
-            self._results[res.id] = res
             self._served += 1
             ev = self._events.get(res.id)
             q = self._progress.get(res.id)
+            if ev is not None:
+                # keep the result only while a waiter exists — timed-out
+                # or disconnected requests must not leak Results forever
+                self._results[res.id] = res
         if q is not None:
             q.put(("done", res))
         if ev is not None:
@@ -334,6 +387,44 @@ class ServingFrontend:
             q.put(("tokens", np.array(tokens, copy=True)))
 
     # -- producer side --------------------------------------------------
+
+    def validate_for_engine(self, sample: Dict[str, Any]) -> None:
+        """Checks against the engine's COMPILED contract, so a bad
+        request is a 400 on its own connection — never an exception on
+        the shared engine thread (which would 503 every later client):
+
+        - the expanded prompt must fit the compiled prompt bucket;
+        - scene array shapes must match the serving shapes (pinned by
+          the first accepted request — the engine's programs are
+          compiled for one (O, P) geometry).
+
+        Costs one extra host-side tokenize per request (~ms)."""
+        from .serving import _collate
+
+        model = self.engine.model
+        try:
+            prompts = model.build_text_prompt(_collate([sample]))
+            ids, _ = model._encode_prompts(prompts)
+        except Exception as exc:
+            raise RequestError(f"prompt build failed: {exc}")
+        width = self.engine.prompt_len - 1  # trailing bos
+        if ids.shape[1] > width:
+            raise RequestError(
+                f"prompt expands to {ids.shape[1]} tokens; the engine's "
+                f"compiled bucket allows {width}"
+            )
+        shapes = tuple(
+            (k, tuple(np.asarray(sample[k]).shape))
+            for k in sorted(k for k in sample if k in _SCENE_KEYS)
+        )
+        with self._lock:
+            if self._scene_shapes is None:
+                self._scene_shapes = shapes
+            elif shapes != self._scene_shapes:
+                raise RequestError(
+                    f"scene shapes {dict(shapes)} do not match this "
+                    f"server's shapes {dict(self._scene_shapes)}"
+                )
 
     def submit(
         self,
@@ -397,8 +488,13 @@ class ServingFrontend:
         self._http_thread.start()
         return self
 
-    def close(self, timeout: float = 30.0) -> None:
-        """Stop taking requests, drain in-flight work, stop HTTP."""
+    def close(self, timeout: Optional[float] = 30.0) -> None:
+        """Stop taking requests, drain in-flight work, stop HTTP.
+
+        ``timeout=None`` waits for the engine to drain COMPLETELY —
+        deployments that promise every accepted request a response
+        (serve.py's SIGTERM path) must use it; a finite timeout can
+        abandon a long backlog when the process exits."""
         self.stream.close()
         if self._engine_thread.is_alive():
             self._engine_thread.join(timeout)

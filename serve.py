@@ -184,7 +184,11 @@ def main(argv=None) -> int:
     signal.signal(signal.SIGINT, _signal)
     signal.signal(signal.SIGTERM, _signal)
     stop.wait()
-    frontend.close()
+    pending = frontend.stream.pending
+    if pending:
+        print(f"[serve] draining {pending} queued requests ...", flush=True)
+    frontend.close(timeout=None)  # every accepted request gets an answer
+    print("[serve] drained, bye", flush=True)
     return 0
 
 

@@ -324,3 +324,128 @@ def test_http_per_request_budget(tiny_msr3d, rng):
         toks = np.asarray(payload["tokens"])
         # budget 3: at most 3 non-pad tokens before the eos/pad tail
         assert (toks != tiny_msr3d.tokenizer.eos_id).sum() <= 3
+
+
+def test_engine_progress_gate_suppresses_callbacks(tiny_msr3d, rng):
+    """progress_gate=False must suppress every on_progress call (and the
+    per-chunk count copies) — the zero-cost-when-unused contract."""
+    reqs = _requests(rng, 3)
+    calls = []
+    engine = _engine(tiny_msr3d, reqs, 6, chunk_steps=2)
+    results = engine.run(
+        reqs,
+        on_progress=lambda rid, toks: calls.append(rid),
+        progress_gate=lambda: False,
+    )
+    assert len(results) == 3
+    assert calls == []
+
+
+def test_http_bad_requests_do_not_kill_engine(tiny_msr3d, rng):
+    """An oversize prompt or mismatched scene shapes must be a 400 on
+    that connection — the engine thread must keep serving others."""
+    reqs = _requests(rng, 3)
+    engine = _engine(tiny_msr3d, reqs, 6)
+    with ServingFrontend(engine, port=0) as fe:
+        # request 1 pins the serving scene shapes
+        status, payload = _post(fe.port, {
+            "prompt": reqs[0]["msr3d_prompt"],
+            "scene_b64": encode_scene_b64(reqs[0]),
+        })
+        assert status == 200
+
+        # prompt bigger than the compiled bucket -> 400
+        try:
+            _post(fe.port, {
+                "prompt": reqs[1]["msr3d_prompt"] + "x" * 4096,
+                "scene_b64": encode_scene_b64(reqs[1]),
+            })
+            assert False, "expected 400"
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 400
+            assert "bucket" in json.loads(exc.read())["error"]
+
+        # scene geometry different from the pinned shapes -> 400
+        small = dict(reqs[1])
+        small["obj_fts"] = np.asarray(small["obj_fts"])[:1]
+        small["obj_masks"] = np.asarray(small["obj_masks"])[:1]
+        small["obj_locs"] = np.asarray(small["obj_locs"])[:1]
+        try:
+            _post(fe.port, {
+                "prompt": small["msr3d_prompt"],
+                "scene_b64": encode_scene_b64(small),
+            })
+            assert False, "expected 400"
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 400
+            assert "shapes" in json.loads(exc.read())["error"]
+
+        # internally inconsistent arrays -> 400 at parse time
+        broken = dict(reqs[1])
+        broken["obj_masks"] = np.ones((7,), bool)
+        try:
+            _post(fe.port, {
+                "prompt": broken["msr3d_prompt"],
+                "scene_b64": encode_scene_b64(broken),
+            })
+            assert False, "expected 400"
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 400
+
+        # the engine survived all of it and still serves
+        status, payload = _post(fe.port, {
+            "prompt": reqs[2]["msr3d_prompt"],
+            "scene_b64": encode_scene_b64(reqs[2]),
+        })
+        assert status == 200
+        assert fe._engine_error is None
+
+
+def test_http_timed_out_result_not_leaked(tiny_msr3d, rng):
+    """A request whose waiter gave up must not leave its Result in the
+    frontend maps once the engine finishes it."""
+    reqs = _requests(rng, 1)
+    engine = _engine(tiny_msr3d, reqs, 6)
+    fe = ServingFrontend(engine, port=0)
+    fe.start()
+    try:
+        rid = fe.submit(reqs[0])
+        assert fe.wait(rid, timeout=0.0) is None  # give up immediately
+        deadline = time.time() + 120
+        while fe._served < 1 and time.time() < deadline:
+            time.sleep(0.05)
+        assert fe._served == 1
+        time.sleep(0.1)
+        with fe._lock:
+            assert rid not in fe._results  # orphan dropped
+            assert rid not in fe._events
+    finally:
+        fe.close()
+
+
+def test_http_keepalive_post_to_unknown_route(tiny_msr3d, rng):
+    """A POST with a body to a wrong path must drain the body before the
+    404 so the keep-alive connection stays usable for the next request."""
+    import http.client
+
+    reqs = _requests(rng, 1)
+    engine = _engine(tiny_msr3d, reqs, 6)
+    with ServingFrontend(engine, port=0) as fe:
+        conn = http.client.HTTPConnection("127.0.0.1", fe.port, timeout=120)
+        big_body = json.dumps({
+            "prompt": reqs[0]["msr3d_prompt"],
+            "scene_b64": encode_scene_b64(reqs[0]),
+        })
+        conn.request("POST", "/wrong", body=big_body,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        # same connection, correct route: must parse cleanly
+        conn.request("POST", "/v1/generate", body=big_body,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        payload = json.loads(resp.read())
+        assert isinstance(payload["text"], str)
+        conn.close()
