@@ -71,6 +71,12 @@ def parse_args(argv=None):
         "penalty-free greedy serving / the spec-decode control arm)",
     )
     parser.add_argument(
+        "--group", type=int, default=0,
+        help="grouped serving: Q questions share ONE scene's prefix "
+        "prefill (generate_scene_group). --batch must be divisible by Q; "
+        "each iter runs batch/Q scene groups. 0 = plain per-question path",
+    )
+    parser.add_argument(
         "--pipeline-depth", type=int, default=1,
         help="outstanding requests before fetching (0 = fully serial); "
         "deeper pipelines hide the tunnel dispatch+fetch latency",
@@ -159,6 +165,24 @@ def make_data(args, B, seed):
     }
 
 
+def make_group_data(args, B, Q, seed):
+    """B//Q scenes × Q questions each, sharing per-scene preamble+scene
+    prefixes (the generate_scene_group contract: MSQA-style
+    many-questions-per-scene). Total decode batch stays B."""
+    g = B // Q
+    d = make_data(args, g, seed)
+    prompt0 = d["msr3d_prompt"][0]
+    head = prompt0[: prompt0.index("USER:")]
+    d["msr3d_prompt"] = [
+        [
+            f"{head}USER: What is behind the chair number {i}? ASSISTANT:"
+            for i in range(Q)
+        ]
+        for _ in range(g)
+    ]
+    return d
+
+
 def run(args) -> dict:
     """Run the benchmark, returning the record dict (importable by bench.py)."""
 
@@ -168,6 +192,8 @@ def run(args) -> dict:
     tok = model.tokenizer
 
     B = args.batch
+    if args.group:
+        assert B % args.group == 0, "--batch must be divisible by --group"
 
     data = make_data(args, B, 0)
     prompts = model.build_text_prompt(data)
@@ -183,7 +209,15 @@ def run(args) -> dict:
     # compile + warm
     t0 = time.time()
     use_beam = args.beams > 1
-    warm = model.generate(dict(data), use_beam=use_beam, max_new_tokens=args.new_tokens)
+    if args.group:
+        warm = model.generate_scene_group(
+            make_group_data(args, B, args.group, 0),
+            max_new_tokens=args.new_tokens,
+        )
+    else:
+        warm = model.generate(
+            dict(data), use_beam=use_beam, max_new_tokens=args.new_tokens
+        )
     compile_s = time.time() - t0
     # answer-length census (meaningful when --eos-bias induces EOS)
     toks = np.asarray(warm["output_tokens"])
@@ -202,22 +236,32 @@ def run(args) -> dict:
     # with depth-1 request pipelining (dispatch request i+1 before
     # fetching request i's tokens — the standard serving pattern; the
     # tunnel's per-fetch flush otherwise serializes into the step time).
-    datas = [dict(make_data(args, B, i + 1)) for i in range(args.iters)]
+    if args.group:
+        # each iter = ONE program: B/Q scene groups × Q questions,
+        # full-batch decode with per-scene shared prefixes
+        datas = [
+            make_group_data(args, B, args.group, i + 1)
+            for i in range(args.iters)
+        ]
+        dispatch = lambda d: model.generate_scene_group_async(
+            d, max_new_tokens=args.new_tokens
+        )
+    else:
+        datas = [dict(make_data(args, B, i + 1)) for i in range(args.iters)]
+        dispatch = lambda d: model.generate_async(
+            d, use_beam=use_beam, max_new_tokens=args.new_tokens
+        )
     depth = max(0, args.pipeline_depth)
     t0 = time.perf_counter()
     if depth == 0:
         for d in datas:
-            model.generate(d, use_beam=use_beam, max_new_tokens=args.new_tokens)
+            dispatch(d)()
     else:
         from collections import deque
 
         pending = deque()
         for d in datas:
-            pending.append(
-                model.generate_async(
-                    d, use_beam=use_beam, max_new_tokens=args.new_tokens
-                )
-            )
+            pending.append(dispatch(d))
             if len(pending) > depth:
                 pending.popleft()()
         while pending:
@@ -244,6 +288,7 @@ def run(args) -> dict:
                 + ("-flash" if getattr(args, "flash", False) else ""),
                 "step_ms": round(dt * 1000, 1),
                 "pipeline_depth": depth,
+                "group": args.group,
                 "eos_bias": getattr(args, "eos_bias", 0.0),
                 "spec_k": getattr(args, "spec_k", 0),
                 # per-row emitted tokens per verify forward (>1 = spec

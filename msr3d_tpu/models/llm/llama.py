@@ -846,6 +846,7 @@ class LlamaModel(nn.Module):
         gen_kv: Dict[str, jax.Array],  # k/v: (L, B·K, S_g, hkv, D)
         gen_index,  # scalar write offset into the generated segment
         gen_mask: jax.Array,  # (B·K, S_g)
+        window_valid: Optional[jax.Array] = None,  # (B·K, T) bool
     ):
         """One decode step over a split cache: shared prompt segment
         (batch B, never copied per beam) + per-beam generated segment.
@@ -854,7 +855,14 @@ class LlamaModel(nn.Module):
         T == 1 is the plain decode loops; T > 1 is the speculative verify
         window (``gen_index`` may then be a (B,) vector — rows at
         different depths — and query t additionally sees this call's own
-        generated-segment writes causally from ``gen_index``)."""
+        generated-segment writes causally from ``gen_index``).
+
+        ``window_valid`` marks which window positions hold REAL tokens —
+        the grouped-prefill path (a left-padded per-question suffix run as
+        one T>1 window over a shared scene prefix) gates in-window key
+        visibility with it, so pad slots written by this call are never
+        attended. ``None`` keeps the speculative contract (every window
+        slot ≤ the query position is visible)."""
         cfg = self.cfg
         bk, t, _ = inputs_embeds.shape
         b = next(iter(prompt_kv.values())).shape[1]
@@ -872,7 +880,17 @@ class LlamaModel(nn.Module):
             )
             s_idx = jnp.arange(s_g)[None, None, :]
             tq = jnp.arange(t)[None, :, None]
-            valid_g = valid_g | ((s_idx >= start) & (s_idx <= start + tq))
+            win = (s_idx >= start) & (s_idx <= start + tq)
+            if window_valid is not None:
+                # key slot start+j carries window token j — pad tokens
+                # (window_valid[b, j] == 0) stay invisible even in-window
+                j = jnp.clip(s_idx - start, 0, t - 1)  # (B|1, 1, S_g)
+                j = jnp.broadcast_to(j, (bk, 1, s_g))
+                wv = jnp.take_along_axis(
+                    window_valid.astype(bool)[:, None, :], j, axis=2
+                )
+                win = win & wv
+            valid_g = valid_g | win
         bias_g = jnp.where(valid_g[:, None], 0.0, -1e30).astype(jnp.float32)
         attn_bias = jnp.concatenate(
             [jnp.broadcast_to(bias_p, bias_p.shape[:2] + (t, bias_p.shape[-1])),

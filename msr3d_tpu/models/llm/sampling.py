@@ -16,7 +16,7 @@ HF semantics replicated:
 
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -259,6 +259,8 @@ def greedy_decode_shared(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    gen_base: int = 0,
+    gen_mask_base: Optional[jax.Array] = None,  # (B, gen_base + max_new)
 ) -> jax.Array:
     """Greedy decode over a SPLIT KV cache: the prompt segment is a
     loop-invariant closure operand (never copied into the while-loop
@@ -270,9 +272,24 @@ def greedy_decode_shared(
     gen_index, gen_mask) → (logits, new_gen_kv)``.
     Same output contract as ``greedy_decode`` (token-exact in tests),
     including the ``sample_key`` temperature/top-k/top-p sampling mode.
+
+    ``gen_base > 0`` is the grouped-prefill mode: the first ``gen_base``
+    cache slots were pre-filled by a suffix window pass (per-question
+    text over a shared scene prefix); generation writes at slots
+    ``gen_base + step`` and ``gen_mask_base`` marks which suffix slots
+    hold real tokens. Defaults reduce exactly to the plain contract.
     """
     b, v = first_token_logits.shape
-    slot = jnp.arange(max_new_tokens)[None, :]
+    s_g = gen_base + max_new_tokens
+    assert next(iter(gen_kv.values())).shape[2] == s_g, (
+        "gen_kv sequence width must equal gen_base + max_new_tokens"
+    )
+    slot = jnp.arange(s_g)[None, :]
+    base_mask = (
+        gen_mask_base.astype(bool)
+        if gen_mask_base is not None
+        else jnp.zeros((b, s_g), bool)
+    )
     sampling = sample_key is not None
     key0 = sample_key if sampling else jax.random.PRNGKey(0)
 
@@ -304,9 +321,12 @@ def greedy_decode_shared(
     def body(state):
         step, generated, seen, caches, positions, finished, key = state
         tok = generated[:, step - 1]
-        gen_mask = jnp.broadcast_to(slot < step, (b, max_new_tokens))
+        gen_mask = base_mask | jnp.broadcast_to(
+            (slot >= gen_base) & (slot < gen_base + step), (b, s_g)
+        )
         logits, caches = decode_step_shared(
-            tok[:, None], positions[:, None], caches, step - 1, gen_mask
+            tok[:, None], positions[:, None], caches, gen_base + step - 1,
+            gen_mask,
         )
         key, sub = jax.random.split(key)
         nxt = pick(logits[:, -1, :].astype(jnp.float32), seen, step, sub)

@@ -277,20 +277,28 @@ class MSR3DNetwork(nn.Module):
         *,
         bos_id: int,
         max_cache_len: int,
+        append_bos: bool = True,
     ):
         """Build spliced embeds + trailing bos, prefill the KV cache.
 
         Returns (first_token_logits (B,V) fp32, kv_caches, cache_mask,
-        next_positions).
+        next_positions). ``append_bos=False`` prefillls a PREFIX segment
+        (grouped scene serving): the trailing bos belongs after the
+        per-question suffix, not after the shared prefix.
         """
         embeds, attn = self.build_embeds(
             input_ids, attention_mask, obj_fts, obj_masks, obj_locs,
             anchor_locs, anchor_orientation, images, image_masks,
         )
         b = embeds.shape[0]
-        bos_embed = self.llm.embed_tokens(jnp.full((b, 1), bos_id, jnp.int32))
-        embeds = jnp.concatenate([embeds, bos_embed], axis=1)
-        attn = jnp.concatenate([attn, jnp.ones((b, 1), attn.dtype)], axis=1)
+        if append_bos:
+            bos_embed = self.llm.embed_tokens(
+                jnp.full((b, 1), bos_id, jnp.int32)
+            )
+            embeds = jnp.concatenate([embeds, bos_embed], axis=1)
+            attn = jnp.concatenate(
+                [attn, jnp.ones((b, 1), attn.dtype)], axis=1
+            )
 
         logits, _, caches, cache_mask, next_pos = self.llm.prefill_with_cache(
             embeds, attn, max_cache_len, logits_last_only=True
@@ -311,14 +319,14 @@ class MSR3DNetwork(nn.Module):
 
     def decode_step_shared(
         self, token_ids, positions, prompt_kv, prompt_mask, gen_kv,
-        gen_index, gen_mask,
+        gen_index, gen_mask, window_valid=None,
     ):
         """Split-cache decode step: shared prompt KV (batch B) + per-beam
         generated KV (batch B·K). See LlamaModel.decode_step_shared."""
         embeds = self.llm.embed_tokens(token_ids)
         return self.llm.decode_step_shared(
             embeds, positions, prompt_kv, prompt_mask, gen_kv, gen_index,
-            gen_mask,
+            gen_mask, window_valid,
         )
 
 
@@ -776,6 +784,229 @@ class MSR3D:
                 data_dict["spec_stats"] = {
                     k: int(np.asarray(v)) for k, v in spec_stats.items()
                 }
+            return data_dict
+
+        return finalize
+
+    # -- grouped generation: shared scene prefix across Q questions -------
+
+    def _make_group_fn(self, prefix_len: int, win_len: int, max_new: int):
+        """One jitted program for grouped generation: G scene prefixes
+        prefilled at batch G (preamble + scene tokens, shared within each
+        group), a T=win_len window pass that prefills all G·Q question
+        suffixes against their group's prefix in one forward, then the
+        split-cache greedy loop (decode batch G·Q, prompt segment batch G
+        — the same ``bk // b`` repeat beam search uses).
+
+        Relative to G·Q independent ``generate`` rows this runs the scene
+        encoder and the prefix attention/MLP FLOPs once per SCENE instead
+        of once per QUESTION, ships one copy of each scene's arrays, and
+        keeps the full G·Q decode batch (no MXU-starving batch shrink)."""
+        network = self.network
+        llm_cfg = self.cfg.llm
+        bos_id = self.tokenizer.bos_id
+        eos_id = self.tokenizer.eos_id
+
+        @jax.jit
+        def group_fn(variables, batch):
+            from msr3d_tpu.models.llm.llama import _make_cache
+
+            batch = MSR3D._unpack_batch(batch)
+            batch = dict(batch)
+            suffix_ids = batch.pop("suffix_ids")  # (G·Q, W) left-padded
+            window_valid = batch.pop("window_valid")  # (G·Q, W) int32
+
+            # 1. shared prefix prefill at batch G — no trailing bos (it
+            # belongs after each question suffix, not after the prefix)
+            _, prefix_kv, prefix_mask, next_pre = network.apply(
+                variables, **batch, bos_id=bos_id,
+                max_cache_len=prefix_len, append_bos=False,
+                method=network.prefill,
+            )
+            g = next_pre.shape[0]
+
+            bq, w = suffix_ids.shape
+            s_g = w + max_new
+            gen_kv = _make_cache(llm_cfg, bq, s_g)
+            wv = window_valid.astype(bool)
+
+            # per-row prefix token count (scene-major row order: row
+            # g·Q + j belongs to scene g — the decode_step_shared
+            # bk//b reshape contract)
+            n_pre = jnp.repeat(next_pre, bq // g, axis=0)  # (G·Q,)
+
+            # 2. suffix window pass: all G·Q suffixes in ONE T=W forward
+            # over their group's prefix; in-window causality + window_valid
+            # reproduce exactly the per-question causal mask
+            win_pos = n_pre[:, None] + jnp.cumsum(window_valid, axis=1) - 1
+            win_pos = jnp.maximum(win_pos, 0).astype(jnp.int32)
+            logits, gen_kv = network.apply(
+                variables, suffix_ids, win_pos, prefix_kv, prefix_mask,
+                gen_kv, jnp.int32(0), jnp.zeros((bq, s_g), bool), wv,
+                method=network.decode_step_shared,
+            )
+            first = logits[:, -1, :].astype(jnp.float32)
+            next_positions = n_pre + jnp.sum(window_valid, axis=1)
+
+            # 3. greedy loop: suffix slots [0, W) stay resident in the
+            # generated segment; decode writes continue at W
+            def decode_shared(token_ids, positions, gkv, gidx, gmask):
+                return network.apply(
+                    variables, token_ids, positions, prefix_kv,
+                    prefix_mask, gkv, gidx, gmask,
+                    method=network.decode_step_shared,
+                )
+
+            return greedy_decode_shared(
+                decode_shared, next_positions, first, gen_kv,
+                max_new_tokens=max_new, eos_id=eos_id, pad_id=eos_id,
+                min_length=1, repetition_penalty=self.repetition_penalty,
+                eos_logit_bias=self.eos_logit_bias,
+                gen_base=w, gen_mask_base=jnp.pad(wv, ((0, 0), (0, max_new))),
+            )
+
+        return group_fn
+
+    def generate_scene_group(
+        self,
+        data_dict: Dict[str, Any],
+        *,
+        max_new_tokens: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        """Blocking grouped generate — ``generate_scene_group_async(...)()``."""
+        return self.generate_scene_group_async(
+            data_dict, max_new_tokens=max_new_tokens
+        )()
+
+    def generate_scene_group_async(
+        self,
+        data_dict: Dict[str, Any],
+        *,
+        max_new_tokens: Optional[int] = None,
+    ):
+        """Answer grouped questions with shared-prefix prefills.
+
+        ``data_dict`` carries scene arrays with leading dim G (one row
+        per scene) and ``msr3d_prompt`` as either a list of G lists (the
+        questions of each scene) or, when G == 1, a flat list — the
+        natural MSQA serving shape (many questions per scene/situation).
+        Within each group the prompts are tokenized in full and split at
+        their longest common TOKEN prefix (exact regardless of BPE
+        boundary merges); each group's prefix (which must contain all its
+        scene/image placeholders) is prefilled once in a batch-G prefill,
+        all G·Q question suffixes run as one multi-token window pass over
+        their group's prefix, and decode proceeds on the split cache at
+        the full G·Q batch. Token-identical to per-question ``generate``
+        on the greedy path (tested). Ragged group sizes are padded to the
+        largest group (pad rows replicate that group's first question and
+        are dropped from the output).
+
+        Non-blocking: dispatches the device program and returns a
+        ``finalize()`` callable (same request-pipelining contract as
+        ``generate_async``).
+        """
+        assert self.params is not None
+        if self.spec_k > 0 or self.do_sample:
+            raise ValueError(
+                "generate_scene_group is the greedy path — spec_k and "
+                "do_sample are not supported in grouped mode"
+            )
+        raw = data_dict["msr3d_prompt"]
+        nested = (
+            [list(grp) for grp in raw]
+            if raw and isinstance(raw[0], (list, tuple))
+            else [list(raw)]
+        )
+        n_groups = len(nested)
+        group_sizes = [len(grp) for grp in nested]
+        if min(group_sizes) < 1:
+            raise ValueError("every scene group needs at least one prompt")
+
+        ph = {self.tokenizer.scene_token_id, self.tokenizer.img_token_id}
+        group_rows, group_lc = [], []
+        for grp in nested:
+            texts = self.build_text_prompt({"msr3d_prompt": grp})
+            enc = self.tokenizer.encode_batch(
+                texts, padding_side="left", add_bos=True, pad_to=None
+            )
+            rows = [
+                enc.input_ids[i][enc.attention_mask[i].astype(bool)]
+                for i in range(len(texts))
+            ]
+            # longest common token prefix within the group
+            m = min(len(r) for r in rows)
+            stacked = np.stack([r[:m] for r in rows])
+            eq = np.all(stacked == stacked[0:1], axis=0)
+            lc = m if eq.all() else int(np.argmin(eq))
+            for r in rows:
+                if any(int(t) in ph for t in r[lc:]):
+                    raise ValueError(
+                        "grouped prompts diverge before the scene/image "
+                        "placeholders — every placeholder must sit in the "
+                        "shared prefix (group prompts by scene AND "
+                        "situation)"
+                    )
+            group_rows.append(rows)
+            group_lc.append(lc)
+
+        # group prefixes (G, P): left-padded to a common 32 bucket
+        pad_id = self.tokenizer.pad_id
+        p = max(32, -(-max(group_lc) // 32) * 32)
+        prefix_ids = np.full((n_groups, p), pad_id, np.int32)
+        prefix_attn = np.zeros((n_groups, p), np.int32)
+        for gi, (rows, lc) in enumerate(zip(group_rows, group_lc)):
+            prefix_ids[gi, p - lc:] = rows[0][:lc]
+            prefix_attn[gi, p - lc:] = 1
+
+        # per-question suffixes + trailing bos, left-padded to a width
+        # bucket of 8; Q padded to the largest group (bucket of 4)
+        bos = self.tokenizer.bos_id
+        group_sufs = [
+            [list(map(int, r[lc:])) + [bos] for r in rows]
+            for rows, lc in zip(group_rows, group_lc)
+        ]
+        all_lens = [len(s) for sufs in group_sufs for s in sufs]
+        w = max(8, -(-max(all_lens) // 8) * 8)
+        q_pad = max(1, -(-max(group_sizes) // 4) * 4)  # Q bucket of 4
+        suffix_ids = np.full((n_groups * q_pad, w), pad_id, np.int32)
+        window_valid = np.zeros((n_groups * q_pad, w), np.int32)
+        for gi, sufs in enumerate(group_sufs):
+            for j in range(q_pad):
+                s = sufs[j] if j < len(sufs) else sufs[0]
+                row = gi * q_pad + j
+                suffix_ids[row, w - len(s):] = s
+                window_valid[row, w - len(s):] = 1
+
+        batch = self._maybe_pack(self._scene_batch(data_dict))
+        lead = next(iter(batch.values())).shape[0]
+        if lead != n_groups:
+            raise ValueError(
+                f"generate_scene_group expects ONE scene row per prompt "
+                f"group: got {lead} scene rows for {n_groups} groups"
+            )
+        batch.update(
+            input_ids=prefix_ids, attention_mask=prefix_attn,
+            suffix_ids=suffix_ids, window_valid=window_valid,
+        )
+        max_new = max_new_tokens or self.max_out_len
+        key = (prefix_ids.shape[1], w, n_groups, q_pad, max_new,
+               tuple(sorted(batch)), self.eos_logit_bias)
+        if not hasattr(self, "_group_cache"):
+            self._group_cache = {}
+        if key not in self._group_cache:
+            self._group_cache[key] = self._make_group_fn(
+                prefix_ids.shape[1], w, max_new
+            )
+        tokens = self._group_cache[key](self.params, _to_jax(batch))
+
+        def finalize() -> Dict[str, Any]:
+            # drop Q-bucket pad rows, flatten scene-major
+            out = np.asarray(tokens).reshape(n_groups, q_pad, -1)
+            flat = np.concatenate(
+                [out[gi, :sz] for gi, sz in enumerate(group_sizes)], axis=0
+            )
+            data_dict["output_tokens"] = flat
+            data_dict["output_text"] = self.batch_detokenize(flat)
             return data_dict
 
         return finalize

@@ -1,0 +1,130 @@
+"""Grouped generation: Q questions share ONE scene prefix prefill.
+
+Token parity vs per-question ``generate`` (the plain greedy path), the
+placeholder-confinement guard, and the mode guards. The suffix window
+pass reuses the speculative T>1 machinery with ``window_valid`` gating
+left-pad slots — parity across ragged question lengths is the test that
+the in-window visibility matches the plain causal mask exactly.
+"""
+
+import numpy as np
+import pytest
+
+from msr3d_tpu.models.llm.tokenizer import IMAGE_PLACEHOLDER, SCENE_PLACEHOLDER
+from tests.test_msr3d import tiny_data_dict
+
+
+SCENE_KEYS = (
+    "obj_fts", "obj_masks", "obj_locs", "anchor_locs",
+    "anchor_orientation", "msr3d_imgs", "msr3d_img_masks",
+)
+
+
+def _group_dict(rng, questions):
+    """One scene (leading dim 1), Q prompts sharing preamble+scene."""
+    base = tiny_data_dict(rng, b=1)
+    prefix = f"You are in a scene: {SCENE_PLACEHOLDER}. Image: {IMAGE_PLACEHOLDER}. "
+    return {
+        "msr3d_prompt": [prefix + q for q in questions],
+        **{k: base[k] for k in SCENE_KEYS},
+    }
+
+
+def _tiled_dict(group):
+    """The same requests as independent rows (scene tiled per question)."""
+    q = len(group["msr3d_prompt"])
+    return {
+        "msr3d_prompt": list(group["msr3d_prompt"]),
+        **{k: np.repeat(group[k], q, axis=0) for k in SCENE_KEYS},
+    }
+
+
+def test_grouped_matches_per_question_generate(tiny_msr3d, rng):
+    questions = [
+        "What do you see?",
+        "Is there a chair next to the window in the corner?",
+        "Color?",
+    ]
+    group = _group_dict(rng, questions)
+    out = tiny_msr3d.generate_scene_group(dict(group), max_new_tokens=6)
+
+    plain = tiny_msr3d.generate(
+        _tiled_dict(group), use_beam=False, max_new_tokens=6
+    )
+    np.testing.assert_array_equal(
+        out["output_tokens"], plain["output_tokens"]
+    )
+    assert out["output_text"] == plain["output_text"]
+    assert out["output_tokens"].shape[0] == 3  # Q-bucket pad rows dropped
+
+
+def test_grouped_identical_prompts(tiny_msr3d, rng):
+    """Degenerate group: the suffix is just the trailing bos."""
+    group = _group_dict(rng, ["Same question?", "Same question?"])
+    out = tiny_msr3d.generate_scene_group(dict(group), max_new_tokens=5)
+    plain = tiny_msr3d.generate(
+        _tiled_dict(group), use_beam=False, max_new_tokens=5
+    )
+    np.testing.assert_array_equal(out["output_tokens"], plain["output_tokens"])
+
+
+def test_grouped_placeholder_in_suffix_raises(tiny_msr3d, rng):
+    base = tiny_data_dict(rng, b=1)
+    group = {
+        # prompts diverge BEFORE the scene placeholder
+        "msr3d_prompt": [
+            f"Alpha {SCENE_PLACEHOLDER}. {IMAGE_PLACEHOLDER} one?",
+            f"Beta {SCENE_PLACEHOLDER}. {IMAGE_PLACEHOLDER} two?",
+        ],
+        **{k: base[k] for k in SCENE_KEYS},
+    }
+    with pytest.raises(ValueError, match="shared prefix"):
+        tiny_msr3d.generate_scene_group(group, max_new_tokens=4)
+
+
+def test_grouped_multi_scene_ragged_matches(tiny_msr3d, rng):
+    """G=2 scenes with ragged group sizes (3 and 2 questions) in ONE
+    program match per-question generate; Q-bucket pad rows dropped."""
+    qs_a = ["What do you see?", "Is there a chair by the window?", "Color?"]
+    qs_b = ["Count the tables now please?", "Exit?"]
+    base = tiny_data_dict(rng, b=2)
+    prefix = f"You are in a scene: {SCENE_PLACEHOLDER}. Image: {IMAGE_PLACEHOLDER}. "
+    group = {
+        "msr3d_prompt": [
+            [prefix + q for q in qs_a],
+            [prefix + q for q in qs_b],
+        ],
+        **{k: base[k] for k in SCENE_KEYS},
+    }
+    out = tiny_msr3d.generate_scene_group(dict(group), max_new_tokens=6)
+
+    # plain arm: 5 independent rows, scene tiled per its group's questions
+    reps = np.array([3, 2])
+    plain = tiny_msr3d.generate(
+        {
+            "msr3d_prompt": [prefix + q for q in qs_a + qs_b],
+            **{k: np.repeat(base[k], reps, axis=0) for k in SCENE_KEYS},
+        },
+        use_beam=False, max_new_tokens=6,
+    )
+    assert out["output_tokens"].shape[0] == 5
+    np.testing.assert_array_equal(out["output_tokens"], plain["output_tokens"])
+    assert out["output_text"] == plain["output_text"]
+
+
+def test_grouped_scene_count_mismatch_raises(tiny_msr3d, rng):
+    group = _group_dict(rng, ["a?", "b?"])  # flat list → one group
+    bad = {**group, **{k: np.repeat(group[k], 2, axis=0) for k in SCENE_KEYS}}
+    with pytest.raises(ValueError, match="scene row per prompt group"):
+        tiny_msr3d.generate_scene_group(bad, max_new_tokens=4)
+
+
+def test_grouped_rejects_sampling_and_spec(tiny_msr3d, rng):
+    group = _group_dict(rng, ["a?"])
+    tiny_msr3d.do_sample = True
+    with pytest.raises(ValueError, match="greedy path"):
+        tiny_msr3d.generate_scene_group(group, max_new_tokens=4)
+    tiny_msr3d.do_sample = False
+    tiny_msr3d.spec_k = 2
+    with pytest.raises(ValueError, match="greedy path"):
+        tiny_msr3d.generate_scene_group(group, max_new_tokens=4)
