@@ -119,6 +119,98 @@ def test_grouped_scene_count_mismatch_raises(tiny_msr3d, rng):
         tiny_msr3d.generate_scene_group(bad, max_new_tokens=4)
 
 
+def _scene_requests(rng, texts_a, texts_b=None):
+    """Per-question request dicts over one or two scenes."""
+    base = tiny_data_dict(rng, b=2)
+    prefix = f"You are in a scene: {SCENE_PLACEHOLDER}. Image: {IMAGE_PLACEHOLDER}. "
+    reqs = []
+    for q in texts_a:
+        reqs.append({"msr3d_prompt": prefix + q,
+                     **{k: base[k][0] for k in SCENE_KEYS}})
+    for q in texts_b or []:
+        reqs.append({"msr3d_prompt": prefix + q,
+                     **{k: base[k][1] for k in SCENE_KEYS}})
+    return reqs
+
+
+def _plain_rows(model, reqs, max_new):
+    out = model.generate(
+        {
+            "msr3d_prompt": [r["msr3d_prompt"] for r in reqs],
+            **{k: np.stack([r[k] for r in reqs]) for k in SCENE_KEYS},
+        },
+        use_beam=False, max_new_tokens=max_new,
+    )
+    return out["output_tokens"], out["output_text"]
+
+
+def test_group_server_matches_plain(tiny_msr3d, rng):
+    """Interleaved two-scene stream: fingerprint grouping reassembles the
+    scenes, results carry submission ids, tokens match plain generate."""
+    from msr3d_tpu.serving import SceneGroupBatchingServer
+
+    reqs = _scene_requests(
+        rng, ["What do you see?", "Color?", "Chairs?"], ["Exit where?", "Count?"]
+    )
+    order = [0, 3, 1, 4, 2]  # interleave scenes A and B
+    server = SceneGroupBatchingServer(
+        tiny_msr3d, scenes_per_batch=1, questions_per_scene=2,
+        pipeline_depth=1, max_new_tokens=5,
+    )
+    results = list(server.run(reqs[i] for i in order))
+    assert sorted(r.id for r in results) == list(range(5))
+
+    want_tokens, want_text = _plain_rows(tiny_msr3d, reqs, 5)
+    by_id = {r.id: r for r in results}
+    for slot, orig in enumerate(order):
+        np.testing.assert_array_equal(
+            by_id[slot].output_tokens, want_tokens[orig]
+        )
+        assert by_id[slot].output_text == want_text[orig]
+
+
+def test_group_server_miskeyed_falls_back_to_singletons(tiny_msr3d, rng):
+    """Same scene arrays, prompts diverging BEFORE the placeholders: the
+    grouped dispatch raises inside the server and singleton-group
+    fallback still answers every request correctly."""
+    from msr3d_tpu.serving import SceneGroupBatchingServer
+
+    base = tiny_data_dict(rng, b=1)
+    reqs = [
+        {
+            "msr3d_prompt": f"{lead} {SCENE_PLACEHOLDER}. {IMAGE_PLACEHOLDER} what?",
+            **{k: base[k][0] for k in SCENE_KEYS},
+        }
+        for lead in ("Alpha", "Beta")
+    ]
+    server = SceneGroupBatchingServer(
+        tiny_msr3d, scenes_per_batch=1, questions_per_scene=2,
+        pipeline_depth=0, max_new_tokens=5,
+    )
+    results = sorted(server.run(iter(reqs)), key=lambda r: r.id)
+    want_tokens, want_text = _plain_rows(tiny_msr3d, reqs, 5)
+    for i, r in enumerate(results):
+        np.testing.assert_array_equal(r.output_tokens, want_tokens[i])
+        assert r.output_text == want_text[i]
+
+
+def test_group_server_max_open_dispatches_early(tiny_msr3d, rng):
+    """A non-contiguous stream cannot buffer unboundedly: exceeding
+    max_open_scenes force-closes the oldest group."""
+    from msr3d_tpu.serving import SceneGroupBatchingServer
+
+    reqs = _scene_requests(rng, ["One?"], ["Two?"])
+    server = SceneGroupBatchingServer(
+        tiny_msr3d, scenes_per_batch=1, questions_per_scene=99,
+        pipeline_depth=0, max_new_tokens=4, max_open_scenes=1,
+    )
+    server.submit(reqs[0])
+    assert len(server._open) == 1  # scene A open
+    server.submit(reqs[1])  # scene B opens -> A force-closed and batched
+    results = server.flush()
+    assert sorted(r.id for r in results) == [0, 1]
+
+
 def test_grouped_rejects_sampling_and_spec(tiny_msr3d, rng):
     group = _group_dict(rng, ["a?"])
     tiny_msr3d.do_sample = True
