@@ -539,6 +539,8 @@ def beam_search_decode_shared(
     repetition_penalty: float = 1.0,
     eos_logit_bias: float = 0.0,
     length_penalty: float = 1.0,
+    gen_base: int = 0,
+    gen_mask_base: Optional[jax.Array] = None,  # (B·K, gen_base + max_new)
 ) -> jax.Array:
     """Beam search over a SPLIT KV cache (HF semantics, same hypothesis
     logic as ``beam_search_decode``; token-exact vs it in tests).
@@ -554,10 +556,19 @@ def beam_search_decode_shared(
     gen_index, gen_mask) → (logits, new_gen_kv)`` — a closure over the
     frozen prompt KV + prompt mask (loop-invariant, so XLA keeps a single
     copy outside the while-loop carry).
+
+    ``gen_base > 0`` is the grouped-prefill mode (see
+    ``greedy_decode_shared``): slots [0, gen_base) hold each row's
+    question-suffix KV, identical across the row's K beams, so the beam
+    reorder gather preserves them; decode writes continue at gen_base.
     """
     b, v = first_token_logits.shape
     k = num_beams
     neg_inf = jnp.float32(-1e9)
+    s_g = gen_base + max_new_tokens
+    assert next(iter(gen_kv.values())).shape[2] == s_g, (
+        "gen_kv sequence width must equal gen_base + max_new_tokens"
+    )
 
     def flat(x):
         return x.reshape((b * k,) + x.shape[2:])
@@ -566,7 +577,12 @@ def beam_search_decode_shared(
         return x.reshape((b, k) + x.shape[1:])
 
     positions = flat(jnp.repeat(next_positions[:, None], k, axis=1))  # (B·K,)
-    slot = jnp.arange(max_new_tokens)[None, :]
+    slot = jnp.arange(s_g)[None, :]
+    base_mask = (
+        gen_mask_base.astype(bool)
+        if gen_mask_base is not None
+        else jnp.zeros((b * k, s_g), bool)
+    )
 
     logp0 = jax.nn.log_softmax(
         _mask_min_length(first_token_logits, jnp.int32(0), min_length, eos_id, eos_logit_bias),
@@ -605,11 +621,12 @@ def beam_search_decode_shared(
         (step, generated, seen, caches, positions, beam_scores,
          hyp_tokens, hyp_scores) = state
         tok = generated[:, step - 1]
-        gen_index = step - 1
-        gen_mask = slot < step  # (1, max_new) broadcast over rows
+        gen_index = gen_base + step - 1
+        gen_mask = base_mask | jnp.broadcast_to(
+            (slot >= gen_base) & (slot < gen_base + step), (b * k, s_g)
+        )
         logits, caches = decode_step_shared(
-            tok[:, None], positions[:, None], caches, gen_index,
-            jnp.broadcast_to(gen_mask, (b * k, max_new_tokens)),
+            tok[:, None], positions[:, None], caches, gen_index, gen_mask,
         )
         logp = score_logits(logits[:, -1, :].astype(jnp.float32), seen, step)
         total = unflat(beam_scores[:, None] + logp).reshape(b, k * v)

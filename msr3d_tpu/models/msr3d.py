@@ -790,7 +790,9 @@ class MSR3D:
 
     # -- grouped generation: shared scene prefix across Q questions -------
 
-    def _make_group_fn(self, prefix_len: int, win_len: int, max_new: int):
+    def _make_group_fn(
+        self, prefix_len: int, win_len: int, max_new: int, beams: int = 1
+    ):
         """One jitted program for grouped generation: G scene prefixes
         prefilled at batch G (preamble + scene tokens, shared within each
         group), a T=win_len window pass that prefills all G·Q question
@@ -848,7 +850,7 @@ class MSR3D:
             first = logits[:, -1, :].astype(jnp.float32)
             next_positions = n_pre + jnp.sum(window_valid, axis=1)
 
-            # 3. greedy loop: suffix slots [0, W) stay resident in the
+            # 3. decode loop: suffix slots [0, W) stay resident in the
             # generated segment; decode writes continue at W
             def decode_shared(token_ids, positions, gkv, gidx, gmask):
                 return network.apply(
@@ -857,12 +859,33 @@ class MSR3D:
                     method=network.decode_step_shared,
                 )
 
+            gen_mask_base = jnp.pad(wv, ((0, 0), (0, max_new)))
+            if beams > 1:
+                # per-beam rows: each question's suffix KV is repeated K×
+                # (beam-minor, matching the beam flat() ordering); the
+                # prompt segment stays at batch G — queries G·Q·K resolve
+                # through the same bk//b repeat
+                from msr3d_tpu.models.llm.sampling import _expand_cache
+
+                gen_kv = jax.tree_util.tree_map(
+                    lambda c: _expand_cache(c, beams), gen_kv
+                )
+                return beam_search_decode_shared(
+                    decode_shared, next_positions, first, gen_kv,
+                    num_beams=beams, length_penalty=self.length_penalty,
+                    max_new_tokens=max_new, eos_id=eos_id, pad_id=eos_id,
+                    min_length=1,
+                    repetition_penalty=self.repetition_penalty,
+                    eos_logit_bias=self.eos_logit_bias,
+                    gen_base=w,
+                    gen_mask_base=jnp.repeat(gen_mask_base, beams, axis=0),
+                )
             return greedy_decode_shared(
                 decode_shared, next_positions, first, gen_kv,
                 max_new_tokens=max_new, eos_id=eos_id, pad_id=eos_id,
                 min_length=1, repetition_penalty=self.repetition_penalty,
                 eos_logit_bias=self.eos_logit_bias,
-                gen_base=w, gen_mask_base=jnp.pad(wv, ((0, 0), (0, max_new))),
+                gen_base=w, gen_mask_base=gen_mask_base,
             )
 
         return group_fn
@@ -871,17 +894,19 @@ class MSR3D:
         self,
         data_dict: Dict[str, Any],
         *,
+        use_beam: Optional[bool] = None,
         max_new_tokens: Optional[int] = None,
     ) -> Dict[str, Any]:
         """Blocking grouped generate — ``generate_scene_group_async(...)()``."""
         return self.generate_scene_group_async(
-            data_dict, max_new_tokens=max_new_tokens
+            data_dict, use_beam=use_beam, max_new_tokens=max_new_tokens
         )()
 
     def generate_scene_group_async(
         self,
         data_dict: Dict[str, Any],
         *,
+        use_beam: Optional[bool] = None,
         max_new_tokens: Optional[int] = None,
     ):
         """Answer grouped questions with shared-prefix prefills.
@@ -908,9 +933,13 @@ class MSR3D:
         assert self.params is not None
         if self.spec_k > 0 or self.do_sample:
             raise ValueError(
-                "generate_scene_group is the greedy path — spec_k and "
-                "do_sample are not supported in grouped mode"
+                "generate_scene_group supports greedy and beam decoding — "
+                "spec_k and do_sample are not supported in grouped mode"
             )
+        beams = (
+            self.num_beams if use_beam is None
+            else (self.num_beams if use_beam else 1)
+        )
         raw = data_dict["msr3d_prompt"]
         nested = (
             [list(grp) for grp in raw]
@@ -989,13 +1018,13 @@ class MSR3D:
             suffix_ids=suffix_ids, window_valid=window_valid,
         )
         max_new = max_new_tokens or self.max_out_len
-        key = (prefix_ids.shape[1], w, n_groups, q_pad, max_new,
+        key = (prefix_ids.shape[1], w, n_groups, q_pad, max_new, beams,
                tuple(sorted(batch)), self.eos_logit_bias)
         if not hasattr(self, "_group_cache"):
             self._group_cache = {}
         if key not in self._group_cache:
             self._group_cache[key] = self._make_group_fn(
-                prefix_ids.shape[1], w, max_new
+                prefix_ids.shape[1], w, max_new, beams
             )
         tokens = self._group_cache[key](self.params, _to_jax(batch))
 

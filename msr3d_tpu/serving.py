@@ -332,6 +332,7 @@ class SceneGroupBatchingServer:
         questions_per_scene: int,
         *,
         pipeline_depth: int = 3,
+        use_beam: Optional[bool] = None,
         max_new_tokens: Optional[int] = None,
         max_open_scenes: Optional[int] = None,
     ):
@@ -340,6 +341,7 @@ class SceneGroupBatchingServer:
         self.scenes_per_batch = scenes_per_batch
         self.questions_per_scene = questions_per_scene
         self.pipeline_depth = max(0, pipeline_depth)
+        self.use_beam = use_beam
         self.max_new_tokens = max_new_tokens
         self.max_open_scenes = max_open_scenes or 4 * scenes_per_batch
         self._next_id = 0
@@ -420,7 +422,7 @@ class SceneGroupBatchingServer:
             [s["msr3d_prompt"] for _, s in grp] for grp in groups
         ]
         return self.model.generate_scene_group_async(
-            batch, max_new_tokens=self.max_new_tokens
+            batch, use_beam=self.use_beam, max_new_tokens=self.max_new_tokens
         )
 
     def _drain_one(self) -> List[Result]:

@@ -573,10 +573,11 @@ class LeoTrainer:
 
         from collections import deque
 
-        if generation and str(
-            self.cfg.get("eval_engine", "") or ""
-        ).lower() == "continuous":
+        eval_engine = str(self.cfg.get("eval_engine", "") or "").lower()
+        if generation and eval_engine == "continuous":
             self._eval_continuous(loader, emit)
+        elif generation and eval_engine == "grouped":
+            self._eval_grouped(loader, emit)
         else:
             pending: deque = deque()  # (batch index, data_dict, finalize)
 
@@ -700,6 +701,74 @@ class LeoTrainer:
         engine.run(sample_iter(), on_result=on_result)
         flush()
         assert not batches, "continuous eval: unemitted batches remain"
+
+    def _eval_grouped(self, loader, emit) -> None:
+        """Generation eval through scene-grouped serving
+        (``eval_engine: grouped``).
+
+        Requests whose scene arrays are byte-identical (same scene AND
+        situation — MSQA generates several QA per sampled situation)
+        dispatch as ONE shared-prefix grouped program: the scene encoder
+        and the preamble+scene prefill run once per scene instead of once
+        per question, while decode stays at the full grouped batch —
+        measured 4.27× over the plain pipelined path at the 7B serving
+        config (b160×Q16, BASELINE.md round 3). Requests that share
+        nothing simply form singleton groups (still correct, roughly the
+        plain path). Beam decoding composes: with ``num_beams > 1`` the
+        grouped program runs the reference's HF-semantics beam search
+        over the shared prefix (token-parity tested).
+
+        Engine knobs from ``eval_engine_opts``: scenes_per_batch (4),
+        questions_per_scene (8), pipeline_depth (3), max_open_scenes,
+        max_new_tokens, use_beam.
+        """
+        from msr3d_tpu.serving import SceneGroupBatchingServer, uncollate_batch
+
+        opts = dict(self.cfg.get("eval_engine_opts", {}) or {})
+        engine = SceneGroupBatchingServer(
+            self.model,
+            scenes_per_batch=int(opts.pop("scenes_per_batch", 4)),
+            questions_per_scene=int(opts.pop("questions_per_scene", 8)),
+            pipeline_depth=int(opts.pop("pipeline_depth", 3)),
+            **opts,
+        )
+
+        batches: Dict[int, list] = {}  # i -> [data_dict, outputs, todo]
+        rid_map: List[tuple] = []  # rid -> (batch index, row in batch)
+        done_batches: set = set()
+        next_emit = 0
+
+        def sample_iter():
+            for i, data_dict in enumerate(loader):
+                if self.num_batch_eval and i >= self.num_batch_eval:
+                    break
+                samples = uncollate_batch(data_dict)
+                batches[i] = [data_dict, [None] * len(samples), len(samples)]
+                for j, s in enumerate(samples):
+                    rid_map.append((i, j))
+                    yield s
+
+        def flush():
+            nonlocal next_emit
+            while next_emit in done_batches:
+                done_batches.discard(next_emit)
+                data_dict, outputs, _ = batches.pop(next_emit)
+                emit(next_emit, data_dict, {"output_text": outputs})
+                next_emit += 1
+
+        def on_result(res):
+            i, j = rid_map[res.id]
+            rec = batches[i]
+            rec[1][j] = res.output_text
+            rec[2] -= 1
+            if rec[2] == 0:
+                done_batches.add(i)
+                flush()
+
+        for res in engine.run(sample_iter()):
+            on_result(res)
+        flush()
+        assert not batches, "grouped eval: unemitted batches remain"
 
     def run(self) -> None:
         if self.mode == "train":

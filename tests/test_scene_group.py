@@ -46,7 +46,9 @@ def test_grouped_matches_per_question_generate(tiny_msr3d, rng):
         "Color?",
     ]
     group = _group_dict(rng, questions)
-    out = tiny_msr3d.generate_scene_group(dict(group), max_new_tokens=6)
+    out = tiny_msr3d.generate_scene_group(
+        dict(group), use_beam=False, max_new_tokens=6
+    )
 
     plain = tiny_msr3d.generate(
         _tiled_dict(group), use_beam=False, max_new_tokens=6
@@ -61,7 +63,9 @@ def test_grouped_matches_per_question_generate(tiny_msr3d, rng):
 def test_grouped_identical_prompts(tiny_msr3d, rng):
     """Degenerate group: the suffix is just the trailing bos."""
     group = _group_dict(rng, ["Same question?", "Same question?"])
-    out = tiny_msr3d.generate_scene_group(dict(group), max_new_tokens=5)
+    out = tiny_msr3d.generate_scene_group(
+        dict(group), use_beam=False, max_new_tokens=5
+    )
     plain = tiny_msr3d.generate(
         _tiled_dict(group), use_beam=False, max_new_tokens=5
     )
@@ -96,7 +100,9 @@ def test_grouped_multi_scene_ragged_matches(tiny_msr3d, rng):
         ],
         **{k: base[k] for k in SCENE_KEYS},
     }
-    out = tiny_msr3d.generate_scene_group(dict(group), max_new_tokens=6)
+    out = tiny_msr3d.generate_scene_group(
+        dict(group), use_beam=False, max_new_tokens=6
+    )
 
     # plain arm: 5 independent rows, scene tiled per its group's questions
     reps = np.array([3, 2])
@@ -155,7 +161,7 @@ def test_group_server_matches_plain(tiny_msr3d, rng):
     order = [0, 3, 1, 4, 2]  # interleave scenes A and B
     server = SceneGroupBatchingServer(
         tiny_msr3d, scenes_per_batch=1, questions_per_scene=2,
-        pipeline_depth=1, max_new_tokens=5,
+        pipeline_depth=1, use_beam=False, max_new_tokens=5,
     )
     results = list(server.run(reqs[i] for i in order))
     assert sorted(r.id for r in results) == list(range(5))
@@ -185,7 +191,7 @@ def test_group_server_miskeyed_falls_back_to_singletons(tiny_msr3d, rng):
     ]
     server = SceneGroupBatchingServer(
         tiny_msr3d, scenes_per_batch=1, questions_per_scene=2,
-        pipeline_depth=0, max_new_tokens=5,
+        pipeline_depth=0, use_beam=False, max_new_tokens=5,
     )
     results = sorted(server.run(iter(reqs)), key=lambda r: r.id)
     want_tokens, want_text = _plain_rows(tiny_msr3d, reqs, 5)
@@ -202,7 +208,8 @@ def test_group_server_max_open_dispatches_early(tiny_msr3d, rng):
     reqs = _scene_requests(rng, ["One?"], ["Two?"])
     server = SceneGroupBatchingServer(
         tiny_msr3d, scenes_per_batch=1, questions_per_scene=99,
-        pipeline_depth=0, max_new_tokens=4, max_open_scenes=1,
+        pipeline_depth=0, use_beam=False, max_new_tokens=4,
+        max_open_scenes=1,
     )
     server.submit(reqs[0])
     assert len(server._open) == 1  # scene A open
@@ -211,12 +218,30 @@ def test_group_server_max_open_dispatches_early(tiny_msr3d, rng):
     assert sorted(r.id for r in results) == [0, 1]
 
 
+@pytest.mark.slow  # beam compile on the tiny model
+def test_grouped_beam_matches_per_question_beam(tiny_msr3d, rng):
+    """Grouped BEAM decode (the reference's beam-5/rep-penalty eval
+    setting, shared scene prefix): token parity vs per-question beam
+    generate. Suffix KV rows repeat per beam; the beam reorder gather
+    must preserve them."""
+    questions = ["What do you see?", "Is there a chair by the window?"]
+    group = _group_dict(rng, questions)
+    out = tiny_msr3d.generate_scene_group(
+        dict(group), use_beam=True, max_new_tokens=6
+    )
+    plain = tiny_msr3d.generate(
+        _tiled_dict(group), use_beam=True, max_new_tokens=6
+    )
+    np.testing.assert_array_equal(out["output_tokens"], plain["output_tokens"])
+    assert out["output_text"] == plain["output_text"]
+
+
 def test_grouped_rejects_sampling_and_spec(tiny_msr3d, rng):
     group = _group_dict(rng, ["a?"])
     tiny_msr3d.do_sample = True
-    with pytest.raises(ValueError, match="greedy path"):
+    with pytest.raises(ValueError, match="not supported in grouped"):
         tiny_msr3d.generate_scene_group(group, max_new_tokens=4)
     tiny_msr3d.do_sample = False
     tiny_msr3d.spec_k = 2
-    with pytest.raises(ValueError, match="greedy path"):
+    with pytest.raises(ValueError, match="not supported in grouped"):
         tiny_msr3d.generate_scene_group(group, max_new_tokens=4)
