@@ -71,6 +71,12 @@ def parse_args(argv=None):
         "penalty-free greedy serving / the spec-decode control arm)",
     )
     parser.add_argument(
+        "--beam-ancestry", action="store_true",
+        help="ancestry-indirected beam KV: the generated cache never "
+        "reorders (no per-step gather / double-buffered carry) — token-"
+        "identical; lifts the 256-budget beam batch ceiling",
+    )
+    parser.add_argument(
         "--group", type=int, default=0,
         help="grouped serving: Q questions share ONE scene's prefix "
         "prefill (generate_scene_group). --batch must be divisible by Q; "
@@ -132,6 +138,7 @@ def build_model(args):
         compact_transfer=getattr(args, "compact_transfer", False),
         eos_logit_bias=getattr(args, "eos_bias", 0.0),
         spec_k=spec_k, spec_ngram=getattr(args, "spec_ngram", 3),
+        beam_ancestry=getattr(args, "beam_ancestry", False),
     )
     return model, llm
 
@@ -285,7 +292,8 @@ def run(args) -> dict:
                 + ("-s8s8" if getattr(args, "act_quant", False) else "")
                 + ("-kv8" if getattr(args, "kv_quant", False) else "")
                 + ("-cpk" if getattr(args, "compact_transfer", False) else "")
-                + ("-flash" if getattr(args, "flash", False) else ""),
+                + ("-flash" if getattr(args, "flash", False) else "")
+                + ("-anc" if getattr(args, "beam_ancestry", False) else ""),
                 "step_ms": round(dt * 1000, 1),
                 "pipeline_depth": depth,
                 "group": args.group,

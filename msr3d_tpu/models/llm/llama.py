@@ -484,6 +484,7 @@ class LlamaAttention(nn.Module):
         shared_prompt_kv: Optional[Dict[str, jax.Array]] = None,  # (B,S_p,hkv,D)
         key_valid: Optional[jax.Array] = None,  # (B, T) for the sp ring path
         *,
+        anc_pairs_k: Optional[int] = None,  # beam-ancestry decode (see below)
         return_kv: bool = False,  # prefill: also return this call's raw k/v
         deterministic: bool = True,
     ):
@@ -521,8 +522,9 @@ class LlamaAttention(nn.Module):
             # decode: write current k/v at cache_index, attend over full cache
             new_cache = _cache_write(kv_cache, k, v, cache_index)
 
-            k, k_scale = _split_kv(new_cache, "k", cfg.dtype)
-            v, v_scale = _split_kv(new_cache, "v", cfg.dtype)
+            if anc_pairs_k is None:
+                k, k_scale = _split_kv(new_cache, "k", cfg.dtype)
+                v, v_scale = _split_kv(new_cache, "v", cfg.dtype)
         elif return_kv:
             # prefill capture: this call's rope'd k/v become the prompt
             # segment of the decode cache — attention itself runs plainly
@@ -554,6 +556,72 @@ class LlamaAttention(nn.Module):
         def rep(arr):
             return jnp.repeat(arr, n_rep, axis=2) if n_rep > 1 else arr
 
+        scale = 1.0 / jnp.sqrt(cfg.head_dim).astype(jnp.float32)
+
+        def seg_logits(seg_kq, seg_ks):
+            """Scores of the B queries against a (B', S', hkv, D) segment
+            shared across blocks of B // B' consecutive query rows (the
+            split-cache prompt machinery) → (B, H, T, S')."""
+            k_seg = rep(seg_kq)
+            bp = k_seg.shape[0]
+            k_rep = b // bp
+            qr = q.reshape(bp, k_rep * t, cfg.num_attention_heads, cfg.head_dim)
+            lp = jnp.einsum("bkhd,bshd->bkhs", qr, k_seg).astype(jnp.float32) * scale
+            if seg_ks is not None:  # scale-outside dequant (see _split_kv)
+                ks = rep(seg_ks[..., None])[..., 0]
+                lp = lp * ks.transpose(0, 2, 1)[:, None]
+            return lp.reshape(b, t, cfg.num_attention_heads, -1).transpose(0, 2, 1, 3)
+
+        def seg_out(weights_seg, seg_vq, seg_vs):
+            """(B, H, T, S') softmax weights × segment values → (B, T, H, D)."""
+            v_seg = rep(seg_vq)
+            bp = v_seg.shape[0]
+            k_rep = b // bp
+            w = weights_seg.transpose(0, 2, 1, 3).reshape(
+                bp, k_rep * t, cfg.num_attention_heads, -1
+            )
+            if seg_vs is not None:
+                vs = rep(seg_vs[..., None])[..., 0]
+                w = w * vs.transpose(0, 2, 1)[:, None]
+            return jnp.einsum(
+                "bkhs,bshd->bkhd", w.astype(cfg.dtype), v_seg
+            ).reshape(b, t, cfg.num_attention_heads, cfg.head_dim)
+
+        if anc_pairs_k is not None:
+            # Beam-ancestry decode: generated-cache rows NEVER reorder on a
+            # beam step (the multi-GB per-step gather and its double-buffer
+            # — the measured 256-budget beam OOM wall — disappear). Instead
+            # each query sees ALL K beam rows' slots of its question as a
+            # (K·S) pair segment; the caller's attn_bias admits exactly the
+            # (row, slot) pairs on the query's ancestry path. Identical
+            # math to the physically-reordered cache — token-exact in
+            # tests. Requires T == 1 (the beam decode loop).
+            assert t == 1 and shared_prompt_kv is not None
+            kq_p, ks_p = _split_kv(shared_prompt_kv, "k", cfg.dtype)
+            vq_p, vs_p = _split_kv(shared_prompt_kv, "v", cfg.dtype)
+            kq_g, ks_g = _split_kv(new_cache, "k", cfg.dtype)
+            vq_g, vs_g = _split_kv(new_cache, "v", cfg.dtype)
+            bq = b // anc_pairs_k
+
+            def pairs(arr):
+                return (
+                    None if arr is None
+                    else arr.reshape((bq, anc_pairs_k * arr.shape[1]) + arr.shape[2:])
+                )
+
+            s_p = kq_p.shape[1]
+            logits = jnp.concatenate(
+                [seg_logits(kq_p, ks_p), seg_logits(pairs(kq_g), pairs(ks_g))],
+                axis=-1,
+            ) + attn_bias
+            weights = jax.nn.softmax(logits, axis=-1)
+            out = seg_out(weights[..., :s_p], vq_p, vs_p) + seg_out(
+                weights[..., s_p:], pairs(vq_g), pairs(vs_g)
+            )
+            out = out.reshape(b, t, cfg.num_attention_heads * cfg.head_dim)
+            out = proj("o_proj", cfg.hidden_size)(out, deterministic=deterministic)
+            return out, new_cache
+
         k, v = rep(k), rep(v)
         if k_scale is not None:
             k_scale, v_scale = rep(k_scale[..., None])[..., 0], rep(v_scale[..., None])[..., 0]
@@ -582,7 +650,6 @@ class LlamaAttention(nn.Module):
             out = proj("o_proj", cfg.hidden_size)(out, deterministic=deterministic)
             return out, None
 
-        scale = 1.0 / jnp.sqrt(cfg.head_dim).astype(jnp.float32)
         attn = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) * scale
         if k_scale is not None:  # (B,S,H) → (B,H,1,S), applied to the logits
             attn = attn * k_scale.transpose(0, 2, 1)[:, :, None, :]
@@ -668,14 +735,15 @@ class LlamaBlock(nn.Module):
     @nn.compact
     def __call__(
         self, x, positions, attn_bias, kv_cache=None, cache_index=None,
-        shared_prompt_kv=None, key_valid=None, *, return_kv: bool = False,
-        deterministic: bool = True,
+        shared_prompt_kv=None, key_valid=None, *, anc_pairs_k=None,
+        return_kv: bool = False, deterministic: bool = True,
     ):
         cfg = self.cfg
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="input_norm")(x)
         h, new_cache = LlamaAttention(cfg, name="attn")(
             h, positions, attn_bias, kv_cache, cache_index, shared_prompt_kv,
-            key_valid, return_kv=return_kv, deterministic=deterministic,
+            key_valid, anc_pairs_k=anc_pairs_k, return_kv=return_kv,
+            deterministic=deterministic,
         )
         # checkpoint_name tags are no-ops outside remat; under the
         # "residuals" policy only these two (T, hidden) branch outputs
@@ -899,17 +967,91 @@ class LlamaModel(nn.Module):
         )
 
         x = inputs_embeds.astype(cfg.dtype)
+        layered = isinstance(gen_kv, (list, tuple))
         updated_layers = []
         for i, block in enumerate(self.blocks):
             x, updated = block(
                 x, positions, attn_bias,
-                {key: val[i] for key, val in gen_kv.items()},
+                gen_kv[i] if layered
+                else {key: val[i] for key, val in gen_kv.items()},
                 gen_index,
                 {key: val[i] for key, val in prompt_kv.items()},
             )
             updated_layers.append(updated)
         x = self.final_norm(x)
-        return self.logits(x), _stack_layer_caches(updated_layers)
+        # per-layer (tuple) layout: each layer's write aliases its own
+        # carry leaf — the stacked layout's slice/re-stack copies the
+        # whole generated cache per step inside a while_loop carry
+        new_caches = (
+            tuple(updated_layers) if layered
+            else _stack_layer_caches(updated_layers)
+        )
+        return self.logits(x), new_caches
+
+    def decode_step_beam_anc(
+        self,
+        inputs_embeds: jax.Array,  # (B·K, 1, H)
+        positions: jax.Array,  # (B·K, 1)
+        prompt_kv: Dict[str, jax.Array],  # k/v: (L, B', S_p, hkv, D) frozen
+        prompt_mask: jax.Array,  # (B', S_p)
+        gen_kv: Dict[str, jax.Array],  # k/v: (L, B·K, S_g, hkv, D)
+        gen_index,  # scalar write offset into the generated segment
+        gen_mask: jax.Array,  # (B·K, S_g) valid generated slots
+        anc: jax.Array,  # (B·K, S_g) int32 ancestor row WITHIN the K block
+        num_beams: int,
+    ):
+        """One beam decode step with ANCESTRY-INDIRECTED generated KV.
+
+        The standard beam step physically reorders the generated cache on
+        every beam re-rank (``caches[:, gather]``) — at the 256-token eval
+        budget that gather's un-aliasable output double-buffers the
+        multi-GB generated segment, the measured beam batch-size wall.
+        Here rows never move: ``anc[r, s]`` names which row of the
+        question's K block wrote query row r's history at slot s, queries
+        attend over all K rows' slots as a (K·S) pair segment, and the
+        additive bias admits exactly the pairs on the ancestry path —
+        identical math, token-exact in tests, only a (B·K, S) int32 map
+        reorders per step."""
+        cfg = self.cfg
+        bk = inputs_embeds.shape[0]
+        b = next(iter(prompt_kv.values())).shape[1]
+        s_g = gen_mask.shape[1]
+        bias_p = jnp.where(
+            jnp.repeat(prompt_mask, bk // b, axis=0)[:, None, None, :].astype(bool),
+            0.0, -1e30,
+        ).astype(jnp.float32)
+        # pair (row, slot) visible to query row r iff the slot is live and
+        # row is r's ancestor at that slot
+        rowids = jnp.arange(num_beams)[None, :, None]  # (1, K, 1)
+        vis = gen_mask[:, None, :].astype(bool) & (anc[:, None, :] == rowids)
+        bias_g = jnp.where(
+            vis.reshape(bk, 1, 1, num_beams * s_g), 0.0, -1e30
+        ).astype(jnp.float32)
+        attn_bias = jnp.concatenate([bias_p, bias_g], axis=-1)
+
+        x = inputs_embeds.astype(cfg.dtype)
+        layered = isinstance(gen_kv, (list, tuple))
+        updated_layers = []
+        for i, block in enumerate(self.blocks):
+            x, updated = block(
+                x, positions, attn_bias,
+                gen_kv[i] if layered
+                else {key: val[i] for key, val in gen_kv.items()},
+                gen_index,
+                {key: val[i] for key, val in prompt_kv.items()},
+                anc_pairs_k=num_beams,
+            )
+            updated_layers.append(updated)
+        x = self.final_norm(x)
+        # the per-layer (tuple) cache layout skips the slice/re-stack round
+        # trip of the stacked (L, …) layout — inside a while_loop that
+        # round trip is a full extra copy of the multi-GB generated cache
+        # in the carry, the 256-token-budget beam memory wall
+        new_caches = (
+            tuple(updated_layers) if layered
+            else _stack_layer_caches(updated_layers)
+        )
+        return self.logits(x), new_caches
 
     def prefill_with_cache(
         self,

@@ -281,7 +281,11 @@ def greedy_decode_shared(
     """
     b, v = first_token_logits.shape
     s_g = gen_base + max_new_tokens
-    assert next(iter(gen_kv.values())).shape[2] == s_g, (
+    leaf = jax.tree_util.tree_leaves(gen_kv)[0]
+    # stacked (L, B, S, …) or per-layer tuple of (B, S, …) dicts (the
+    # layered layout — per-layer decode writes alias their carry leaf
+    # in place instead of the stacked slice/re-stack full-cache copy)
+    assert leaf.shape[2 if leaf.ndim >= 5 else 1] == s_g, (
         "gen_kv sequence width must equal gen_base + max_new_tokens"
     )
     slot = jnp.arange(s_g)[None, :]
@@ -541,6 +545,7 @@ def beam_search_decode_shared(
     length_penalty: float = 1.0,
     gen_base: int = 0,
     gen_mask_base: Optional[jax.Array] = None,  # (B·K, gen_base + max_new)
+    decode_step_anc: Optional[Callable] = None,
 ) -> jax.Array:
     """Beam search over a SPLIT KV cache (HF semantics, same hypothesis
     logic as ``beam_search_decode``; token-exact vs it in tests).
@@ -561,12 +566,24 @@ def beam_search_decode_shared(
     ``greedy_decode_shared``): slots [0, gen_base) hold each row's
     question-suffix KV, identical across the row's K beams, so the beam
     reorder gather preserves them; decode writes continue at gen_base.
+
+    ``decode_step_anc`` switches to ANCESTRY mode: the generated cache is
+    never physically reordered (no per-step multi-GB gather, no
+    double-buffered carry copy — the 256-token-budget beam memory wall);
+    instead a (B·K, S_g) int32 ancestor map rides the carry and
+    ``decode_step_anc(token_ids, positions, gen_kv, gen_index, gen_mask,
+    anc) → (logits, new_gen_kv)`` reads the generated segment through it
+    (LlamaModel.decode_step_beam_anc). Token-identical to the reorder
+    path (tested).
     """
     b, v = first_token_logits.shape
     k = num_beams
     neg_inf = jnp.float32(-1e9)
     s_g = gen_base + max_new_tokens
-    assert next(iter(gen_kv.values())).shape[2] == s_g, (
+    leaf = jax.tree_util.tree_leaves(gen_kv)[0]
+    # stacked (L, B·K, S, …) layout or per-layer tuple of (B·K, S, …)
+    # dicts (the ancestry path's layout — per-layer writes alias in place)
+    assert leaf.shape[2 if leaf.ndim >= 5 else 1] == s_g, (
         "gen_kv sequence width must equal gen_base + max_new_tokens"
     )
 
@@ -583,6 +600,15 @@ def beam_search_decode_shared(
         if gen_mask_base is not None
         else jnp.zeros((b * k, s_g), bool)
     )
+    anc_mode = decode_step_anc is not None
+    if not anc_mode:
+        assert leaf.ndim >= 5, (
+            "the per-layer gen_kv layout requires ancestry mode — the "
+            "reorder path's per-step gather expects stacked (L, B·K, S, …)"
+        )
+    own = jnp.tile(jnp.arange(k, dtype=jnp.int32), b)  # within-block index
+    # every row's suffix slots were written by (replicated into) itself
+    anc0 = jnp.broadcast_to(own[:, None], (b * k, s_g))
 
     logp0 = jax.nn.log_softmax(
         _mask_min_length(first_token_logits, jnp.int32(0), min_length, eos_id, eos_logit_bias),
@@ -612,22 +638,30 @@ def beam_search_decode_shared(
         return full & (worst_hyp >= best_live)
 
     def cond(state):
-        (step, _, _, _, _, beam_scores_, hyp_tokens_, hyp_scores_) = state
+        (step, _, _, _, _, beam_scores_, hyp_tokens_, hyp_scores_, _) = state
         return (step < max_new_tokens) & ~jnp.all(
             running_done(beam_scores_, hyp_scores_, step)
         )
 
     def body(state):
         (step, generated, seen, caches, positions, beam_scores,
-         hyp_tokens, hyp_scores) = state
+         hyp_tokens, hyp_scores, anc) = state
         tok = generated[:, step - 1]
         gen_index = gen_base + step - 1
         gen_mask = base_mask | jnp.broadcast_to(
             (slot >= gen_base) & (slot < gen_base + step), (b * k, s_g)
         )
-        logits, caches = decode_step_shared(
-            tok[:, None], positions[:, None], caches, gen_index, gen_mask,
-        )
+        if anc_mode:
+            # this step's KV write lands in the row itself
+            anc = anc.at[:, gen_index].set(own)
+            logits, caches = decode_step_anc(
+                tok[:, None], positions[:, None], caches, gen_index,
+                gen_mask, anc,
+            )
+        else:
+            logits, caches = decode_step_shared(
+                tok[:, None], positions[:, None], caches, gen_index, gen_mask,
+            )
         logp = score_logits(logits[:, -1, :].astype(jnp.float32), seen, step)
         total = unflat(beam_scores[:, None] + logp).reshape(b, k * v)
         cand_scores, cand_idx = lax.top_k(total, 2 * k)
@@ -660,8 +694,13 @@ def beam_search_decode_shared(
         gather = (jnp.arange(b)[:, None] * k + new_beam).reshape(-1)
         generated = generated[gather]
         seen = seen[gather]
-        # only the generated segment reorders — the prompt KV is untouched
-        caches = jax.tree_util.tree_map(lambda c: c[:, gather], caches)
+        if anc_mode:
+            # rows stay put; only the (B·K, S) int32 ancestry map reorders
+            anc = anc[gather]
+        else:
+            # only the generated segment reorders — the prompt KV is
+            # untouched (but the gather still double-buffers it)
+            caches = jax.tree_util.tree_map(lambda c: c[:, gather], caches)
 
         new_tok_flat = flat(new_tok)
         generated = generated.at[:, step].set(new_tok_flat)
@@ -669,15 +708,15 @@ def beam_search_decode_shared(
         beam_scores = flat(new_scores)
         return (
             step + 1, generated, seen, caches, positions + 1,
-            beam_scores, hyp_tokens, hyp_scores,
+            beam_scores, hyp_tokens, hyp_scores, anc,
         )
 
     state = (
         jnp.int32(1), generated, seen, gen_kv, positions,
-        beam_scores, hyp_tokens, hyp_scores,
+        beam_scores, hyp_tokens, hyp_scores, anc0,
     )
     (step, generated, seen, caches, positions,
-     beam_scores, hyp_tokens, hyp_scores) = lax.while_loop(cond, body, state)
+     beam_scores, hyp_tokens, hyp_scores, _) = lax.while_loop(cond, body, state)
 
     live_norm = unflat(beam_scores) / jnp.power(
         jnp.float32(max_new_tokens), length_penalty

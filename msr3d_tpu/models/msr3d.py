@@ -329,6 +329,18 @@ class MSR3DNetwork(nn.Module):
             gen_mask, window_valid,
         )
 
+    def decode_step_beam_anc(
+        self, token_ids, positions, prompt_kv, prompt_mask, gen_kv,
+        gen_index, gen_mask, anc, num_beams,
+    ):
+        """Beam decode step with ancestry-indirected generated KV (rows
+        never reorder). See LlamaModel.decode_step_beam_anc."""
+        embeds = self.llm.embed_tokens(token_ids)
+        return self.llm.decode_step_beam_anc(
+            embeds, positions, prompt_kv, prompt_mask, gen_kv, gen_index,
+            gen_mask, anc, num_beams,
+        )
+
 
 # ---------------------------------------------------------------------------
 # Host-side model: prompts, tokenization, decode orchestration
@@ -355,6 +367,15 @@ class MSR3D:
         num_beams: int = 5,
         repetition_penalty: float = 3.0,
         length_penalty: float = 1.0,
+        beam_ancestry: bool = False,  # ancestry-indirected beam KV: no
+        # per-step generated-cache gather (and no double-buffered carry
+        # copy of it — the 256-token-budget beam memory wall); token-
+        # identical to the reorder path (tested)
+        layered_gen_cache: bool = False,  # greedy split-cache decode with
+        # the per-layer gen-KV layout (tuple of per-layer dicts): layer
+        # writes alias their carry leaf in place instead of the stacked
+        # layout's slice/re-stack full-cache copy per step — a 256-token-
+        # budget batch-ceiling lever; token-identical (tested)
         compact_transfer: bool = False,
         eos_logit_bias: float = 0.0,  # length-control serving knob
         spec_k: int = 0,  # greedy path: n-gram speculative decoding —
@@ -387,6 +408,8 @@ class MSR3D:
         self.num_beams = num_beams
         self.repetition_penalty = repetition_penalty
         self.length_penalty = length_penalty
+        self.beam_ancestry = bool(beam_ancestry)
+        self.layered_gen_cache = bool(layered_gen_cache)
         self.eos_logit_bias = eos_logit_bias
         if spec_k > 0 and repetition_penalty != 1.0:
             raise ValueError(
@@ -637,7 +660,18 @@ class MSR3D:
                     method=network.prefill,
                 )
                 bk = first.shape[0] * beams
-                gen_kv = _make_cache(llm_cfg, bk, max_new)
+                if self.beam_ancestry:
+                    # per-layer cache layout: each layer's decode write
+                    # aliases its own carry leaf in place — the stacked
+                    # (L, …) layout's slice/re-stack round trip copies
+                    # the whole generated cache every step
+                    stacked = _make_cache(llm_cfg, bk, max_new)
+                    gen_kv = tuple(
+                        {key: val[i] for key, val in stacked.items()}
+                        for i in range(llm_cfg.num_hidden_layers)
+                    )
+                else:
+                    gen_kv = _make_cache(llm_cfg, bk, max_new)
 
                 def decode_shared(token_ids, positions, gkv, gidx, gmask):
                     return network.apply(
@@ -646,12 +680,20 @@ class MSR3D:
                         method=network.decode_step_shared,
                     )
 
+                def decode_anc(token_ids, positions, gkv, gidx, gmask, anc):
+                    return network.apply(
+                        variables, token_ids, positions, prompt_kv,
+                        prompt_mask, gkv, gidx, gmask, anc, beams,
+                        method=network.decode_step_beam_anc,
+                    )
+
                 return beam_search_decode_shared(
                     decode_shared, next_pos, first, gen_kv,
                     num_beams=beams, length_penalty=length_penalty,
                     max_new_tokens=max_new, eos_id=eos_id, pad_id=eos_id,
                     min_length=1, repetition_penalty=self.repetition_penalty,
                     eos_logit_bias=self.eos_logit_bias,
+                    decode_step_anc=decode_anc if self.beam_ancestry else None,
                 )
 
             # greedy uses the split cache too: the prompt segment is a
@@ -663,6 +705,13 @@ class MSR3D:
                 method=network.prefill,
             )
             gen_kv = _make_cache(llm_cfg, first.shape[0], max_new)
+            if self.layered_gen_cache and self.spec_k == 0:
+                # per-layer layout: decode writes alias their own carry
+                # leaf (no stacked slice/re-stack full-cache copy)
+                gen_kv = tuple(
+                    {key: val[i] for key, val in gen_kv.items()}
+                    for i in range(llm_cfg.num_hidden_layers)
+                )
 
             def decode_shared(token_ids, positions, gkv, gidx, gmask):
                 return network.apply(
@@ -745,7 +794,7 @@ class MSR3D:
             )
         key = (prompt_len, max_new, beams, input_ids.shape[0],
                tuple(sorted(batch)), self.eos_logit_bias, self.spec_k,
-               self.spec_ngram,
+               self.spec_ngram, self.beam_ancestry, self.layered_gen_cache,
                (self.temperature, self.top_k, self.top_p) if sample else None)
         if not hasattr(self, "_generate_cache"):
             self._generate_cache = {}
@@ -830,6 +879,13 @@ class MSR3D:
             bq, w = suffix_ids.shape
             s_g = w + max_new
             gen_kv = _make_cache(llm_cfg, bq, s_g)
+            if beams == 1 and self.layered_gen_cache:
+                # per-layer layout end to end: the window pass writes the
+                # suffixes into it and the greedy loop aliases it in place
+                gen_kv = tuple(
+                    {key: val[i] for key, val in gen_kv.items()}
+                    for i in range(llm_cfg.num_hidden_layers)
+                )
             wv = window_valid.astype(bool)
 
             # per-row prefix token count (scene-major row order: row
@@ -870,6 +926,21 @@ class MSR3D:
                 gen_kv = jax.tree_util.tree_map(
                     lambda c: _expand_cache(c, beams), gen_kv
                 )
+                if self.beam_ancestry:
+                    # convert the window-pass output (stacked) to the
+                    # per-layer layout the ancestry loop aliases in place
+                    gen_kv = tuple(
+                        {key: val[i] for key, val in gen_kv.items()}
+                        for i in range(llm_cfg.num_hidden_layers)
+                    )
+
+                def decode_anc(token_ids, positions, gkv, gidx, gmask, anc):
+                    return network.apply(
+                        variables, token_ids, positions, prefix_kv,
+                        prefix_mask, gkv, gidx, gmask, anc, beams,
+                        method=network.decode_step_beam_anc,
+                    )
+
                 return beam_search_decode_shared(
                     decode_shared, next_positions, first, gen_kv,
                     num_beams=beams, length_penalty=self.length_penalty,
@@ -879,6 +950,7 @@ class MSR3D:
                     eos_logit_bias=self.eos_logit_bias,
                     gen_base=w,
                     gen_mask_base=jnp.repeat(gen_mask_base, beams, axis=0),
+                    decode_step_anc=decode_anc if self.beam_ancestry else None,
                 )
             return greedy_decode_shared(
                 decode_shared, next_positions, first, gen_kv,
@@ -1019,7 +1091,8 @@ class MSR3D:
         )
         max_new = max_new_tokens or self.max_out_len
         key = (prefix_ids.shape[1], w, n_groups, q_pad, max_new, beams,
-               tuple(sorted(batch)), self.eos_logit_bias)
+               tuple(sorted(batch)), self.eos_logit_bias, self.beam_ancestry,
+               self.layered_gen_cache)
         if not hasattr(self, "_group_cache"):
             self._group_cache = {}
         if key not in self._group_cache:
