@@ -367,10 +367,12 @@ class MSR3D:
         num_beams: int = 5,
         repetition_penalty: float = 3.0,
         length_penalty: float = 1.0,
-        beam_ancestry: bool = False,  # ancestry-indirected beam KV: no
+        beam_ancestry: bool = True,  # ancestry-indirected beam KV: no
         # per-step generated-cache gather (and no double-buffered carry
         # copy of it — the 256-token-budget beam memory wall); token-
-        # identical to the reorder path (tested)
+        # identical to the reorder path (tested); measured +32% at the
+        # beam-5 record config and 4.4× the 256-budget ceiling, so ON by
+        # default — False restores the physically-reordered cache
         layered_gen_cache: bool = False,  # greedy split-cache decode with
         # the per-layer gen-KV layout (tuple of per-layer dicts): layer
         # writes alias their carry leaf in place instead of the stacked

@@ -389,13 +389,86 @@ class SceneGroupBatchingServer:
         out.sort(key=lambda r: r.id)
         return out
 
-    def run(self, samples: Iterable[Dict[str, Any]]) -> Iterator[Result]:
+    def run(self, samples, on_result=None, idle_flush_s: float = 0.05):
+        """Serve requests.
+
+        Bulk mode (plain iterable, ``on_result=None``): a generator of
+        Results, same contract as :class:`BatchingServer.run`.
+
+        Online mode (:class:`OnlineRequestStream` + ``on_result``): the
+        ServingFrontend engine-thread contract — pulls until the stream
+        closes, delivering each Result via the callback. Grouping holds a
+        request only while more keep arriving: after ``idle_flush_s`` of
+        stream idleness every buffered group dispatches (possibly ragged
+        or singleton), so a lone request's latency is bounded by the
+        grace window, not by waiting for its scene-mates. Per-request
+        ``max_new_tokens`` budgets are honored by truncating the decoded
+        tokens (one compiled budget per program — the grouped program
+        cannot vary decode length per row).
+        """
+        if on_result is None:
+            return self._run_bulk(samples)
+        assert isinstance(samples, OnlineRequestStream), (
+            "online mode expects an OnlineRequestStream"
+        )
+        import time as _time
+
+        budgets: Dict[int, Optional[int]] = {}
+
+        def deliver(results: List[Result]) -> None:
+            for r in results:
+                cap = budgets.pop(r.id, None)
+                if cap is not None and len(r.output_tokens) > cap:
+                    toks = np.asarray(r.output_tokens)[:cap]
+                    r = Result(
+                        id=r.id,
+                        output_text=self.model.batch_detokenize(toks[None])[0],
+                        output_tokens=toks,
+                    )
+                on_result(r)
+
+        while True:
+            try:
+                sample, budget = next(samples)
+            except RequestStreamIdle:
+                if self._inflight:
+                    # results ready to fetch: drain one (blocks on device)
+                    deliver(self._drain_one())
+                elif self._open or self._full:
+                    # quiet stream + buffered groups: grace, then flush
+                    samples.wait(timeout=idle_flush_s)
+                    if samples.pending == 0 and not samples.closed:
+                        remainder = self._full + [
+                            self._open.pop(kk) for kk in list(self._open_order)
+                        ]
+                        self._full, self._open_order = [], []
+                        for start in range(0, len(remainder), self.scenes_per_batch):
+                            deliver(self._dispatch(
+                                remainder[start : start + self.scenes_per_batch]
+                            ))
+                else:
+                    samples.wait(timeout=1.0)
+                continue
+            except StopIteration:
+                break
+            rid = self.submit(sample)
+            budgets[rid] = budget
+            if self._ready:
+                ready, self._ready = self._ready, []
+                deliver(ready)
+        deliver(self.flush())
+
+    def _run_bulk(self, samples: Iterable[Dict[str, Any]]) -> Iterator[Result]:
         for s in samples:
             self.submit(s)
             if self._ready:
                 ready, self._ready = self._ready, []
                 yield from ready
         yield from self.flush()
+
+    @property
+    def num_slots(self) -> int:
+        return self.scenes_per_batch * self.questions_per_scene
 
     # -- internals --------------------------------------------------------
 

@@ -407,12 +407,16 @@ class ServingFrontend:
             ids, _ = model._encode_prompts(prompts)
         except Exception as exc:
             raise RequestError(f"prompt build failed: {exc}")
-        width = self.engine.prompt_len - 1  # trailing bos
-        if ids.shape[1] > width:
-            raise RequestError(
-                f"prompt expands to {ids.shape[1]} tokens; the engine's "
-                f"compiled bucket allows {width}"
-            )
+        engine_prompt_len = getattr(self.engine, "prompt_len", None)
+        if engine_prompt_len is not None:
+            width = engine_prompt_len - 1  # trailing bos
+            if ids.shape[1] > width:
+                raise RequestError(
+                    f"prompt expands to {ids.shape[1]} tokens; the engine's "
+                    f"compiled bucket allows {width}"
+                )
+        # engines without a fixed prompt bucket (the scene-grouped server)
+        # compile per observed bucket — no width precheck needed
         shapes = tuple(
             (k, tuple(np.asarray(sample[k]).shape))
             for k in sorted(k for k in sample if k in _SCENE_KEYS)

@@ -44,9 +44,14 @@ def parse_args(argv=None):
                    help="decode steps per dispatched chunk")
     p.add_argument("--lookahead", type=int, default=1,
                    help="decode chunks in flight before a flag fetch")
-    p.add_argument("--engine", choices=["continuous", "beam"],
+    p.add_argument("--engine", choices=["continuous", "beam", "grouped"],
                    default="continuous",
-                   help="greedy slot-refill engine, or per-slot beam search")
+                   help="greedy slot-refill engine, per-slot beam search, or "
+                   "scene-grouped shared-prefix serving (grouped)")
+    p.add_argument("--group-scenes", type=int, default=4,
+                   help="grouped engine: scene groups per program")
+    p.add_argument("--group-questions", type=int, default=8,
+                   help="grouped engine: questions per scene group")
     p.add_argument("--max-new-tokens", type=int, default=None,
                    help="engine-wide decode budget (default: model max_out_len)")
     p.add_argument("--prompt-len", type=int, default=None,
@@ -143,21 +148,31 @@ def create_frontend(args, cfg=None):
                 f"no weights {names} under {args.learnable}"
             )
 
-    engine_cls = (
-        ContinuousBeamBatchingServer if args.engine == "beam"
-        else ContinuousBatchingServer
-    )
-    kw = dict(
-        num_slots=args.slots,
-        refill_group=min(args.refill_group, args.slots),
-        chunk_steps=args.chunk_steps,
-        lookahead=args.lookahead,
-        max_new_tokens=args.max_new_tokens,
-        prompt_len=args.prompt_len,
-    )
-    if args.engine == "continuous":
-        kw["spec_k"] = args.spec_k
-    engine = engine_cls(model, **kw)
+    if args.engine == "grouped":
+        from msr3d_tpu.serving import SceneGroupBatchingServer
+
+        engine = SceneGroupBatchingServer(
+            model,
+            scenes_per_batch=args.group_scenes,
+            questions_per_scene=args.group_questions,
+            max_new_tokens=args.max_new_tokens,
+        )
+    else:
+        engine_cls = (
+            ContinuousBeamBatchingServer if args.engine == "beam"
+            else ContinuousBatchingServer
+        )
+        kw = dict(
+            num_slots=args.slots,
+            refill_group=min(args.refill_group, args.slots),
+            chunk_steps=args.chunk_steps,
+            lookahead=args.lookahead,
+            max_new_tokens=args.max_new_tokens,
+            prompt_len=args.prompt_len,
+        )
+        if args.engine == "continuous":
+            kw["spec_k"] = args.spec_k
+        engine = engine_cls(model, **kw)
     return ServingFrontend(
         engine, host=args.host, port=args.port,
         request_timeout=args.request_timeout,

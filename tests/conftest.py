@@ -59,7 +59,7 @@ def tiny_msr3d(shared_tiny_msr3d):
     model.params = jax.tree_util.tree_map(lambda x: x, pristine)
     model.compact_transfer = False
     model.spec_k = 0
-    model.beam_ancestry = False
+    model.beam_ancestry = True  # constructor default (ancestry beam KV)
     model.layered_gen_cache = False
     if getattr(model, "_serving_mesh", None) is not None:
         # a prior test sharded the model: drop mesh state and the

@@ -19,6 +19,7 @@ from tests.test_scene_group import SCENE_KEYS, _group_dict, _tiled_dict
 @pytest.mark.slow  # beam compiles on the tiny model
 def test_ancestry_beam_matches_reorder_beam(tiny_msr3d, rng):
     data = tiny_data_dict(rng)
+    tiny_msr3d.beam_ancestry = False  # reorder-path control arm
     base = tiny_msr3d.generate(dict(data), use_beam=True, max_new_tokens=6)
 
     tiny_msr3d.beam_ancestry = True
@@ -34,6 +35,7 @@ def test_ancestry_grouped_beam_matches(tiny_msr3d, rng):
     map across beam re-ranks."""
     questions = ["What do you see?", "Is there a chair by the window?"]
     group = _group_dict(rng, questions)
+    tiny_msr3d.beam_ancestry = False  # reorder-path control arm
     plain = tiny_msr3d.generate(
         _tiled_dict(group), use_beam=True, max_new_tokens=6
     )
@@ -92,6 +94,7 @@ def test_ancestry_beam_matches_under_int8_kv(rng):
     model.init_params(batch)
     pristine = jax.tree_util.tree_map(lambda x: x, model.params)
 
+    model.beam_ancestry = False  # reorder-path control arm
     base = model.generate(dict(data), use_beam=True, max_new_tokens=5)
     model.params = pristine
     model.beam_ancestry = True
