@@ -1270,8 +1270,17 @@ class ContinuousBeamBatchingServer(ContinuousBatchingServer):
 
         @jax.jit
         def init_state():
+            stacked = _make_cache(llm_cfg, BK, S_g)
             st = dict(
-                gen_kv=_make_cache(llm_cfg, BK, S_g),
+                # ancestry beam KV (see beam_search_decode_shared): rows
+                # never reorder — the per-layer tuple layout lets every
+                # layer's write alias its carry leaf, and only the anc
+                # map gathers on a beam re-rank
+                gen_kv=tuple(
+                    {key: val[i] for key, val in stacked.items()}
+                    for i in range(llm_cfg.num_hidden_layers)
+                ),
+                anc=jnp.zeros((BK, S_g), jnp.int32),
                 # finalized best hypothesis per slot (host reads this)
                 generated=jnp.full((B, S_g), pad, jnp.int32),
                 beam_tokens=jnp.full((BK, S_g), pad, jnp.int32),
@@ -1389,10 +1398,16 @@ class ContinuousBeamBatchingServer(ContinuousBatchingServer):
                 tok = st["beam_tokens"][rowsK, jnp.maximum(cntK - 1, 0)]
                 gen_index = jnp.where(runK, cntK - 1, -1)  # idle rows drop
                 gen_mask = slot_iota < cntK[:, None]
+                # this step's KV write lands in the row itself (idle rows'
+                # out-of-range index drops the anc write like the KV one)
+                anc = st["anc"].at[
+                    rowsK, jnp.where(runK, cntK - 1, S_g)
+                ].set(rowsK % K, mode="drop")
                 logits, gen_kv = network.apply(
                     variables, tok[:, None], rep(st["pos"])[:, None],
                     prompt_kv, prompt_mask, st["gen_kv"], gen_index,
-                    gen_mask, method=network.decode_step_shared,
+                    gen_mask, anc, K,
+                    method=network.decode_step_beam_anc,
                 )
                 # HF beam scoring: processors act on log-probs, per-row step
                 logp = jax.nn.log_softmax(
@@ -1461,9 +1476,9 @@ class ContinuousBeamBatchingServer(ContinuousBatchingServer):
                 gather = (jnp.arange(B)[:, None] * K + new_beam).reshape(-1)
                 beam_tokens = st["beam_tokens"][gather]
                 seen = st["seen"][gather]
-                gen_kv = jax.tree_util.tree_map(
-                    lambda c: c[:, gather], gen_kv
-                )
+                # the generated cache never reorders — only the ancestry
+                # map follows the beam re-rank
+                anc = anc[gather]
 
                 colK = jnp.minimum(cntK, S_g - 1)
                 new_tok_flat = new_tok.reshape(-1)
@@ -1496,7 +1511,8 @@ class ContinuousBeamBatchingServer(ContinuousBatchingServer):
                 )
 
                 st = dict(
-                    st, gen_kv=gen_kv, beam_tokens=beam_tokens, seen=seen,
+                    st, gen_kv=gen_kv, anc=anc, beam_tokens=beam_tokens,
+                    seen=seen,
                     beam_scores=beam_scores, hyp_tokens=hyp_tokens,
                     hyp_scores=hyp_scores, generated=generated,
                     finished=st["finished"] | newly_done,
