@@ -677,8 +677,17 @@ class ContinuousBatchingServer:
 
         @jax.jit
         def init_state():
+            stacked = _make_cache(llm_cfg, B, S_g)
             st = dict(
-                gen_kv=_make_cache(llm_cfg, B, S_g),
+                # per-layer tuple layout: each layer's decode write aliases
+                # its own donated carry leaf — the stacked (L, …) layout's
+                # slice/re-stack round trip held a full extra copy of the
+                # generated cache inside the chunk loop (the 48-slot
+                # 256-budget OOM wall)
+                gen_kv=tuple(
+                    {key: val[i] for key, val in stacked.items()}
+                    for i in range(llm_cfg.num_hidden_layers)
+                ),
                 generated=jnp.full((B, S_g), eos, jnp.int32),
                 cnt=jnp.zeros((B,), jnp.int32),
                 pos=jnp.zeros((B,), jnp.int32),
