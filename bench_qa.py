@@ -79,6 +79,14 @@ def parse_args(argv=None):
         "beam record config and 4.4x the 256-budget batch ceiling",
     )
     parser.add_argument(
+        "--layered", dest="layered_gen_cache", action="store_true",
+        default=False,
+        help="per-layer (tuple) generated-KV cache layout: removes the "
+        "stacked layout's full-cache carry copy in the decode while_loop — "
+        "the long-budget capacity knob (-7%% at nt32 b80 where the copy is "
+        "cheap, so stacked stays the short-budget default)",
+    )
+    parser.add_argument(
         "--group", type=int, default=0,
         help="grouped serving: Q questions share ONE scene's prefix "
         "prefill (generate_scene_group). --batch must be divisible by Q; "
@@ -141,6 +149,7 @@ def build_model(args):
         eos_logit_bias=getattr(args, "eos_bias", 0.0),
         spec_k=spec_k, spec_ngram=getattr(args, "spec_ngram", 3),
         beam_ancestry=getattr(args, "beam_ancestry", True),
+        layered_gen_cache=getattr(args, "layered_gen_cache", False),
     )
     return model, llm
 
@@ -295,7 +304,8 @@ def run(args) -> dict:
                 + ("-kv8" if getattr(args, "kv_quant", False) else "")
                 + ("-cpk" if getattr(args, "compact_transfer", False) else "")
                 + ("-flash" if getattr(args, "flash", False) else "")
-                + ("-anc" if getattr(args, "beam_ancestry", True) and args.beams > 1 else ""),
+                + ("-anc" if getattr(args, "beam_ancestry", True) and args.beams > 1 else "")
+                + ("-lyr" if getattr(args, "layered_gen_cache", False) else ""),
                 "step_ms": round(dt * 1000, 1),
                 "pipeline_depth": depth,
                 "group": args.group,
