@@ -206,6 +206,24 @@ def run(args) -> dict:
 
     import jax
 
+    # --layered only takes effect on the greedy non-speculative decode path
+    # (msr3d.py: spec_k>0 ignores it; beam decode's per-layer layout is
+    # governed by beam_ancestry instead) — warn so a run's config label
+    # never claims a layout it did not exercise.
+    layered_effective = (
+        getattr(args, "layered_gen_cache", False)
+        and args.beams == 1
+        and getattr(args, "spec_k", 0) == 0
+    )
+    if getattr(args, "layered_gen_cache", False) and not layered_effective:
+        import sys
+
+        print(
+            "bench_qa: --layered has no effect with --spec-k>0 or --beams>1 "
+            "(beam layout follows beam_ancestry); label omits -lyr",
+            file=sys.stderr,
+        )
+
     model, llm = build_model(args)
     tok = model.tokenizer
 
@@ -305,7 +323,7 @@ def run(args) -> dict:
                 + ("-cpk" if getattr(args, "compact_transfer", False) else "")
                 + ("-flash" if getattr(args, "flash", False) else "")
                 + ("-anc" if getattr(args, "beam_ancestry", True) and args.beams > 1 else "")
-                + ("-lyr" if getattr(args, "layered_gen_cache", False) else ""),
+                + ("-lyr" if layered_effective else ""),
                 "step_ms": round(dt * 1000, 1),
                 "pipeline_depth": depth,
                 "group": args.group,

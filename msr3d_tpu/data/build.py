@@ -40,6 +40,8 @@ from msr3d_tpu.data.datasets import msr3d as _msr3d  # noqa: F401
 
 def _register_optional_datasets() -> None:
     # sqa3d / one_step_navi / legacy import lazily (they pull the scan loader)
+    from msr3d_tpu.data.datasets import default as _default  # noqa: F401
+    from msr3d_tpu.data.datasets import nmr as _nmr  # noqa: F401
     from msr3d_tpu.data.datasets import one_step_navi as _osn  # noqa: F401
     from msr3d_tpu.data.datasets import scannet_legacy as _legacy  # noqa: F401
     from msr3d_tpu.data.datasets import scannet_mv as _mv  # noqa: F401

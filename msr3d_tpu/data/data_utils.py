@@ -119,6 +119,17 @@ def preprocess_2d(img: np.ndarray, size: Tuple[int, int] = (224, 224)) -> np.nda
     return np.ascontiguousarray(out)
 
 
+def transform_points(points: np.ndarray, transform: np.ndarray,
+                     translate: bool = True) -> np.ndarray:
+    """Apply a (3,4)/(4,4) linear map to (..., 3) points
+    (reference data/data_utils.py:248-276); ``translate=False`` transforms
+    directions (homogeneous coordinate 0)."""
+    const = np.ones_like(points[..., :1]) if translate else np.zeros_like(points[..., :1])
+    homo = np.concatenate([points, const], axis=-1)
+    out = np.einsum("nm,...m->...n", transform, homo)
+    return out[..., :3]
+
+
 def pad_tensors(arr: np.ndarray, lens: int, pad: float = 0.0) -> np.ndarray:
     """Pad along axis 0 to ``lens`` (dataset_wrapper.py:140-149)."""
     assert arr.shape[0] <= lens

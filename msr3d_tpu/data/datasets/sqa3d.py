@@ -263,3 +263,37 @@ class SQA3DScanNet(ScanNetSQA3D):
         )
         data_dict = MSR3DBase.transfer_leo_to_msr3d(data_dict)
         return MSR3DBase.check_output_and_fill_dummy(data_dict)
+
+
+@DATASET_REGISTRY.register(name="ScanNetSQA3DInstruction")
+class ScanNetSQA3DInstruction(ScanNetSQA3D):
+    """Instruction-following SQA3D format (scannet.py:1302-1320).
+
+    Prompt: ``<holistic prompt> Here are the object tokens in the scene:
+    <objs>. Situation: <situation> Question: <question> Answer:`` — pairs
+    with ``SQA3DInstructionEval`` (generation-mode EM).
+    """
+
+    holistic_prompt = (
+        "Assume you are an AI visual assistant situated in a 3D scene. You "
+        "receive a sequence of object tokens in the scene, each representing "
+        "the feature of a corresponding object. And you receive a situation "
+        "specifying where you are in the 3D scene. Next you will receive a "
+        "question to answer based on the visual information embedded in the "
+        "object tokens."
+    )
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        data_dict = super().__getitem__(index)
+        data_dict.update(
+            {
+                "prompt_before_obj": f"{self.holistic_prompt} Here are the "
+                "object tokens in the scene: ",
+                "prompt_after_obj": f". Situation: {data_dict['situation']} "
+                f"Question: {data_dict['question']} Answer: ",
+                "text_output": random.choice(
+                    data_dict["answer_list"].split("[answer_seq]")
+                ),
+            }
+        )
+        return data_dict

@@ -23,6 +23,7 @@ from msr3d_tpu.nn.transformers import (
     FeedForward,
     MultiHeadAttention,
     MultiHeadAttentionSpatial,
+    TransformerEncoderLayer,
 )
 from msr3d_tpu.ops.geometry import calc_pairwise_locs
 from msr3d_tpu.registry import GROUNDING_REGISTRY, HEADS_REGISTRY, LANGUAGE_REGISTRY
@@ -315,6 +316,45 @@ class UnifiedSpatialCrossEncoderV1(nn.Module):
                 deterministic=deterministic,
             )
             obj_embeds, txt_embeds = obj_out, txt_out
+        return txt_embeds, obj_embeds
+
+
+@GROUNDING_REGISTRY.register(name="UnifiedSpatialCrossEncoderV2")
+class UnifiedSpatialCrossEncoderV2(nn.Module):
+    """Word-token-fused variant (unified_encoder.py:121-186): per block,
+    objects gain loc + token-type(1) embeddings and text gains the
+    token-type(0) embedding, then both streams concatenate into ONE joint
+    sequence through a plain encoder layer and split back.  Unlike V1 there
+    is no spatial-geometry attention — fusion is pure self-attention over
+    the joint sequence."""
+
+    hidden_size: int = 768
+    num_attention_heads: int = 12
+    num_layers: int = 4
+    dim_loc: int = 6
+
+    @nn.compact
+    def __call__(
+        self, txt_embeds, txt_masks, obj_embeds, obj_locs, obj_masks,
+        *, deterministic: bool = True,
+    ):
+        txt_len = txt_embeds.shape[1]
+        loc_layer = _LocLayer(self.hidden_size, name="loc_layer")
+        type_emb = nn.Embed(2, self.hidden_size, name="token_type_embeddings")
+        joint_pad = ~jnp.concatenate(
+            [txt_masks.astype(bool), obj_masks.astype(bool)], axis=1
+        )
+        obj_type = type_emb(jnp.ones(obj_embeds.shape[:2], jnp.int32))
+        txt_type = type_emb(jnp.zeros(txt_embeds.shape[:2], jnp.int32))
+        for i in range(self.num_layers):
+            obj_in = obj_embeds + loc_layer(obj_locs) + obj_type
+            txt_in = txt_embeds + txt_type
+            joint = jnp.concatenate([txt_in, obj_in], axis=1)
+            joint, _ = TransformerEncoderLayer(
+                self.hidden_size, self.num_attention_heads, name=f"layer_{i}"
+            )(joint, tgt_key_padding_mask=joint_pad, deterministic=deterministic)
+            txt_embeds = joint[:, :txt_len]
+            obj_embeds = joint[:, txt_len:]
         return txt_embeds, obj_embeds
 
 

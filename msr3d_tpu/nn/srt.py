@@ -14,8 +14,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from msr3d_tpu.nn.transformers import CrossAttentionLayer
-from msr3d_tpu.registry import HEADS_REGISTRY
+from msr3d_tpu.nn.transformers import CrossAttentionLayer, TransformerEncoderLayer
+from msr3d_tpu.registry import HEADS_REGISTRY, VISION_REGISTRY
 
 
 def positional_encoding(coords: jax.Array, num_octaves: int = 8, start_octave: int = 0):
@@ -94,3 +94,84 @@ class SRTDecoder(nn.Module):
             h = nn.relu(h)
         pixels = nn.Dense(3, name="render_out")(h)
         return jax.nn.sigmoid(pixels)
+
+
+def ray_image_encoding(pos, rays, pos_octaves=15, pos_start_octave=0,
+                       ray_octaves=15):
+    """Image-shaped ray encoding (reference modules/layers/srt.py:42-53):
+    camera position encoding broadcast over the image, per-pixel ray
+    direction encoding, concatenated channels-last.
+
+    Args: ``pos`` (B, 3), ``rays`` (B, H, W, 3) → (B, H, W, 2·3·(po+ro)).
+    """
+    b, h, w, _ = rays.shape
+    pos_enc = positional_encoding(pos[:, None, :], pos_octaves, pos_start_octave)
+    pos_enc = jnp.broadcast_to(pos_enc[:, :, None, :], (b, h, w, pos_enc.shape[-1]))
+    ray_enc = positional_encoding(rays.reshape(b, h * w, 3), ray_octaves, 0)
+    ray_enc = ray_enc.reshape(b, h, w, ray_enc.shape[-1])
+    return jnp.concatenate([pos_enc, ray_enc], axis=-1)
+
+
+class SRTConvBlock(nn.Module):
+    """Two 3×3 convs, the second stride-2 (mv_srt_encoder.py:12-29); NHWC."""
+
+    hdim: int
+    odim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.hdim, (3, 3), strides=1, padding=1, use_bias=False,
+                    name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.odim, (3, 3), strides=2, padding=1, use_bias=False,
+                    name="conv2")(x)
+        return nn.relu(x)
+
+
+@VISION_REGISTRY.register(name="SRTEncoder")
+class SRTEncoder(nn.Module):
+    """SRT multi-view image encoder (mv_srt_encoder.py:32-81): per view,
+    pixels ‖ 183-dim ray encoding → strided conv pyramid → per-patch linear
+    → prenorm transformer over all views' patches jointly.
+
+    Channels-last throughout (TPU conv layout); the reference's NCHW
+    per-patch 1×1 conv becomes a Dense over the channel axis.
+    """
+
+    num_conv_blocks: int = 3
+    num_att_blocks: int = 5
+    pos_start_octave: int = 0
+    hidden_dim: int = 768
+    num_heads: int = 12
+    mlp_dim: int = 1536
+
+    @nn.compact
+    def __call__(self, images, camera_pos, rays, *, deterministic: bool = True):
+        """images (B, Nv, H, W, 3), camera_pos (B, Nv, 3),
+        rays (B, Nv, H, W, 3) → (B, Nv·Np, hidden_dim)."""
+        b, n_v = images.shape[:2]
+        x = images.reshape((b * n_v,) + images.shape[2:])
+        pos = camera_pos.reshape(b * n_v, 3)
+        ray = rays.reshape((b * n_v,) + rays.shape[2:])
+
+        ray_enc = ray_image_encoding(pos, ray, pos_octaves=15,
+                                     pos_start_octave=self.pos_start_octave,
+                                     ray_octaves=15)
+        x = jnp.concatenate([x, ray_enc], axis=-1)  # 3 + 180 = 183 channels
+
+        cur = 96
+        x = SRTConvBlock(hdim=cur, odim=2 * cur, name="conv_block_0")(x)
+        cur *= 2
+        for i in range(self.num_conv_blocks):
+            x = SRTConvBlock(hdim=cur, odim=2 * cur, name=f"conv_block_{i + 1}")(x)
+            cur *= 2
+        x = nn.Dense(self.hidden_dim, name="per_patch_linear")(x)
+
+        n_p = x.shape[1] * x.shape[2]
+        x = x.reshape(b, n_v * n_p, self.hidden_dim)
+        for i in range(self.num_att_blocks):
+            x, _ = TransformerEncoderLayer(
+                self.hidden_dim, self.num_heads, dim_feedforward=self.mlp_dim,
+                activation="gelu", prenorm=True, name=f"layer_{i}",
+            )(x, deterministic=deterministic)
+        return x

@@ -105,6 +105,21 @@ class TestSQA3D:
         # wall filtered out: 5 objects, one is "wall" → 4 left
         assert item["obj_fts"].shape[0] == 4
 
+    def test_instruction_variant(self, cfg):
+        from msr3d_tpu.data.datasets.sqa3d import ScanNetSQA3DInstruction
+
+        ds = ScanNetSQA3DInstruction(cfg, "val")
+        item = ds[0]
+        assert item["prompt_before_obj"].startswith(
+            "Assume you are an AI visual assistant situated in a 3D scene."
+        )
+        assert item["prompt_before_obj"].endswith(
+            "Here are the object tokens in the scene: "
+        )
+        assert item["prompt_after_obj"].startswith(". Situation: ")
+        assert f"Question: {item['question']} Answer: " in item["prompt_after_obj"]
+        assert item["text_output"] in item["answer_list"].split("[answer_seq]")
+
     def test_person_view_conversion(self):
         from msr3d_tpu.data.datasets.sqa3d import convert_person_view
 

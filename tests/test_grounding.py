@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from msr3d_tpu.nn.grounding import (
+    UnifiedSpatialCrossEncoderV2,
     BERTLanguageEncoder,
     EntitySpatialCrossEncoder,
     GroundHeadV1,
@@ -84,7 +85,9 @@ class TestBert:
 
 class TestEncoders:
     @pytest.mark.parametrize(
-        "cls", [EntitySpatialCrossEncoder, UnifiedSpatialCrossEncoderV1]
+        "cls",
+        [EntitySpatialCrossEncoder, UnifiedSpatialCrossEncoderV1,
+         UnifiedSpatialCrossEncoderV2],
     )
     def test_shapes(self, cls, streams):
         m = cls(hidden_size=H, num_attention_heads=4, num_layers=2)
@@ -93,6 +96,49 @@ class TestEncoders:
         assert txt.shape == (B, T, H)
         assert obj.shape == (B, O, H)
         assert np.isfinite(np.asarray(obj)).all()
+
+
+class TestUnifiedV2:
+    def test_registered(self):
+        assert (
+            GROUNDING_REGISTRY.get("UnifiedSpatialCrossEncoderV2")
+            is UnifiedSpatialCrossEncoderV2
+        )
+
+    def test_padding_invariance(self, streams):
+        """Padded txt/obj rows never influence the valid rows' outputs
+        (the joint-sequence mask, unified_encoder.py:168-176)."""
+        m = UnifiedSpatialCrossEncoderV2(hidden_size=H, num_attention_heads=4, num_layers=2)
+        v = m.init(jax.random.key(0), **streams)
+        txt1, obj1 = m.apply(v, **streams)
+        mutated = dict(streams)
+        txt = np.asarray(streams["txt_embeds"]).copy()
+        txt[:, -2:] += 37.0  # masked positions (last 2 txt are padding)
+        obj = np.asarray(streams["obj_embeds"]).copy()
+        obj[:, -1:] -= 11.0  # masked object
+        mutated["txt_embeds"] = jnp.asarray(txt)
+        mutated["obj_embeds"] = jnp.asarray(obj)
+        txt2, obj2 = m.apply(v, **mutated)
+        T_valid, O_valid = txt1.shape[1] - 2, obj1.shape[1] - 1
+        np.testing.assert_allclose(
+            np.asarray(txt1)[:, :T_valid], np.asarray(txt2)[:, :T_valid], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(obj1)[:, :O_valid], np.asarray(obj2)[:, :O_valid], atol=1e-5
+        )
+
+    def test_token_type_embeddings_distinguish_streams(self, streams):
+        """Zeroing the type table changes outputs (it is actually applied)."""
+        m = UnifiedSpatialCrossEncoderV2(hidden_size=H, num_attention_heads=4, num_layers=1)
+        v = m.init(jax.random.key(0), **streams)
+        txt1, _ = m.apply(v, **streams)
+        import jax as _jax
+
+        v2 = _jax.tree_util.tree_map(lambda x: x, v)
+        flat = v2["params"]["token_type_embeddings"]["embedding"]
+        v2["params"]["token_type_embeddings"]["embedding"] = jnp.zeros_like(flat)
+        txt2, _ = m.apply(v2, **streams)
+        assert not np.allclose(np.asarray(txt1), np.asarray(txt2))
 
 
 class TestHeads:
