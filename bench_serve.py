@@ -63,6 +63,19 @@ def parse_args(argv=None):
                    "the plain continuous engine instead of gang)")
     p.add_argument("--spec-ngram", type=int, default=3)
     p.add_argument("--rep-penalty", type=float, default=3.0)
+    p.add_argument("--prefix-pool", action="store_true",
+                   help="serve through the prefix-pool engine (scene "
+                        "prefixes prefilled once per scene into a shared "
+                        "KV block pool); the control arm is the PLAIN "
+                        "continuous engine on the same workload")
+    p.add_argument("--num-prefixes", type=int, default=8,
+                   help="prefix-pool blocks (G)")
+    p.add_argument("--suffix-len", type=int, default=64,
+                   help="prefix-pool question bucket (W)")
+    p.add_argument("--scenes", type=int, default=0,
+                   help="distinct scenes in the workload (scene-major "
+                        "question runs, MSQA-shaped); 0 = one scene per "
+                        "request (the plain workload)")
     args = p.parse_args(argv)
     args.new_tokens = args.max_new  # model.max_out_len
     return args
@@ -92,6 +105,43 @@ def split_rows(data: dict, n: int):
     ]
 
 
+def make_scene_runs(args, n: int, n_scenes: int, seed: int):
+    """MSQA-shaped stream: n requests over n_scenes scenes, scene-major
+    question runs (the eval-split ordering). Each scene's requests share
+    the scene arrays AND the pre-question prompt text."""
+    q = -(-n // n_scenes)
+    reqs = []
+    for s in range(n_scenes):
+        d = bench_qa.make_data(args, 1, seed + 1000 * s)
+        prompt0 = d["msr3d_prompt"][0]
+        head = prompt0[: prompt0.index("USER:")]
+        for j in range(q):
+            if len(reqs) >= n:
+                break
+            reqs.append({
+                "msr3d_prompt": (
+                    f"{head}USER: What is behind the chair number {j}? "
+                    f"ASSISTANT:"
+                ),
+                **{k: d[k][0] for k in d if k != "msr3d_prompt"},
+            })
+    return reqs
+
+
+def prefix_bucket(model, req) -> int:
+    """The pool engine's prefix bucket: tokens up to the last placeholder
+    of one (representative) workload prompt, rounded to 32."""
+    tok = model.tokenizer
+    enc = tok.encode_batch(
+        model.build_text_prompt({"msr3d_prompt": [req["msr3d_prompt"]]}),
+        padding_side="left", add_bos=True, pad_to=None,
+    )
+    row = enc.input_ids[0][enc.attention_mask[0].astype(bool)]
+    ph = {tok.scene_token_id, tok.img_token_id}
+    last = max(i for i, t in enumerate(row) if int(t) in ph)
+    return max(32, -(-(last + 1) // 32) * 32)
+
+
 def main() -> None:
     args = parse_args()
 
@@ -105,8 +155,11 @@ def main() -> None:
     model, llm = bench_qa.build_model(args)
 
     n = args.requests
-    data = bench_qa.make_data(args, n, args.seed)
-    requests = split_rows(data, n)
+    if args.scenes > 0:
+        requests = make_scene_runs(args, n, args.scenes, args.seed)
+    else:
+        data = bench_qa.make_data(args, n, args.seed)
+        requests = split_rows(data, n)
     budgets = sample_budgets(n, args.max_new, args.seed + 1)
 
     # init params on a small batch
@@ -122,11 +175,50 @@ def main() -> None:
     init_s = time.time() - t0
 
     # engine prompt bucket from the actual workload
-    wi, _ = model._encode_prompts(model.build_text_prompt(data))
+    wi, _ = model._encode_prompts(
+        model.build_text_prompt(
+            {"msr3d_prompt": [r["msr3d_prompt"] for r in requests]}
+        )
+    )
     prompt_len = max(32, -(-wi.shape[1] // 32) * 32) + 1
 
     spec_k = getattr(args, "spec_k", 0)
-    if args.beams > 1:
+    if args.prefix_pool:
+        from msr3d_tpu.serving import (
+            PrefixPoolContinuousBatchingServer,
+            PrefixPoolContinuousBeamBatchingServer,
+        )
+
+        pool_kw = dict(
+            num_prefixes=args.num_prefixes,
+            prefix_len=prefix_bucket(model, requests[0]),
+            suffix_len=args.suffix_len,
+            refill_group=args.refill_group, chunk_steps=args.chunk_steps,
+            max_new_tokens=args.max_new, lookahead=args.lookahead,
+        )
+        plain_kw = dict(
+            refill_group=args.refill_group, chunk_steps=args.chunk_steps,
+            max_new_tokens=args.max_new, prompt_len=prompt_len,
+            lookahead=args.lookahead,
+        )
+        if args.beams > 1:
+            cont = PrefixPoolContinuousBeamBatchingServer(
+                model, args.slots, num_beams=args.beams, **pool_kw
+            )
+            gang = ContinuousBeamBatchingServer(
+                model, args.slots, num_beams=args.beams, **plain_kw
+            )
+        else:
+            assert not spec_k, "prefix-pool is plain-greedy/beam only"
+            cont = PrefixPoolContinuousBatchingServer(
+                model, args.slots, **pool_kw
+            )
+            gang = ContinuousBatchingServer(model, args.slots, **plain_kw)
+        # control arm = the PLAIN continuous engine on the same workload
+        # (isolates the prefix-pool delta from the scheduling win)
+        cont._build_fns()
+        gang._build_fns()
+    elif args.beams > 1:
         # beam slot-refill engine vs its own gang-scheduled control (the
         # fixed-batch beam eval policy): each slot runs a full HF beam
         # search at its own depth (the reference's beam-5/rep-3.0 eval
@@ -184,9 +276,9 @@ def main() -> None:
     warm_reqs = requests[: args.refill_group]
     t0 = time.time()
     cont.run(warm_reqs, budgets=[2] * len(warm_reqs))
-    if spec_k and not args.skip_gang:
-        # spec mode: the control arm runs DIFFERENT compiled programs
-        # (T=1 chunk) — warm it too so the timed run is compile-free
+    if (spec_k or args.prefix_pool) and not args.skip_gang:
+        # the control arm runs DIFFERENT compiled programs (plain T=1
+        # chunk) — warm it too so the timed run is compile-free
         gang.run(warm_reqs, budgets=[2] * len(warm_reqs))
     compile_s = time.time() - t0
 
@@ -244,6 +336,10 @@ def main() -> None:
         + ("-kv8" if args.kv_quant else "")
         + ("-cpk" if args.compact_transfer else ""),
         "spec_k": spec_k,
+        "prefix_pool": bool(args.prefix_pool),
+        "num_prefixes": args.num_prefixes if args.prefix_pool else None,
+        "scenes": args.scenes or None,
+        "prefix_prefills": getattr(cont, "prefix_prefills", None),
         "token_mismatch_rows": mismatch_rows,
         "init_s": round(init_s, 1),
         "compile_s": round(compile_s, 1),

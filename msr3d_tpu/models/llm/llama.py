@@ -597,8 +597,22 @@ class LlamaAttention(nn.Module):
             # math to the physically-reordered cache — token-exact in
             # tests. Requires T == 1 (the beam decode loop).
             assert t == 1 and shared_prompt_kv is not None
-            kq_p, ks_p = _split_kv(shared_prompt_kv, "k", cfg.dtype)
-            vq_p, vs_p = _split_kv(shared_prompt_kv, "v", cfg.dtype)
+            # ``shared_prompt_kv`` may be one segment dict or a tuple of
+            # segment dicts (e.g. the prefix-pool beam engine's flattened
+            # block pool + flattened per-slot suffix pool); each segment's
+            # scores concatenate in order before the gen pairs
+            segments = (
+                shared_prompt_kv
+                if isinstance(shared_prompt_kv, (list, tuple))
+                else (shared_prompt_kv,)
+            )
+            seg_kv = [
+                (
+                    *_split_kv(seg, "k", cfg.dtype),
+                    *_split_kv(seg, "v", cfg.dtype),
+                )
+                for seg in segments
+            ]
             kq_g, ks_g = _split_kv(new_cache, "k", cfg.dtype)
             vq_g, vs_g = _split_kv(new_cache, "v", cfg.dtype)
             bq = b // anc_pairs_k
@@ -609,15 +623,18 @@ class LlamaAttention(nn.Module):
                     else arr.reshape((bq, anc_pairs_k * arr.shape[1]) + arr.shape[2:])
                 )
 
-            s_p = kq_p.shape[1]
+            widths = [kq_p.shape[1] for kq_p, _, _, _ in seg_kv]
             logits = jnp.concatenate(
-                [seg_logits(kq_p, ks_p), seg_logits(pairs(kq_g), pairs(ks_g))],
+                [seg_logits(kq_p, ks_p) for kq_p, ks_p, _, _ in seg_kv]
+                + [seg_logits(pairs(kq_g), pairs(ks_g))],
                 axis=-1,
             ) + attn_bias
             weights = jax.nn.softmax(logits, axis=-1)
-            out = seg_out(weights[..., :s_p], vq_p, vs_p) + seg_out(
-                weights[..., s_p:], pairs(vq_g), pairs(vs_g)
-            )
+            out = seg_out(weights[..., sum(widths):], pairs(vq_g), pairs(vs_g))
+            off = 0
+            for (_, _, vq_p, vs_p), w_p in zip(seg_kv, widths):
+                out = out + seg_out(weights[..., off:off + w_p], vq_p, vs_p)
+                off += w_p
             out = out.reshape(b, t, cfg.num_attention_heads * cfg.head_dim)
             out = proj("o_proj", cfg.hidden_size)(out, deterministic=deterministic)
             return out, new_cache
@@ -930,13 +947,23 @@ class LlamaModel(nn.Module):
         one T>1 window over a shared scene prefix) gates in-window key
         visibility with it, so pad slots written by this call are never
         attended. ``None`` keeps the speculative contract (every window
-        slot ≤ the query position is visible)."""
+        slot ≤ the query position is visible).
+
+        ``prompt_mask`` may alternatively carry batch B·K (one visibility
+        row PER QUERY): the prefix-pool serving engines flatten a
+        (G, S_pre) block pool into a batch-1 (1, G·S_pre) prompt segment
+        shared by every slot, and the per-query mask admits exactly the
+        rows of the slot's assigned block — arbitrary slot→block maps,
+        where the contiguous ``bk // b`` repeat cannot express them."""
         cfg = self.cfg
         bk, t, _ = inputs_embeds.shape
         b = next(iter(prompt_kv.values())).shape[1]
+        pm = (
+            prompt_mask if prompt_mask.shape[0] == bk
+            else jnp.repeat(prompt_mask, bk // b, axis=0)
+        )
         bias_p = jnp.where(
-            jnp.repeat(prompt_mask, bk // b, axis=0)[:, None, None, :].astype(bool),
-            0.0, -1e30,
+            pm[:, None, None, :].astype(bool), 0.0, -1e30
         ).astype(jnp.float32)
         valid_g = gen_mask[:, None, :].astype(bool)  # (B·K, 1, S_g)
         if t > 1:
@@ -1011,14 +1038,33 @@ class LlamaModel(nn.Module):
         attend over all K rows' slots as a (K·S) pair segment, and the
         additive bias admits exactly the pairs on the ancestry path —
         identical math, token-exact in tests, only a (B·K, S) int32 map
-        reorders per step."""
+        reorders per step.
+
+        ``prompt_mask`` may carry batch B·K (per-query visibility rows)
+        exactly as in :meth:`decode_step_shared` — the prefix-pool beam
+        engine's flattened block pool. ``prompt_kv`` may be a TUPLE of
+        segment dicts (their widths concatenate in order; ``prompt_mask``
+        must then be per-query over the total width): the prefix-pool
+        beam engine passes (flattened block pool, flattened per-slot
+        suffix pool) so suffix KV is stored once per slot, never
+        replicated across beam rows."""
         cfg = self.cfg
         bk = inputs_embeds.shape[0]
-        b = next(iter(prompt_kv.values())).shape[1]
+        segmented = isinstance(prompt_kv, (list, tuple))
         s_g = gen_mask.shape[1]
+        if segmented:
+            assert prompt_mask.shape[0] == bk, (
+                "segmented prompt_kv requires a per-query prompt_mask"
+            )
+            pm = prompt_mask
+        else:
+            b = next(iter(prompt_kv.values())).shape[1]
+            pm = (
+                prompt_mask if prompt_mask.shape[0] == bk
+                else jnp.repeat(prompt_mask, bk // b, axis=0)
+            )
         bias_p = jnp.where(
-            jnp.repeat(prompt_mask, bk // b, axis=0)[:, None, None, :].astype(bool),
-            0.0, -1e30,
+            pm[:, None, None, :].astype(bool), 0.0, -1e30
         ).astype(jnp.float32)
         # pair (row, slot) visible to query row r iff the slot is live and
         # row is r's ancestor at that slot
@@ -1033,12 +1079,19 @@ class LlamaModel(nn.Module):
         layered = isinstance(gen_kv, (list, tuple))
         updated_layers = []
         for i, block in enumerate(self.blocks):
+            if segmented:
+                layer_prompt = tuple(
+                    {key: val[i] for key, val in seg.items()}
+                    for seg in prompt_kv
+                )
+            else:
+                layer_prompt = {key: val[i] for key, val in prompt_kv.items()}
             x, updated = block(
                 x, positions, attn_bias,
                 gen_kv[i] if layered
                 else {key: val[i] for key, val in gen_kv.items()},
                 gen_index,
-                {key: val[i] for key, val in prompt_kv.items()},
+                layer_prompt,
                 anc_pairs_k=num_beams,
             )
             updated_layers.append(updated)

@@ -935,6 +935,65 @@ class ContinuousBatchingServer:
         first, kv, mask, next_pos = prefill(model.params, _to_jax(batch))
         return first, kv, mask, next_pos, ids
 
+    # -- scheduling-loop hooks (overridden by the prefix-pool engines) ----
+
+    def _engine_init(self):
+        """Returns (prompt_ctx, state): the engine's device state split
+        into the prompt-side context threaded through refill/decode and
+        the donated slot state."""
+        init_state = self._fns[0]
+        prompt_kv, prompt_mask, state = init_state()
+        return (prompt_kv, prompt_mask), state
+
+    def _take_group(self, queue: deque) -> list:
+        """Pop the next refill group (≤ refill_group requests) from the
+        pending queue. An empty return means head-of-line blocked — the
+        loop keeps decoding and retries after slots free."""
+        n = min(self.refill_group, len(queue))
+        return [queue.popleft() for _ in range(n)]
+
+    def _engine_refill(self, prompt_ctx, state, group, slots):
+        """Prefill ``group`` (list of (rid, sample, budget), ≤ r entries)
+        and insert it at ``slots`` (exactly r slot ids; rows past
+        len(group) are padding and must insert as idle)."""
+        import jax.numpy as jnp
+
+        r = self.refill_group
+        g_samples = [s for _, s, _ in group]
+        g_budgets = [b for _, _, b in group]
+        while len(g_samples) < r:  # pad the tail group
+            g_samples.append(g_samples[-1])
+            g_budgets.append(1)
+        first, kv, mask, next_pos, g_ids = self._prefill_group(g_samples)
+        valid = np.zeros(r, bool)
+        valid[: len(group)] = True
+        spec_args = (
+            {"new_ids": jnp.asarray(np.asarray(g_ids, np.int32))}
+            if self.spec_k else {}
+        )
+        if getattr(self, "sample", False):
+            g_rids = [rid for rid, _, _ in group]
+            g_rids += [0] * (r - len(g_rids))  # padding rows idle
+            spec_args["new_rids"] = jnp.asarray(np.asarray(g_rids, np.int32))
+        insert = self._fns[2]
+        prompt_kv, prompt_mask, new_state = insert(
+            *prompt_ctx, state,
+            kv, mask, first, next_pos,
+            jnp.asarray(np.asarray(slots, np.int32)),
+            jnp.asarray(valid),
+            jnp.asarray(np.asarray(g_budgets, np.int32)),
+            **spec_args,
+        )
+        return (prompt_kv, prompt_mask), new_state
+
+    def _engine_decode(self, prompt_ctx, state):
+        decode_chunk = self._fns[3]
+        return decode_chunk(self.model.params, *prompt_ctx, state)
+
+    def _on_slot_free(self, slot: int) -> None:
+        """Called when a finished request releases its slot (prefix-pool
+        engines decrement block refcounts here)."""
+
     def run(
         self,
         samples: Iterable[Dict[str, Any]],
@@ -988,7 +1047,6 @@ class ContinuousBatchingServer:
         assert model.params is not None, "init or load params first"
         if self._fns is None:
             self._build_fns()
-        init_state, _, insert, decode_chunk = self._fns
 
         online = isinstance(samples, OnlineRequestStream)
         if online:
@@ -1028,7 +1086,7 @@ class ContinuousBatchingServer:
         retain_results = not (online and on_result is not None)
         results: Dict[int, Result] = {}
 
-        prompt_kv, prompt_mask, state = init_state()
+        prompt_ctx, state = self._engine_init()
         free: deque = deque(range(self.num_slots))
         slot_rid: Dict[int, int] = {}
         self.steps_run = 0
@@ -1072,6 +1130,7 @@ class ContinuousBatchingServer:
                     if on_result is not None:
                         on_result(res)
                     free.append(s)
+                    self._on_slot_free(s)
 
         while True:
             # refill whenever a full group of free slots is available.
@@ -1088,34 +1147,16 @@ class ContinuousBatchingServer:
                 pull(r)
             can_refill = burst and len(free) >= r and bool(queue)
             while can_refill:
-                n_real = min(r, len(queue))
-                group = [queue.popleft() for _ in range(n_real)]
-                g_samples = [s for _, s, _ in group]
-                g_budgets = [b for _, _, b in group]
-                while len(g_samples) < r:  # pad the tail group
-                    g_samples.append(g_samples[-1])
-                    g_budgets.append(1)
-                first, kv, mask, next_pos, g_ids = self._prefill_group(g_samples)
+                group = self._take_group(queue)
+                if not group:
+                    # head-of-line blocked (prefix-pool engines: the next
+                    # request needs a pool block and none is evictable) —
+                    # decode on; finishing slots release blocks
+                    break
+                n_real = len(group)
                 slots = [free.popleft() for _ in range(r)]
-                valid = np.zeros(r, bool)
-                valid[:n_real] = True
-                spec_args = (
-                    {"new_ids": jnp.asarray(np.asarray(g_ids, np.int32))}
-                    if self.spec_k else {}
-                )
-                if getattr(self, "sample", False):
-                    g_rids = [rid for rid, _, _ in group]
-                    g_rids += [0] * (r - len(g_rids))  # padding rows idle
-                    spec_args["new_rids"] = jnp.asarray(
-                        np.asarray(g_rids, np.int32)
-                    )
-                prompt_kv, prompt_mask, state = insert(
-                    prompt_kv, prompt_mask, state,
-                    kv, mask, first, next_pos,
-                    jnp.asarray(np.asarray(slots, np.int32)),
-                    jnp.asarray(valid),
-                    jnp.asarray(np.asarray(g_budgets, np.int32)),
-                    **spec_args,
+                prompt_ctx, state = self._engine_refill(
+                    prompt_ctx, state, group, slots
                 )
                 for j, (rid, _, _) in enumerate(group):
                     slot_rid[slots[j]] = rid
@@ -1128,9 +1169,7 @@ class ContinuousBatchingServer:
                 can_refill = burst and len(free) >= r and bool(queue)
 
             if slot_rid:
-                steps, state = decode_chunk(
-                    model.params, prompt_kv, prompt_mask, state
-                )
+                steps, state = self._engine_decode(prompt_ctx, state)
                 # flags travel as explicit device copies: the state
                 # buffers themselves get donated into the NEXT chunk, and
                 # fetching a donated buffer is an error by design
@@ -1533,4 +1572,934 @@ class ContinuousBeamBatchingServer(ContinuousBatchingServer):
             return steps, state
 
         self._fns = (init_state, prefill, insert, decode_chunk)
+        return self._fns
+
+
+class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
+    """Continuous batching with a SHARED SCENE-PREFIX KV POOL — grouping
+    composed with slot refill, the true MSQA serving shape (many
+    questions per scene arriving as a stream).
+
+    The plain continuous engine prefills every request's FULL prompt
+    (preamble + scene tokens + question) into a per-slot prompt segment:
+    the scene encoder, the prefix attention FLOPs, and the scene-array
+    H2D transfer repeat per QUESTION, and per-slot prompt KV is the
+    slot-count HBM wall (48 slots OOM +1.55G at the 256 budget, round 3).
+    ``generate_scene_group`` removed all of that but only for fixed
+    gang-scheduled batches. This engine keeps both wins at once,
+    vLLM-block-table style on static shapes:
+
+    - ``pool_kv``: a fixed pool of ``num_prefixes`` prefix KV blocks
+      (G, S_pre). A block holds one (scene, situation) prefix — the
+      prompt up to and including its last scene/image placeholder token
+      — prefilled ONCE when the scene first appears and kept resident
+      (LRU) after its last request finishes, so a scene returning later
+      in the stream is still free.
+    - per-request suffix (question tokens + trailing bos) runs as one
+      left-padded T=``suffix_len`` window pass over its block's prefix
+      (the grouped path's ``window_valid`` machinery) and lives at the
+      HEAD of the slot's generated segment — per-slot prompt KV shrinks
+      from the full prompt bucket to the question bucket.
+    - decode attends the pool as a batch-1 (1, G·S_pre) pair segment
+      shared by every slot; a per-slot visibility mask admits exactly
+      the assigned block's rows (``decode_step_shared``'s per-query
+      ``prompt_mask`` contract — the same trick ``beam_ancestry`` plays
+      for beam rows). With G < B this READS LESS than per-slot prompt
+      KV: each resident block is fetched once per step for all its
+      slots.
+
+    Block assignment is exact, never heuristic: a block's key is
+    (scene fingerprint, prefix token bytes), so two requests share a
+    block only if the prefix prefill they would run is bit-identical —
+    a miskeyed ``group_key`` degrades to separate blocks, never to
+    wrong answers. Prompts with no scene/image placeholder share one
+    permanently-empty block (the whole prompt rides the suffix window).
+
+    Scheduling inherits the slot-refill host loop unchanged. The one new
+    stall mode is head-of-line blocking: if the next request needs a new
+    block and every block is referenced by an active slot, refill waits
+    (finishing slots release blocks, so progress is guaranteed). Greedy
+    only; ``spec_k``/``do_sample`` are plain-engine features.
+
+    Args beyond the base engine: ``num_prefixes`` (pool blocks G),
+    ``prefix_len`` (prefix bucket S_pre, default the model's prompt
+    bucket), ``suffix_len`` (question bucket W).
+    """
+
+    supports_progress = True
+    _EMPTY_KEY = ("__no_placeholder_prefix__",)
+
+    def __init__(
+        self,
+        model,
+        num_slots: int,
+        *,
+        num_prefixes: int = 8,
+        prefix_len: Optional[int] = None,
+        suffix_len: int = 32,
+        refill_group: int = 4,
+        chunk_steps: int = 16,
+        max_new_tokens: Optional[int] = None,
+        drain_between_batches: bool = False,
+        lookahead: int = 1,
+    ):
+        super().__init__(
+            model, num_slots, refill_group=refill_group,
+            chunk_steps=chunk_steps, max_new_tokens=max_new_tokens,
+            prompt_len=prefix_len or model.prompt_pad_to,
+            drain_between_batches=drain_between_batches,
+            lookahead=lookahead, spec_k=0,
+        )
+        if self.sample:
+            raise ValueError(
+                "do_sample serving is a plain-continuous-engine feature "
+                "(per-request keys do not compose with shared prefixes yet)"
+            )
+        self.num_prefixes = int(num_prefixes)
+        assert self.num_prefixes >= 1
+        self.prefix_len = self.prompt_len  # S_pre bucket (no trailing bos)
+        self.suffix_len = int(suffix_len)
+        # host pool bookkeeping
+        self._block_of: Dict[Any, int] = {}  # resident key -> block id
+        self._block_key: List[Any] = [None] * self.num_prefixes
+        self._block_ref = [0] * self.num_prefixes
+        self._free_tick = [0] * self.num_prefixes  # LRU among ref==0
+        self._tick = 0
+        self._slot_block: Dict[int, int] = {}
+        self._resolved: Dict[int, tuple] = {}  # rid -> (bid, needs, pre, suf)
+        self._split_cache: Dict[int, tuple] = {}  # rid -> (key, pre, suf)
+        # reserve the empty-prefix block lazily: placeholder-less prompts
+        # all share block assignments against an all-masked block
+        self._empty_bid: Optional[int] = None
+        self.prefix_prefills = 0  # prefix-prefill call census (observability)
+
+    # -- compiled programs -------------------------------------------------
+
+    def _build_fns(self):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        from functools import partial
+
+        from msr3d_tpu.models.llm.llama import _make_cache
+        from msr3d_tpu.models.llm.sampling import pick_next_rows
+        from msr3d_tpu.models.msr3d import MSR3D
+
+        model = self.model
+        network = model.network
+        llm_cfg = model.cfg.llm
+        B, G = self.num_slots, self.num_prefixes
+        S_pre, W, S_g = self.prefix_len, self.suffix_len, self.max_new
+        V = llm_cfg.vocab_size
+        L = llm_cfg.num_hidden_layers
+        eos = model.tokenizer.eos_id
+        bos = model.tokenizer.bos_id
+        rp = model.repetition_penalty
+        eos_bias = model.eos_logit_bias
+        n_steps = self.chunk_steps
+        R = self.refill_group
+
+        def pick_rows(logits, seen, steps):
+            return pick_next_rows(
+                logits, seen, steps, eos_id=eos, repetition_penalty=rp,
+                eos_logit_bias=eos_bias,
+            )
+
+        @jax.jit
+        def init_state():
+            stacked = _make_cache(llm_cfg, B, W + S_g)
+            st = dict(
+                gen_kv=tuple(
+                    {key: val[i] for key, val in stacked.items()}
+                    for i in range(L)
+                ),
+                sufmask=jnp.zeros((B, W), bool),
+                assign=jnp.zeros((B,), jnp.int32),
+                generated=jnp.full((B, S_g), eos, jnp.int32),
+                cnt=jnp.zeros((B,), jnp.int32),
+                pos=jnp.zeros((B,), jnp.int32),
+                finished=jnp.ones((B,), bool),
+                active=jnp.zeros((B,), bool),
+                seen=jnp.zeros((B, V), bool),
+                budget=jnp.zeros((B,), jnp.int32),
+            )
+            pool_kv = _make_cache(llm_cfg, G, S_pre)
+            pool_mask = jnp.zeros((G, S_pre), bool)
+            pool_npre = jnp.zeros((G,), jnp.int32)
+            return pool_kv, pool_mask, pool_npre, st
+
+        @jax.jit
+        def prefix_prefill(variables, batch):
+            batch = MSR3D._unpack_batch(batch)
+            return network.apply(
+                variables, **batch, bos_id=bos, max_cache_len=S_pre,
+                append_bos=False, method=network.prefill,
+            )
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def prefix_insert(
+            pool_kv, pool_mask, pool_npre, new_kv, new_mask, new_npre,
+            blocks, valid,
+        ):
+            # invalid (padding) rows scatter at index G -> dropped
+            tgt = jnp.where(valid, blocks, jnp.int32(G))
+            pool_kv = {
+                key: arr.at[:, tgt].set(
+                    new_kv[key].astype(arr.dtype), mode="drop"
+                )
+                for key, arr in pool_kv.items()
+            }
+            pool_mask = pool_mask.at[tgt].set(new_mask, mode="drop")
+            pool_npre = pool_npre.at[tgt].set(
+                new_npre.astype(jnp.int32), mode="drop"
+            )
+            return pool_kv, pool_mask, pool_npre
+
+        @partial(jax.jit, donate_argnums=(4,))
+        def suffix_insert(
+            variables, pool_kv, pool_mask, pool_npre, state,
+            suffix_ids, wv, blocks, slots, valid, budgets,
+        ):
+            r = slots.shape[0]
+            # gather the group's blocks once (r rows, refill-time only —
+            # decode reads the pool in place)
+            pk_rows = {key: val[:, blocks] for key, val in pool_kv.items()}
+            pm_rows = pool_mask[blocks]
+            npre = pool_npre[blocks]
+            wvb = wv.astype(bool)
+            win_pos = jnp.maximum(
+                npre[:, None] + jnp.cumsum(wv, axis=1) - 1, 0
+            ).astype(jnp.int32)
+            win_cache = _make_cache(llm_cfg, r, W)
+            logits, win_kv = network.apply(
+                variables, suffix_ids, win_pos, pk_rows, pm_rows,
+                win_cache, jnp.int32(0), jnp.zeros((r, W), bool), wvb,
+                method=network.decode_step_shared,
+            )
+            first = logits[:, -1, :].astype(jnp.float32)
+            tok0 = pick_rows(
+                first, jnp.zeros((r, V), bool), jnp.zeros((r,), jnp.int32)
+            )
+            gen_rows = jnp.full((r, S_g), eos, jnp.int32).at[:, 0].set(tok0)
+            seen_rows = jnp.zeros((r, V), bool).at[
+                jnp.arange(r), tok0
+            ].set(True)
+            fin0 = (tok0 == eos) | (budgets <= 1)
+            gen_kv = []
+            for i in range(L):
+                layer = {
+                    key: arr.at[slots, :W].set(
+                        win_kv[key][i].astype(arr.dtype)
+                    )
+                    for key, arr in state["gen_kv"][i].items()
+                }
+                gen_kv.append(layer)
+            state = dict(
+                state,
+                gen_kv=tuple(gen_kv),
+                sufmask=state["sufmask"].at[slots].set(wvb),
+                assign=state["assign"].at[slots].set(blocks),
+                generated=state["generated"].at[slots].set(gen_rows),
+                seen=state["seen"].at[slots].set(seen_rows),
+                cnt=state["cnt"].at[slots].set(1),
+                pos=state["pos"].at[slots].set(
+                    (npre + jnp.sum(wv, axis=1)).astype(jnp.int32)
+                ),
+                finished=state["finished"].at[slots].set(
+                    jnp.where(valid, fin0, True)
+                ),
+                active=state["active"].at[slots].set(valid),
+                budget=state["budget"].at[slots].set(budgets),
+            )
+            return state
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def decode_chunk(variables, pool_kv, pool_mask, state):
+            rows = jnp.arange(B)
+            slot_iota = jnp.arange(S_g)[None, :]
+            # batch-1 flattened pool segment (a reshape - no copy)
+            pool_flat = {
+                key: val.reshape(
+                    (val.shape[0], 1, G * S_pre) + val.shape[3:]
+                )
+                for key, val in pool_kv.items()
+            }
+            # per-slot block visibility: loop-invariant inside the chunk
+            vis = (
+                (state["assign"][:, None] == jnp.arange(G)[None, :])[
+                    :, :, None
+                ]
+                & pool_mask[None]
+            ).reshape(B, G * S_pre)
+
+            def cond(carry):
+                i, st = carry
+                return (i < n_steps) & jnp.any(st["active"] & ~st["finished"])
+
+            def body(carry):
+                i, st = carry
+                run = st["active"] & ~st["finished"]
+                cnt = st["cnt"]
+                tok = st["generated"][rows, jnp.maximum(cnt - 1, 0)]
+                gen_index = jnp.where(run, W + cnt - 1, -1)
+                gen_mask = jnp.concatenate(
+                    [st["sufmask"], slot_iota < cnt[:, None]], axis=1
+                )
+                logits, gen_kv = network.apply(
+                    variables, tok[:, None], st["pos"][:, None],
+                    pool_flat, vis, st["gen_kv"], gen_index, gen_mask,
+                    method=network.decode_step_shared,
+                )
+                nxt = pick_rows(
+                    logits[:, -1, :].astype(jnp.float32), st["seen"], cnt
+                )
+                nxt = jnp.where(run, nxt, jnp.int32(eos))
+                col = jnp.minimum(cnt, S_g - 1)
+                cur = st["generated"][rows, col]
+                generated = st["generated"].at[rows, col].set(
+                    jnp.where(run, nxt, cur)
+                )
+                seen = jnp.where(
+                    run[:, None], st["seen"].at[rows, nxt].set(True),
+                    st["seen"],
+                )
+                finished = st["finished"] | (
+                    run & ((nxt == eos) | (cnt + 1 >= st["budget"]))
+                )
+                inc = run.astype(jnp.int32)
+                st = dict(
+                    st, gen_kv=gen_kv, generated=generated, seen=seen,
+                    finished=finished, cnt=cnt + inc, pos=st["pos"] + inc,
+                )
+                return i + 1, st
+
+            steps, state = lax.while_loop(cond, body, (jnp.int32(0), state))
+            return steps, state
+
+        self._fns = (
+            init_state, prefix_prefill, prefix_insert, suffix_insert,
+            decode_chunk,
+        )
+        return self._fns
+
+    # -- host-side pool management ----------------------------------------
+
+    def _split_sample(self, sample: Dict[str, Any]):
+        """(key, prefix token ids, suffix token ids) for one request.
+
+        The split point is AFTER the last scene/image placeholder token
+        (special tokens - never merged by BPE), so the prefix token
+        sequence is identical for every request whose pre-question text
+        and scene arrays match, and the suffix is pure text the window
+        pass can embed without splicing. The key pairs the scene
+        fingerprint with the prefix bytes - block reuse is bit-exact by
+        construction."""
+        model = self.model
+        tok = model.tokenizer
+        texts = model.build_text_prompt(_collate([sample]))
+        enc = tok.encode_batch(
+            texts, padding_side="left", add_bos=True, pad_to=None
+        )
+        row = enc.input_ids[0][enc.attention_mask[0].astype(bool)]
+        ph = {tok.scene_token_id, tok.img_token_id}
+        last = -1
+        for i, t in enumerate(row):
+            if int(t) in ph:
+                last = i
+        if last < 0:
+            prefix = np.zeros((0,), np.int32)
+            key = self._EMPTY_KEY
+        else:
+            prefix = np.asarray(row[: last + 1], np.int32)
+            key = (scene_fingerprint(sample), prefix.tobytes())
+        suffix = [int(t) for t in row[last + 1 :]] + [tok.bos_id]
+        assert len(prefix) <= self.prefix_len, (
+            f"scene prefix ({len(prefix)} tokens) exceeds the engine's "
+            f"prefix bucket ({self.prefix_len}); raise prefix_len"
+        )
+        assert len(suffix) <= self.suffix_len, (
+            f"question suffix ({len(suffix)} tokens incl. trailing bos) "
+            f"exceeds the engine's suffix bucket ({self.suffix_len}); "
+            f"raise suffix_len"
+        )
+        return key, prefix, suffix
+
+    def _alloc_block(self, key) -> Optional[int]:
+        """Claim a block for ``key``: a virgin block if any, else evict
+        the least-recently-freed resident block. None = all referenced."""
+        virgin = None
+        lru_bid, lru_tick = None, None
+        for bid in range(self.num_prefixes):
+            if self._block_ref[bid] > 0 or bid == self._empty_bid:
+                continue
+            if self._block_key[bid] is None:
+                virgin = bid
+                break
+            if lru_tick is None or self._free_tick[bid] < lru_tick:
+                lru_bid, lru_tick = bid, self._free_tick[bid]
+        bid = virgin if virgin is not None else lru_bid
+        if bid is None:
+            return None
+        old = self._block_key[bid]
+        if old is not None:
+            del self._block_of[old]
+        self._block_key[bid] = key
+        self._block_of[key] = bid
+        return bid
+
+    def _take_group(self, queue: deque) -> list:
+        group = []
+        group_new = {}  # key -> bid claimed by this group
+        while queue and len(group) < self.refill_group:
+            rid, sample, budget = queue[0]
+            if rid in self._split_cache:
+                key, prefix, suffix = self._split_cache[rid]
+            else:
+                key, prefix, suffix = self._split_sample(sample)
+                self._split_cache[rid] = (key, prefix, suffix)
+            if key == self._EMPTY_KEY:
+                if self._empty_bid is None:
+                    # claim a permanent all-masked block (never prefilled)
+                    bid = self._alloc_block(key)
+                    if bid is None:
+                        break
+                    self._empty_bid = bid
+                bid, needs = self._empty_bid, False
+            elif key in self._block_of:
+                bid, needs = self._block_of[key], False
+            elif key in group_new:
+                bid, needs = group_new[key], False
+            else:
+                bid = self._alloc_block(key)
+                if bid is None:
+                    if not self._slot_block and not group:
+                        # nothing active and nothing scheduled this group:
+                        # no slot will ever free a block — a too-small pool
+                        # (e.g. num_prefixes=1 consumed by the empty-prefix
+                        # block) must fail loud, not hang
+                        raise RuntimeError(
+                            "prefix pool exhausted with no active slots — "
+                            f"num_prefixes={self.num_prefixes} cannot "
+                            "schedule this request mix; raise num_prefixes"
+                        )
+                    break  # head-of-line blocked until a slot frees
+                group_new[key] = bid
+                needs = True
+            queue.popleft()
+            del self._split_cache[rid]
+            self._block_ref[bid] += 1
+            self._resolved[rid] = (bid, needs, prefix, suffix, sample)
+            group.append((rid, sample, budget))
+        return group
+
+    def _on_slot_free(self, slot: int) -> None:
+        bid = self._slot_block.pop(slot, None)
+        if bid is not None:
+            self._block_ref[bid] -= 1
+            if self._block_ref[bid] == 0:
+                self._tick += 1
+                self._free_tick[bid] = self._tick
+
+    # -- refill/decode hooks ------------------------------------------------
+
+    def _engine_init(self):
+        init_state = self._fns[0]
+        pool_kv, pool_mask, pool_npre, st = init_state()
+        # a fresh run resets host pool bookkeeping (device pool is fresh)
+        self._block_of.clear()
+        self._block_key = [None] * self.num_prefixes
+        self._block_ref = [0] * self.num_prefixes
+        self._free_tick = [0] * self.num_prefixes
+        self._tick = 0
+        self._slot_block.clear()
+        self._resolved.clear()
+        self._split_cache.clear()
+        self._empty_bid = None
+        self.prefix_prefills = 0
+        return (pool_kv, pool_mask, pool_npre), st
+
+    def _engine_refill(self, prompt_ctx, state, group, slots):
+        import jax.numpy as jnp
+
+        from msr3d_tpu.models.msr3d import _to_jax
+
+        model = self.model
+        pool_kv, pool_mask, pool_npre = prompt_ctx
+        _, prefix_prefill, prefix_insert, suffix_insert, _ = self._fns
+        r = self.refill_group
+        pad_id = model.tokenizer.pad_id
+        res = [self._resolved.pop(rid) for rid, _, _ in group]
+
+        # --- new prefix blocks (each key appears with needs=True once) --
+        new = [(bid, pre, smp) for bid, needs, pre, _, smp in res if needs]
+        if new:
+            width = self.prefix_len
+            pids = np.full((r, width), pad_id, np.int32)
+            pattn = np.zeros((r, width), np.int32)
+            blocks_new = np.zeros(r, np.int32)
+            valid_new = np.zeros(r, bool)
+            row_samples = []
+            for j, (bid, pre, smp) in enumerate(new):
+                pids[j, width - len(pre):] = pre
+                pattn[j, width - len(pre):] = 1
+                blocks_new[j] = bid
+                valid_new[j] = True
+                row_samples.append(smp)
+            while len(row_samples) < r:
+                row_samples.append(row_samples[-1])  # padding rows dropped
+                pids[len(row_samples) - 1] = pids[0]
+                pattn[len(row_samples) - 1] = pattn[0]
+            data = _collate(row_samples)
+            batch = model._maybe_pack(model._scene_batch(data))
+            batch.update(input_ids=pids, attention_mask=pattn)
+            _, kv, mask, npos = prefix_prefill(model.params, _to_jax(batch))
+            self.prefix_prefills += 1
+            pool_kv, pool_mask, pool_npre = prefix_insert(
+                pool_kv, pool_mask, pool_npre, kv, mask, npos,
+                jnp.asarray(blocks_new), jnp.asarray(valid_new),
+            )
+
+        # --- suffix window + slot insert --------------------------------
+        W = self.suffix_len
+        sids = np.full((r, W), pad_id, np.int32)
+        wv = np.zeros((r, W), np.int32)
+        blocks = np.zeros(r, np.int32)
+        budgets = np.ones(r, np.int32)
+        valid = np.zeros(r, bool)
+        for j, ((rid, _, budget), (bid, _, _, suffix, _)) in enumerate(
+            zip(group, res)
+        ):
+            sids[j, W - len(suffix):] = suffix
+            wv[j, W - len(suffix):] = 1
+            blocks[j] = bid
+            budgets[j] = budget
+            valid[j] = True
+            self._slot_block[slots[j]] = bid
+        for j in range(len(group), r):  # padding rows mirror row 0, idle
+            sids[j] = sids[0]
+            wv[j] = wv[0]
+            blocks[j] = blocks[0]
+        state = suffix_insert(
+            model.params, pool_kv, pool_mask, pool_npre, state,
+            jnp.asarray(sids), jnp.asarray(wv), jnp.asarray(blocks),
+            jnp.asarray(np.asarray(slots, np.int32)), jnp.asarray(valid),
+            jnp.asarray(budgets),
+        )
+        return (pool_kv, pool_mask, pool_npre), state
+
+    def _engine_decode(self, prompt_ctx, state):
+        decode_chunk = self._fns[4]
+        pool_kv, pool_mask, _ = prompt_ctx
+        return decode_chunk(self.model.params, pool_kv, pool_mask, state)
+
+
+class PrefixPoolContinuousBeamBatchingServer(PrefixPoolContinuousBatchingServer):
+    """Prefix-pool continuous batching for BEAM-SEARCH serving — the
+    reference's exact accuracy-eval decode (num_beams=5,
+    repetition_penalty=3.0, 256-token budget) with the scene prefix
+    prefilled once per scene AND slot-refill scheduling.
+
+    Layout differences from the greedy pool engine:
+
+    - the per-slot question suffix KV lives in its own (B, W) pool,
+      attended as a second batch-1 flattened segment next to the block
+      pool — stored ONCE per slot, never replicated across the K beam
+      rows (at the 256-token budget the generated segment is the
+      allocation that walls batch size; +W per beam row would cost
+      ~K·W/S_g of it).
+    - the generated segment stays (B·K, S_g) with ancestry-indirected
+      KV exactly like :class:`ContinuousBeamBatchingServer`.
+
+    Host pool management (block keys, LRU, head-of-line blocking) is
+    inherited unchanged; ``suffix_insert`` additionally runs HF beam
+    step 0 on the window pass's last-token logits.
+    """
+
+    supports_progress = False  # hypotheses finalize at search end
+
+    def __init__(
+        self,
+        model,
+        num_slots: int,
+        *,
+        num_beams: Optional[int] = None,
+        num_prefixes: int = 8,
+        prefix_len: Optional[int] = None,
+        suffix_len: int = 32,
+        refill_group: int = 4,
+        chunk_steps: int = 16,
+        max_new_tokens: Optional[int] = None,
+        drain_between_batches: bool = False,
+        lookahead: int = 1,
+    ):
+        super().__init__(
+            model, num_slots, num_prefixes=num_prefixes,
+            prefix_len=prefix_len, suffix_len=suffix_len,
+            refill_group=refill_group, chunk_steps=chunk_steps,
+            max_new_tokens=max_new_tokens,
+            drain_between_batches=drain_between_batches, lookahead=lookahead,
+        )
+        self.num_beams = int(num_beams or model.num_beams)
+        assert self.num_beams >= 1
+
+    def _build_fns(self):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        from functools import partial
+
+        from msr3d_tpu.models.llm.llama import _make_cache
+        from msr3d_tpu.models.llm.sampling import (
+            _mask_min_length,
+            apply_repetition_penalty,
+        )
+        from msr3d_tpu.models.msr3d import MSR3D
+
+        model = self.model
+        network = model.network
+        llm_cfg = model.cfg.llm
+        B, G, K = self.num_slots, self.num_prefixes, self.num_beams
+        S_pre, W, S_g = self.prefix_len, self.suffix_len, self.max_new
+        V = llm_cfg.vocab_size
+        L = llm_cfg.num_hidden_layers
+        eos = model.tokenizer.eos_id
+        pad = eos  # generate pads outputs with eos (msr3d.py:515-519)
+        bos = model.tokenizer.bos_id
+        rp = model.repetition_penalty
+        eos_bias = model.eos_logit_bias
+        lp = model.length_penalty
+        min_length = 1
+        n_steps = self.chunk_steps
+        neg_inf = jnp.float32(-1e9)
+        BK = B * K
+
+        # --- per-slot HF beam helpers (ContinuousBeamBatchingServer) ----
+
+        def finalize_best(beam_tokens, beam_scores, hyp_tokens, hyp_scores,
+                          budget):
+            live_norm = beam_scores / jnp.power(
+                jnp.maximum(budget, 1).astype(jnp.float32)[:, None], lp
+            )
+            all_scores = jnp.concatenate([hyp_scores, live_norm], axis=1)
+            all_tokens = jnp.concatenate([hyp_tokens, beam_tokens], axis=1)
+            best = jnp.argmax(all_scores, axis=1)
+            return all_tokens[jnp.arange(all_tokens.shape[0]), best]
+
+        def running_done(beam_scores, hyp_scores, step):
+            best_live = jnp.max(beam_scores, axis=1) / jnp.power(
+                (step + 1).astype(jnp.float32), lp
+            )
+            worst_hyp = jnp.min(hyp_scores, axis=1)
+            full = jnp.sum(hyp_scores > neg_inf / 2, axis=1) >= K
+            return full & (worst_hyp >= best_live)
+
+        @jax.jit
+        def init_state():
+            stacked = _make_cache(llm_cfg, BK, S_g)
+            st = dict(
+                gen_kv=tuple(
+                    {key: val[i] for key, val in stacked.items()}
+                    for i in range(L)
+                ),
+                suf_kv=_make_cache(llm_cfg, B, W),  # per-slot, beam-shared
+                sufmask=jnp.zeros((B, W), bool),
+                assign=jnp.zeros((B,), jnp.int32),
+                anc=jnp.zeros((BK, S_g), jnp.int32),
+                generated=jnp.full((B, S_g), pad, jnp.int32),
+                beam_tokens=jnp.full((BK, S_g), pad, jnp.int32),
+                beam_scores=jnp.full((BK,), neg_inf, jnp.float32),
+                hyp_tokens=jnp.full((B, K, S_g), pad, jnp.int32),
+                hyp_scores=jnp.full((B, K), neg_inf, jnp.float32),
+                seen=jnp.zeros((BK, V), bool),
+                cnt=jnp.zeros((B,), jnp.int32),
+                pos=jnp.zeros((B,), jnp.int32),
+                finished=jnp.ones((B,), bool),
+                active=jnp.zeros((B,), bool),
+                budget=jnp.zeros((B,), jnp.int32),
+            )
+            pool_kv = _make_cache(llm_cfg, G, S_pre)
+            pool_mask = jnp.zeros((G, S_pre), bool)
+            pool_npre = jnp.zeros((G,), jnp.int32)
+            return pool_kv, pool_mask, pool_npre, st
+
+        @jax.jit
+        def prefix_prefill(variables, batch):
+            batch = MSR3D._unpack_batch(batch)
+            return network.apply(
+                variables, **batch, bos_id=bos, max_cache_len=S_pre,
+                append_bos=False, method=network.prefill,
+            )
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def prefix_insert(
+            pool_kv, pool_mask, pool_npre, new_kv, new_mask, new_npre,
+            blocks, valid,
+        ):
+            tgt = jnp.where(valid, blocks, jnp.int32(G))
+            pool_kv = {
+                key: arr.at[:, tgt].set(
+                    new_kv[key].astype(arr.dtype), mode="drop"
+                )
+                for key, arr in pool_kv.items()
+            }
+            pool_mask = pool_mask.at[tgt].set(new_mask, mode="drop")
+            pool_npre = pool_npre.at[tgt].set(
+                new_npre.astype(jnp.int32), mode="drop"
+            )
+            return pool_kv, pool_mask, pool_npre
+
+        @partial(jax.jit, donate_argnums=(4,))
+        def suffix_insert(
+            variables, pool_kv, pool_mask, pool_npre, state,
+            suffix_ids, wv, blocks, slots, valid, budgets,
+        ):
+            r = slots.shape[0]
+            pk_rows = {key: val[:, blocks] for key, val in pool_kv.items()}
+            pm_rows = pool_mask[blocks]
+            npre = pool_npre[blocks]
+            wvb = wv.astype(bool)
+            win_pos = jnp.maximum(
+                npre[:, None] + jnp.cumsum(wv, axis=1) - 1, 0
+            ).astype(jnp.int32)
+            win_cache = _make_cache(llm_cfg, r, W)
+            logits, win_kv = network.apply(
+                variables, suffix_ids, win_pos, pk_rows, pm_rows,
+                win_cache, jnp.int32(0), jnp.zeros((r, W), bool), wvb,
+                method=network.decode_step_shared,
+            )
+            first = logits[:, -1, :].astype(jnp.float32)
+
+            # HF beam step 0 (ContinuousBeamBatchingServer.insert)
+            logp0 = jax.nn.log_softmax(
+                _mask_min_length(
+                    first, jnp.int32(0), min_length, eos, eos_bias
+                ),
+                axis=-1,
+            )
+            top_logp, top_tok = lax.top_k(logp0, K)
+            gen_rows = jnp.full((r, K, S_g), pad, jnp.int32).at[:, :, 0].set(
+                top_tok
+            )
+            rk = jnp.arange(r * K)
+            seen_rows = jnp.zeros((r * K, V), bool).at[
+                rk, top_tok.reshape(-1)
+            ].set(True).reshape(r, K, V)
+            is_eos0 = top_tok == eos
+            hyp_tok_rows = jnp.where(is_eos0[..., None], gen_rows, pad)
+            hyp_score_rows = jnp.where(
+                is_eos0, top_logp / jnp.float32(1.0) ** lp, neg_inf
+            )
+            score_rows = jnp.where(is_eos0, neg_inf, top_logp)
+            done0 = running_done(score_rows, hyp_score_rows, jnp.full((r,), 1))
+            fin0 = done0 | (budgets <= 1)
+            out0 = finalize_best(
+                gen_rows, score_rows, hyp_tok_rows, hyp_score_rows, budgets
+            )
+
+            rows = (slots[:, None] * K + jnp.arange(K)).reshape(-1)
+            state = dict(
+                state,
+                suf_kv={
+                    key: arr.at[:, slots].set(
+                        win_kv[key].astype(arr.dtype)
+                    )
+                    for key, arr in state["suf_kv"].items()
+                },
+                sufmask=state["sufmask"].at[slots].set(wvb),
+                assign=state["assign"].at[slots].set(blocks),
+                generated=state["generated"].at[slots].set(
+                    jnp.where(fin0[:, None], out0, pad)
+                ),
+                beam_tokens=state["beam_tokens"].at[rows].set(
+                    gen_rows.reshape(r * K, S_g)
+                ),
+                beam_scores=state["beam_scores"].at[rows].set(
+                    score_rows.reshape(-1)
+                ),
+                hyp_tokens=state["hyp_tokens"].at[slots].set(hyp_tok_rows),
+                hyp_scores=state["hyp_scores"].at[slots].set(hyp_score_rows),
+                seen=state["seen"].at[rows].set(seen_rows.reshape(r * K, V)),
+                cnt=state["cnt"].at[slots].set(1),
+                pos=state["pos"].at[slots].set(
+                    (npre + jnp.sum(wv, axis=1)).astype(jnp.int32)
+                ),
+                finished=state["finished"].at[slots].set(
+                    jnp.where(valid, fin0, True)
+                ),
+                active=state["active"].at[slots].set(valid),
+                budget=state["budget"].at[slots].set(budgets),
+            )
+            return state
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def decode_chunk(variables, pool_kv, pool_mask, state):
+            rowsK = jnp.arange(BK)
+            slot_iota = jnp.arange(S_g)[None, :]
+            beam_eye = jnp.tile(jnp.arange(K)[None, :], (B, 1))
+
+            def rep(x):  # (B,) → (B·K,) slot-major
+                return jnp.repeat(x, K, axis=0)
+
+            pool_flat = {
+                key: val.reshape(
+                    (val.shape[0], 1, G * S_pre) + val.shape[3:]
+                )
+                for key, val in pool_kv.items()
+            }
+            suf_flat = {
+                key: val.reshape((val.shape[0], 1, B * W) + val.shape[3:])
+                for key, val in state["suf_kv"].items()
+            }
+            # visibility (loop-invariant per chunk): assigned block rows +
+            # own slot's suffix rows
+            vis_pool = (
+                (state["assign"][:, None] == jnp.arange(G)[None, :])[
+                    :, :, None
+                ]
+                & pool_mask[None]
+            ).reshape(B, G * S_pre)
+            vis_suf = (
+                jnp.eye(B, dtype=bool)[:, :, None] & state["sufmask"][None]
+            ).reshape(B, B * W)
+            pm_full = jnp.repeat(
+                jnp.concatenate([vis_pool, vis_suf], axis=1), K, axis=0
+            )  # (B·K, G·S_pre + B·W)
+
+            def cond(carry):
+                i, st = carry
+                return (i < n_steps) & jnp.any(st["active"] & ~st["finished"])
+
+            def body(carry):
+                i, st = carry
+                run = st["active"] & ~st["finished"]
+                runK = rep(run)
+                cnt = st["cnt"]
+                cntK = rep(cnt)
+                tok = st["beam_tokens"][rowsK, jnp.maximum(cntK - 1, 0)]
+                gen_index = jnp.where(runK, cntK - 1, -1)
+                gen_mask = slot_iota < cntK[:, None]
+                anc = st["anc"].at[
+                    rowsK, jnp.where(runK, cntK - 1, S_g)
+                ].set(rowsK % K, mode="drop")
+                logits, gen_kv = network.apply(
+                    variables, tok[:, None], rep(st["pos"])[:, None],
+                    (pool_flat, suf_flat), pm_full, st["gen_kv"], gen_index,
+                    gen_mask, anc, K,
+                    method=network.decode_step_beam_anc,
+                )
+                logp = jax.nn.log_softmax(
+                    logits[:, -1, :].astype(jnp.float32), axis=-1
+                )
+                logp = apply_repetition_penalty(logp, st["seen"], rp)
+                is_eos_v = (jnp.arange(V) == eos)[None, :]
+                if eos_bias:
+                    logp = logp + is_eos_v * jnp.float32(eos_bias)
+                if min_length > 1:
+                    logp = jnp.where(
+                        (cntK[:, None] < min_length - 1) & is_eos_v,
+                        -jnp.inf, logp,
+                    )
+
+                total = (st["beam_scores"][:, None] + logp).reshape(B, K * V)
+                cand_scores, cand_idx = lax.top_k(total, 2 * K)
+                cand_beam = cand_idx // V
+                cand_tok = (cand_idx % V).astype(jnp.int32)
+                cand_is_eos = cand_tok == eos
+
+                src = (jnp.arange(B)[:, None] * K + cand_beam).reshape(-1)
+                cand_seqs = st["beam_tokens"][src].reshape(B, 2 * K, S_g)
+                col_mask = (
+                    jnp.arange(S_g)[None, None, :]
+                    == jnp.minimum(cnt, S_g - 1)[:, None, None]
+                )
+                cand_seqs = jnp.where(
+                    col_mask,
+                    jnp.where(cand_is_eos[..., None], eos, pad),
+                    cand_seqs,
+                )
+                cand_norm = cand_scores / jnp.power(
+                    (cnt[:, None] + 1).astype(jnp.float32), lp
+                )
+                cand_norm = jnp.where(cand_is_eos, cand_norm, neg_inf)
+                pool_scores = jnp.concatenate(
+                    [st["hyp_scores"], cand_norm], axis=1
+                )
+                pool_tokens = jnp.concatenate(
+                    [st["hyp_tokens"], cand_seqs], axis=1
+                )
+                top_pool, pool_idx = lax.top_k(pool_scores, K)
+                hyp_scores = jnp.where(
+                    run[:, None], top_pool, st["hyp_scores"]
+                )
+                hyp_tokens = jnp.where(
+                    run[:, None, None],
+                    jnp.take_along_axis(
+                        pool_tokens, pool_idx[:, :, None], axis=1
+                    ),
+                    st["hyp_tokens"],
+                )
+
+                live_rank = jnp.where(cand_is_eos, neg_inf, cand_scores)
+                _, live_pick = lax.top_k(live_rank, K)
+                new_scores = jnp.take_along_axis(cand_scores, live_pick, axis=1)
+                new_tok = jnp.take_along_axis(cand_tok, live_pick, axis=1)
+                new_beam = jnp.take_along_axis(cand_beam, live_pick, axis=1)
+                valid_live = jnp.take_along_axis(
+                    ~cand_is_eos, live_pick, axis=1
+                )
+                new_tok = jnp.where(valid_live, new_tok, pad)
+                new_scores = jnp.where(valid_live, new_scores, neg_inf)
+
+                new_beam = jnp.where(run[:, None], new_beam, beam_eye)
+                gather = (jnp.arange(B)[:, None] * K + new_beam).reshape(-1)
+                beam_tokens = st["beam_tokens"][gather]
+                seen = st["seen"][gather]
+                anc = anc[gather]
+
+                colK = jnp.minimum(cntK, S_g - 1)
+                new_tok_flat = new_tok.reshape(-1)
+                beam_tokens = beam_tokens.at[rowsK, colK].set(
+                    jnp.where(runK, new_tok_flat, beam_tokens[rowsK, colK])
+                )
+                seen = jnp.where(
+                    runK[:, None],
+                    seen.at[rowsK, new_tok_flat].set(True),
+                    seen,
+                )
+                beam_scores = jnp.where(
+                    runK, new_scores.reshape(-1), st["beam_scores"]
+                )
+
+                inc = run.astype(jnp.int32)
+                cnt_new = cnt + inc
+                stop = (cnt_new >= st["budget"]) | running_done(
+                    beam_scores.reshape(B, K), hyp_scores, cnt_new
+                )
+                newly_done = run & stop
+                out = finalize_best(
+                    beam_tokens.reshape(B, K, S_g),
+                    beam_scores.reshape(B, K),
+                    hyp_tokens, hyp_scores, st["budget"],
+                )
+                generated = jnp.where(
+                    newly_done[:, None], out, st["generated"]
+                )
+
+                st = dict(
+                    st, gen_kv=gen_kv, anc=anc, beam_tokens=beam_tokens,
+                    seen=seen, beam_scores=beam_scores,
+                    hyp_tokens=hyp_tokens, hyp_scores=hyp_scores,
+                    generated=generated,
+                    finished=st["finished"] | newly_done,
+                    cnt=cnt_new, pos=st["pos"] + inc,
+                )
+                return i + 1, st
+
+            steps, state = lax.while_loop(cond, body, (jnp.int32(0), state))
+            return steps, state
+
+        self._fns = (
+            init_state, prefix_prefill, prefix_insert, suffix_insert,
+            decode_chunk,
+        )
         return self._fns

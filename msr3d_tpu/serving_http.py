@@ -407,14 +407,23 @@ class ServingFrontend:
             ids, _ = model._encode_prompts(prompts)
         except Exception as exc:
             raise RequestError(f"prompt build failed: {exc}")
-        engine_prompt_len = getattr(self.engine, "prompt_len", None)
-        if engine_prompt_len is not None:
-            width = engine_prompt_len - 1  # trailing bos
-            if ids.shape[1] > width:
-                raise RequestError(
-                    f"prompt expands to {ids.shape[1]} tokens; the engine's "
-                    f"compiled bucket allows {width}"
-                )
+        if hasattr(self.engine, "_split_sample"):
+            # prefix-pool engines: the contract is per-segment (prefix ≤
+            # prefix_len AND suffix ≤ suffix_len), checked by the engine's
+            # own split — not the full-prompt bucket
+            try:
+                self.engine._split_sample(sample)
+            except AssertionError as exc:
+                raise RequestError(str(exc))
+        else:
+            engine_prompt_len = getattr(self.engine, "prompt_len", None)
+            if engine_prompt_len is not None:
+                width = engine_prompt_len - 1  # trailing bos
+                if ids.shape[1] > width:
+                    raise RequestError(
+                        f"prompt expands to {ids.shape[1]} tokens; the "
+                        f"engine's compiled bucket allows {width}"
+                    )
         # engines without a fixed prompt bucket (the scene-grouped server)
         # compile per observed bucket — no width precheck needed
         shapes = tuple(

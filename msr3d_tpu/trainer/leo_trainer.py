@@ -635,22 +635,43 @@ class LeoTrainer:
 
         Engine knobs come from ``eval_engine_opts``
         (num_slots/refill_group/chunk_steps/lookahead/spec_k/...).
+        ``prefix_pool: true`` serves through the prefix-pool engines
+        instead (scene prefixes prefilled once per scene into a shared
+        KV block pool — MSQA presents many questions per scene, so an
+        eval split's scene prefill cost divides by Q); pool knobs:
+        num_prefixes / prefix_len / suffix_len.
         """
         from msr3d_tpu.serving import (
             ContinuousBatchingServer,
             ContinuousBeamBatchingServer,
+            PrefixPoolContinuousBatchingServer,
+            PrefixPoolContinuousBeamBatchingServer,
             uncollate_batch,
         )
 
         opts = dict(self.cfg.get("eval_engine_opts", {}) or {})
+        prefix_pool = bool(opts.pop("prefix_pool", False))
         if self.model.num_beams != 1:
             # beam slots carry num_beams KV rows each — default the pool
             # smaller so the generated segment stays within the greedy
             # default's footprint
-            engine = ContinuousBeamBatchingServer(
+            cls = (
+                PrefixPoolContinuousBeamBatchingServer if prefix_pool
+                else ContinuousBeamBatchingServer
+            )
+            engine = cls(
                 self.model,
                 num_slots=int(opts.pop("num_slots", 8)),
                 refill_group=int(opts.pop("refill_group", 4)),
+                chunk_steps=int(opts.pop("chunk_steps", 16)),
+                lookahead=int(opts.pop("lookahead", 1)),
+                **opts,
+            )
+        elif prefix_pool:
+            engine = PrefixPoolContinuousBatchingServer(
+                self.model,
+                num_slots=int(opts.pop("num_slots", 32)),
+                refill_group=int(opts.pop("refill_group", 8)),
                 chunk_steps=int(opts.pop("chunk_steps", 16)),
                 lookahead=int(opts.pop("lookahead", 1)),
                 **opts,

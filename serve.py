@@ -44,10 +44,21 @@ def parse_args(argv=None):
                    help="decode steps per dispatched chunk")
     p.add_argument("--lookahead", type=int, default=1,
                    help="decode chunks in flight before a flag fetch")
-    p.add_argument("--engine", choices=["continuous", "beam", "grouped"],
+    p.add_argument("--engine",
+                   choices=["continuous", "beam", "grouped", "pool",
+                            "pool-beam"],
                    default="continuous",
-                   help="greedy slot-refill engine, per-slot beam search, or "
-                   "scene-grouped shared-prefix serving (grouped)")
+                   help="greedy slot-refill engine, per-slot beam search, "
+                   "scene-grouped shared-prefix serving (grouped), or the "
+                   "prefix-pool engines (slot refill + scene prefixes "
+                   "prefilled once per scene into a shared KV block pool)")
+    p.add_argument("--num-prefixes", type=int, default=8,
+                   help="pool engines: prefix KV blocks (G)")
+    p.add_argument("--prefix-len", type=int, default=None,
+                   help="pool engines: prefix bucket (default: model "
+                   "prompt_pad_to)")
+    p.add_argument("--suffix-len", type=int, default=48,
+                   help="pool engines: question bucket incl. trailing bos")
     p.add_argument("--group-scenes", type=int, default=4,
                    help="grouped engine: scene groups per program")
     p.add_argument("--group-questions", type=int, default=8,
@@ -155,6 +166,28 @@ def create_frontend(args, cfg=None):
             model,
             scenes_per_batch=args.group_scenes,
             questions_per_scene=args.group_questions,
+            max_new_tokens=args.max_new_tokens,
+        )
+    elif args.engine in ("pool", "pool-beam"):
+        from msr3d_tpu.serving import (
+            PrefixPoolContinuousBatchingServer,
+            PrefixPoolContinuousBeamBatchingServer,
+        )
+
+        engine_cls = (
+            PrefixPoolContinuousBeamBatchingServer
+            if args.engine == "pool-beam"
+            else PrefixPoolContinuousBatchingServer
+        )
+        engine = engine_cls(
+            model,
+            num_slots=args.slots,
+            num_prefixes=args.num_prefixes,
+            prefix_len=args.prefix_len,
+            suffix_len=args.suffix_len,
+            refill_group=min(args.refill_group, args.slots),
+            chunk_steps=args.chunk_steps,
+            lookahead=args.lookahead,
             max_new_tokens=args.max_new_tokens,
         )
     else:

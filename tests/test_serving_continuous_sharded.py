@@ -111,3 +111,34 @@ def test_continuous_beam_engine_under_mesh(tiny_msr3d, rng, cpu_devices):
     assert sorted(r.id for r in results) == list(range(4))
     for r in results:
         np.testing.assert_array_equal(r.output_tokens, want[r.id])
+
+
+@pytest.mark.slow
+def test_prefix_pool_engine_under_mesh(tiny_msr3d, rng, cpu_devices):
+    """Prefix-pool engine under dp×tp: the flattened block-pool segment
+    and the per-query visibility mask ride GSPMD like the per-slot
+    prompt segment does — tokens match the unsharded pool engine (which
+    itself matches plain generate, tests/test_serving_pool.py)."""
+    from msr3d_tpu.parallel.mesh import MeshConfig, make_mesh
+    from msr3d_tpu.serving import PrefixPoolContinuousBatchingServer
+    from tests.test_serving_pool import scene_requests
+
+    model = tiny_msr3d
+    reqs = scene_requests(rng, 2, 2)
+    plain = PrefixPoolContinuousBatchingServer(
+        model, num_slots=2, num_prefixes=2, prefix_len=64, suffix_len=64,
+        refill_group=1, chunk_steps=3, max_new_tokens=6,
+    )
+    want = {r.id: r.output_tokens for r in plain.run(reqs)}
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=4), devices=cpu_devices)
+    model.shard_for_serving(mesh, tensor_parallel=True)
+    sharded = PrefixPoolContinuousBatchingServer(
+        model, num_slots=2, num_prefixes=2, prefix_len=64, suffix_len=64,
+        refill_group=1, chunk_steps=3, max_new_tokens=6,
+    )
+    results = sharded.run(reqs)
+    assert sorted(r.id for r in results) == list(range(4))
+    for r in results:
+        np.testing.assert_array_equal(r.output_tokens, want[r.id])
+    assert sharded.prefix_prefills == 2

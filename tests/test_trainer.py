@@ -692,6 +692,98 @@ class TestContinuousEval:
         assert len(blocking) == 3 and all(len(r) == 2 for r in blocking)
         assert grouped == blocking
 
+    def test_prefix_pool_eval_matches_blocking(self, tmp_path):
+        """eval_engine: continuous + prefix_pool routes greedy generation
+        eval through the prefix-pool slot-refill engine (scene prefixes
+        prefilled once per scene into a shared KV block pool); the
+        evaluator must see exactly the blocking loop's output_text per
+        batch. The loader repeats two scenes across batches so blocks
+        actually get reused across refills."""
+        from msr3d_tpu.trainer.leo_trainer import LeoTrainer
+        from tests.test_msr3d import tiny_data_dict, tiny_model
+        from msr3d_tpu.models.llm.tokenizer import (
+            IMAGE_PLACEHOLDER, SCENE_PLACEHOLDER,
+        )
+
+        scene_keys = (
+            "obj_fts", "obj_masks", "obj_locs", "anchor_locs",
+            "anchor_orientation", "msr3d_imgs", "msr3d_img_masks",
+        )
+        base = tiny_data_dict(np.random.default_rng(5), b=2)
+        prefix = (
+            f"You are in a scene: {SCENE_PLACEHOLDER}. "
+            f"Image: {IMAGE_PLACEHOLDER}. "
+        )
+
+        class TwoSceneLoader:
+            def __len__(self):
+                return 3
+
+            def __iter__(self):
+                for i in range(3):
+                    dd = {
+                        "msr3d_prompt": [
+                            prefix + f"Question {i} about scene 0?",
+                            prefix + f"Question {i} for scene 1, longer?",
+                        ],
+                        **{k: base[k] for k in scene_keys},
+                    }
+                    dd["answer_list"] = ["a chair", "yes"]
+                    dd["text_output"] = ["a chair", "yes"]
+                    yield dd
+
+        class Recorder:
+            def __init__(self):
+                self.records = []
+
+            def reset(self):
+                self.records = []
+
+            def update(self, record):
+                self.records.append(list(record["output_text"]))
+
+            def record(self, split):
+                return False, {}
+
+        pool_engine = {}
+
+        def make(engine):
+            cfg = {
+                "exp_dir": str(tmp_path / f"exp_{engine or 'block'}"),
+                "mode": "eval",
+                "eval_pipeline_depth": 0,
+                "solver": {
+                    "gradient_accumulation_steps": 1, "grad_norm": 5.0,
+                    "epochs": 1,
+                    "optim": {"name": "AdamW", "args": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 0.0}},
+                    "sched": {"name": "warmup_cosine_instructblip", "args": {"warmup_steps": 2}},
+                },
+            }
+            if engine:
+                cfg["eval_engine"] = engine
+                cfg["eval_engine_opts"] = {
+                    "prefix_pool": True, "num_prefixes": 2,
+                    "prefix_len": 64, "suffix_len": 64,
+                    "num_slots": 3, "refill_group": 2, "chunk_steps": 3,
+                }
+            rec = Recorder()
+            model = tiny_model()
+            model.num_beams = 1
+            model.max_out_len = 5
+            trainer = LeoTrainer(
+                config_from_dict(cfg),
+                loaders={"msqa": {"val": TwoSceneLoader()}},
+                evaluators={"msqa": rec},
+                model=model,
+            )
+            trainer.eval_task("msqa", "val")
+            return rec.records
+
+        blocking = make(None)
+        pooled = make("continuous")
+        assert len(blocking) == 3 and all(len(r) == 2 for r in blocking)
+        assert pooled == blocking
+
     def test_continuous_eval_beam_routes_to_beam_engine(self, tmp_path):
         """A beam model (num_beams > 1) under eval_engine: continuous is
         served by the BEAM slot-refill engine; every emitted output_text
