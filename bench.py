@@ -138,6 +138,24 @@ def main() -> None:
                         group=2 if args.quick else 16)
     )
 
+    # the REFERENCE-EXACT eval decode (VERDICT r3 #8): beam-5,
+    # repetition_penalty 3.0, 256-token budget, MSQA-like answer-length
+    # mix, served by the continuous BEAM engine at the round-3 record
+    # config (8 slots, refill 4, chunk 8, ancestry+layered state). This
+    # is the number the ≥3×-A100 north star is audited against
+    # (BASELINE.md derives the A100 at 1.9–2.4 QA/s in this setting).
+    import bench_serve
+
+    ref_eval = bench_serve.run_serve(bench_serve.parse_args(
+        ["--beams", "5", "--skip-gang", "--prompt-len", "160"]
+        + (["--quick", "--slots", "2", "--refill-group", "1",
+            "--chunk-steps", "4", "--max-new", "16", "--requests", "6"]
+           if args.quick else
+           ["--int8", "--kv-quant", "--merged-lora", "--compact-transfer",
+            "--slots", "8", "--refill-group", "4", "--chunk-steps", "8",
+            "--max-new", "256", "--requests", "48"])
+    ))
+
     prior = prior_round_qa()
     record = {
         "metric": "qa_pairs_per_sec_per_chip",
@@ -145,7 +163,21 @@ def main() -> None:
         "unit": "QA pairs/s/chip",
         "vs_baseline": round(greedy["value"] / ROUND1_RECORD_QA, 4),
         "beam5_qa_per_sec": beam["value"],
+        "beam5_256budget_qa_per_sec": ref_eval["value"],
+        "beam5_256budget_note": (
+            "continuous beam engine at the reference's exact eval decode "
+            "(beam-5, rep-3.0, 256-token budget, MSQA answer mix "
+            f"mean {ref_eval['budget_mean']}/max {ref_eval['budget_max']}); "
+            "the >=3x-A100 audit number (A100 derived 1.9-2.4 QA/s, "
+            "BASELINE.md)"
+        ),
         "grouped8_qa_per_sec": grouped["value"],
+        "grouped8_note": (
+            "shared-prefix grouped serving; applies when the workload "
+            "presents repeated (scene, situation) pairs (MSQA's shape) — "
+            "a situation-unique stream degrades toward the plain path, "
+            "never to wrong answers"
+        ),
         "scene_encode_ms_per_scene": scene["scene_encode_ms_per_scene"],
         "batch": greedy["batch"],
         "prompt_tokens": greedy["prompt_tokens"],

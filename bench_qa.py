@@ -62,6 +62,17 @@ def parse_args(argv=None):
         "penalty-free greedy)",
     )
     parser.add_argument(
+        "--echo-weights", action="store_true",
+        help="identity-block surgery after init: zero every block's "
+        "o_proj/down_proj so the residual stream is the token embedding "
+        "and greedy decode becomes a deterministic token map. Decode "
+        "enters a cycle within ~sqrt(V) steps, after which generated "
+        "text repeats and n-gram prompt-lookup proposals become near-"
+        "perfect - the echo-structured acceptance regime speculative "
+        "decoding claims, at UNCHANGED per-call cost (every matmul "
+        "still executes at full shape; only the values are zero)",
+    )
+    parser.add_argument(
         "--spec-ngram", type=int, default=3,
         help="suffix n-gram length for the prompt-lookup proposal",
     )
@@ -201,6 +212,32 @@ def make_group_data(args, B, Q, seed):
     return d
 
 
+def _apply_echo_weights(model, alphabet=64):
+    """See --echo-weights: zero o_proj/down_proj in every LLM block (all
+    quantized layouts: kernel, kernel_q, kernel_scale, lora_a/b), and
+    restrict the (never-quantized) lm_head to token columns
+    [3, 3+alphabet) — pad/bos/eos zeroed out. The greedy token map then
+    lives on ≤ alphabet+zero-tie states, so decode enters its cycle
+    within ~sqrt(alphabet) steps instead of ~sqrt(V)≈112, and most of
+    the budget runs in the repeated-text regime prompt-lookup exploits.
+    (Ties on the zeroed columns resolve to a fixed argmax index —
+    still deterministic.)"""
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    def zero(path, leaf):
+        keys = jtu.keystr(path)
+        if "'llm'" in keys and ("o_proj" in keys or "down_proj" in keys):
+            return jnp.zeros_like(leaf)
+        if "'llm'" in keys and "lm_head" in keys and "kernel" in keys:
+            v = leaf.shape[-1]
+            keep = (jnp.arange(v) >= 3) & (jnp.arange(v) < 3 + alphabet)
+            return jnp.where(keep[None, :], leaf, 0)
+        return leaf
+
+    model.params = jtu.tree_map_with_path(zero, model.params)
+
+
 def run(args) -> dict:
     """Run the benchmark, returning the record dict (importable by bench.py)."""
 
@@ -240,6 +277,8 @@ def run(args) -> dict:
 
     t0 = time.time()
     model.init_params(init_batch)
+    if getattr(args, "echo_weights", False):
+        _apply_echo_weights(model)
     init_s = time.time() - t0
 
     # compile + warm
@@ -323,7 +362,8 @@ def run(args) -> dict:
                 + ("-cpk" if getattr(args, "compact_transfer", False) else "")
                 + ("-flash" if getattr(args, "flash", False) else "")
                 + ("-anc" if getattr(args, "beam_ancestry", True) and args.beams > 1 else "")
-                + ("-lyr" if layered_effective else ""),
+                + ("-lyr" if layered_effective else "")
+                + ("-echo" if getattr(args, "echo_weights", False) else ""),
                 "step_ms": round(dt * 1000, 1),
                 "pipeline_depth": depth,
                 "group": args.group,

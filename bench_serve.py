@@ -142,8 +142,9 @@ def prefix_bucket(model, req) -> int:
     return max(32, -(-(last + 1) // 32) * 32)
 
 
-def main() -> None:
-    args = parse_args()
+def run_serve(args) -> dict:
+    """Run the serving benchmark, returning the record dict (importable
+    by bench.py for the driver-captured reference-exact eval number)."""
 
     import jax
 
@@ -345,7 +346,11 @@ def main() -> None:
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
     }
-    print(json.dumps(record))
+    return record
+
+
+def main(argv=None) -> None:
+    print(json.dumps(run_serve(parse_args(argv))))
 
 
 if __name__ == "__main__":
