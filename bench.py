@@ -141,7 +141,7 @@ def main() -> None:
     # the REFERENCE-EXACT eval decode (VERDICT r3 #8): beam-5,
     # repetition_penalty 3.0, 256-token budget, MSQA-like answer-length
     # mix, served by the continuous BEAM engine at the round-3 record
-    # config (8 slots, refill 4, chunk 8, ancestry+layered state). This
+    # config (8 slots, refill 2, chunk 8, ancestry+layered state). This
     # is the number the ≥3×-A100 north star is audited against
     # (BASELINE.md derives the A100 at 1.9–2.4 QA/s in this setting).
     import bench_serve
@@ -152,7 +152,7 @@ def main() -> None:
             "--chunk-steps", "4", "--max-new", "16", "--requests", "6"]
            if args.quick else
            ["--int8", "--kv-quant", "--merged-lora", "--compact-transfer",
-            "--slots", "8", "--refill-group", "4", "--chunk-steps", "8",
+            "--slots", "8", "--refill-group", "2", "--chunk-steps", "8",
             "--max-new", "256", "--requests", "48"])
     ))
 
