@@ -140,20 +140,27 @@ def main() -> None:
 
     # the REFERENCE-EXACT eval decode (VERDICT r3 #8): beam-5,
     # repetition_penalty 3.0, 256-token budget, MSQA-like answer-length
-    # mix, served by the continuous BEAM engine at the round-3 record
-    # config (8 slots, refill 2, chunk 8, ancestry+layered state). This
-    # is the number the ≥3×-A100 north star is audited against
-    # (BASELINE.md derives the A100 at 1.9–2.4 QA/s in this setting).
+    # mix on the MSQA workload SHAPE (scene-major question runs, 12
+    # scenes × 8 questions), served by the prefix-pool BEAM engine at
+    # the round-4 record config (8 slots, refill 2, chunk 8,
+    # ancestry+layered state, 6 prefix blocks). This is the number the
+    # ≥3×-A100 north star is audited against (BASELINE.md derives the
+    # A100 at 1.9–2.4 QA/s in this setting — and the A100 estimate does
+    # NOT charge the reference for its per-question scene re-encode, so
+    # the comparison stays conservative).
     import bench_serve
 
     ref_eval = bench_serve.run_serve(bench_serve.parse_args(
-        ["--beams", "5", "--skip-gang", "--prompt-len", "160"]
+        ["--beams", "5", "--skip-gang", "--prompt-len", "160",
+         "--prefix-pool", "--suffix-len", "64"]
         + (["--quick", "--slots", "2", "--refill-group", "1",
-            "--chunk-steps", "4", "--max-new", "16", "--requests", "6"]
+            "--chunk-steps", "4", "--max-new", "16", "--requests", "6",
+            "--scenes", "2", "--num-prefixes", "2"]
            if args.quick else
            ["--int8", "--kv-quant", "--merged-lora", "--compact-transfer",
             "--slots", "8", "--refill-group", "2", "--chunk-steps", "8",
-            "--max-new", "256", "--requests", "48"])
+            "--max-new", "256", "--requests", "96",
+            "--scenes", "12", "--num-prefixes", "6"])
     ))
 
     prior = prior_round_qa()
@@ -165,11 +172,11 @@ def main() -> None:
         "beam5_qa_per_sec": beam["value"],
         "beam5_256budget_qa_per_sec": ref_eval["value"],
         "beam5_256budget_note": (
-            "continuous beam engine at the reference's exact eval decode "
+            "prefix-pool beam engine at the reference's exact eval decode "
             "(beam-5, rep-3.0, 256-token budget, MSQA answer mix "
-            f"mean {ref_eval['budget_mean']}/max {ref_eval['budget_max']}); "
-            "the >=3x-A100 audit number (A100 derived 1.9-2.4 QA/s, "
-            "BASELINE.md)"
+            f"mean {ref_eval['budget_mean']}/max {ref_eval['budget_max']}, "
+            "12 scenes x 8 questions); the >=3x-A100 audit number (A100 "
+            "derived 1.9-2.4 QA/s, BASELINE.md)"
         ),
         "grouped8_qa_per_sec": grouped["value"],
         "grouped8_note": (
