@@ -64,9 +64,19 @@ def matmul_w8(
     b, kdim = x.shape
     kdim2, n = wq.shape
     assert kdim == kdim2 and scale.shape == (n,)
-    block_k = min(block_k, kdim)
-    block_n = min(block_n, n)
-    assert kdim % block_k == 0 and n % block_n == 0, (kdim, n, block_k, block_n)
+
+    def fit(dim: int, want: int) -> int:
+        # largest multiple of 128 that divides dim and is <= want
+        # (e.g. 11008 = 128·86 admits 256 but not 512/1024)
+        best = 0
+        for m in range(128, min(want, dim) + 1, 128):
+            if dim % m == 0:
+                best = m
+        assert best, f"dim {dim} has no 128-aligned divisor <= {want}"
+        return best
+
+    block_k = fit(kdim, block_k)
+    block_n = fit(n, block_n)
 
     # pad rows to the bf16 sublane tile
     bp = max(16, -(-b // 16) * 16)
