@@ -1651,9 +1651,20 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
             lookahead=lookahead, spec_k=0,
         )
         if self.sample:
+            # conscious boundary, not a TODO: the plain engine guarantees
+            # sampled tokens depend ONLY on (sample_seed, request id) —
+            # bit-exact across slot counts and co-scheduled requests,
+            # because every per-row computation is row-invariant. The
+            # pool's flattened batch-1 prefix segment breaks that: a
+            # request's logits are reduced over the whole pool width, so
+            # WHICH block it lands in shifts the float-reduction tree
+            # (greedy argmax shrugs this off; a categorical draw near a
+            # boundary would not). Sampling therefore stays on the plain
+            # engine, whose contract it can keep.
             raise ValueError(
-                "do_sample serving is a plain-continuous-engine feature "
-                "(per-request keys do not compose with shared prefixes yet)"
+                "do_sample serving is a plain-continuous-engine feature: "
+                "the (seed, request-id) determinism contract cannot be "
+                "kept across pool-block assignments"
             )
         self.num_prefixes = int(num_prefixes)
         assert self.num_prefixes >= 1

@@ -317,6 +317,26 @@ def test_msqa_overfit_em_quantized_serving(msqa_overfit):
     _, results = ev.record("val")
     assert results["ans1_acc_llm"] == 1.0, (results, out["output_text"])
 
+    # and the same quantized learned weights through the PREFIX-POOL
+    # engine (int8 base + int8 KV at once — the config whose pool parity
+    # can't be pinned on random weights because random logit gaps sit
+    # below the quantization noise; learned weights have real margins)
+    from msr3d_tpu.serving import PrefixPoolContinuousBatchingServer
+
+    samples = [dict(it) for it in items]
+    pool = PrefixPoolContinuousBatchingServer(
+        model_q, num_slots=4, num_prefixes=4, prefix_len=64,
+        suffix_len=64, refill_group=2, chunk_steps=4,
+        max_new_tokens=model_q.max_out_len,
+    )
+    pool_out = [r.output_text for r in pool.run(samples)]
+    ev2 = MSQAEval(None, "msqa_scannet", save_dir=tmp_path / "eval_int8_pool")
+    ev2.reset()
+    ev2.update({"output_text": pool_out,
+                "answer_list": extra["answer_list"]})
+    _, results2 = ev2.record("val")
+    assert results2["ans1_acc_llm"] == 1.0, (results2, pool_out)
+
 
 # ---------------------------------------------------------------------------
 # MSNN: exact reserved-action-token emission
