@@ -72,6 +72,10 @@ def parse_args(argv=None):
                    help="prefix-pool blocks (G)")
     p.add_argument("--suffix-len", type=int, default=64,
                    help="prefix-pool question bucket (W)")
+    p.add_argument("--echo-weights", action="store_true",
+                   help="identity-block surgery after init (see bench_qa "
+                        "--echo-weights): the echo-structured acceptance "
+                        "regime for measuring spec_k inside the engines")
     p.add_argument("--scenes", type=int, default=0,
                    help="distinct scenes in the workload (scene-major "
                         "question runs, MSQA-shaped); 0 = one scene per "
@@ -173,6 +177,8 @@ def run_serve(args) -> dict:
                       output_mask=om)
     t0 = time.time()
     model.init_params(init_batch)
+    if getattr(args, "echo_weights", False):
+        bench_qa._apply_echo_weights(model)
     init_s = time.time() - t0
 
     # engine prompt bucket from the actual workload
@@ -203,14 +209,24 @@ def run_serve(args) -> dict:
             lookahead=args.lookahead,
         )
         if args.beams > 1:
+            assert not spec_k, "speculative decoding is greedy-only"
             cont = PrefixPoolContinuousBeamBatchingServer(
                 model, args.slots, num_beams=args.beams, **pool_kw
             )
             gang = ContinuousBeamBatchingServer(
                 model, args.slots, num_beams=args.beams, **plain_kw
             )
+        elif spec_k:
+            # pool+spec vs the T=1 pool engine: isolates the speculative
+            # delta on top of prefix sharing
+            cont = PrefixPoolContinuousBatchingServer(
+                model, args.slots, spec_k=spec_k,
+                spec_ngram=getattr(args, "spec_ngram", 3), **pool_kw
+            )
+            gang = PrefixPoolContinuousBatchingServer(
+                model, args.slots, **pool_kw
+            )
         else:
-            assert not spec_k, "prefix-pool is plain-greedy/beam only"
             cont = PrefixPoolContinuousBatchingServer(
                 model, args.slots, **pool_kw
             )
@@ -337,6 +353,7 @@ def run_serve(args) -> dict:
         + ("-kv8" if args.kv_quant else "")
         + ("-cpk" if args.compact_transfer else ""),
         "spec_k": spec_k,
+        "echo_weights": bool(getattr(args, "echo_weights", False)),
         "prefix_pool": bool(args.prefix_pool),
         "num_prefixes": args.num_prefixes if args.prefix_pool else None,
         "scenes": args.scenes or None,

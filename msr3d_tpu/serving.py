@@ -1621,6 +1621,15 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
     (finishing slots release blocks, so progress is guaranteed). Greedy
     only; ``spec_k``/``do_sample`` are plain-engine features.
 
+    ``spec_k > 0`` composes n-gram speculative decoding with the pool
+    (the two production serving wins stack: scene prefixes prefill once
+    AND accepted drafts emit several tokens per verify forward — the
+    echo-regime measurement in BASELINE.md round 4). Proposals look up
+    suffix n-grams against the request's prefix+question+generated
+    context (per-slot, kept in device state); acceptance compares
+    against the model's own argmax, so tokens stay exact. Requires
+    ``repetition_penalty == 1.0`` like the plain spec engine.
+
     Args beyond the base engine: ``num_prefixes`` (pool blocks G),
     ``prefix_len`` (prefix bucket S_pre, default the model's prompt
     bucket), ``suffix_len`` (question bucket W).
@@ -1642,13 +1651,15 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
         max_new_tokens: Optional[int] = None,
         drain_between_batches: bool = False,
         lookahead: int = 1,
+        spec_k: int = 0,
+        spec_ngram: int = 3,
     ):
         super().__init__(
             model, num_slots, refill_group=refill_group,
             chunk_steps=chunk_steps, max_new_tokens=max_new_tokens,
             prompt_len=prefix_len or model.prompt_pad_to,
             drain_between_batches=drain_between_batches,
-            lookahead=lookahead, spec_k=0,
+            lookahead=lookahead, spec_k=spec_k, spec_ngram=spec_ngram,
         )
         if self.sample:
             # conscious boundary, not a TODO: the plain engine guarantees
@@ -1716,6 +1727,9 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
                 eos_logit_bias=eos_bias,
             )
 
+        spec_k = self.spec_k
+        CW = S_pre + W  # per-slot proposal-context width (prefix + suffix)
+
         @jax.jit
         def init_state():
             stacked = _make_cache(llm_cfg, B, W + S_g)
@@ -1734,6 +1748,10 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
                 seen=jnp.zeros((B, V), bool),
                 budget=jnp.zeros((B,), jnp.int32),
             )
+            if spec_k:
+                # per-slot n-gram proposal context: the request's prefix
+                # + question token ids (host-known — no pool-id gather)
+                st["prompt_ids"] = jnp.zeros((B, CW), jnp.int32)
             pool_kv = _make_cache(llm_cfg, G, S_pre)
             pool_mask = jnp.zeros((G, S_pre), bool)
             pool_npre = jnp.zeros((G,), jnp.int32)
@@ -1769,7 +1787,7 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
         @partial(jax.jit, donate_argnums=(4,))
         def suffix_insert(
             variables, pool_kv, pool_mask, pool_npre, state,
-            suffix_ids, wv, blocks, slots, valid, budgets,
+            suffix_ids, wv, blocks, slots, valid, budgets, ctx_ids=None,
         ):
             r = slots.shape[0]
             # gather the group's blocks once (r rows, refill-time only —
@@ -1822,6 +1840,10 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
                 active=state["active"].at[slots].set(valid),
                 budget=state["budget"].at[slots].set(budgets),
             )
+            if ctx_ids is not None:
+                state["prompt_ids"] = state["prompt_ids"].at[slots].set(
+                    ctx_ids.astype(jnp.int32)
+                )
             return state
 
         @partial(jax.jit, donate_argnums=(3,))
@@ -1887,9 +1909,105 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
             steps, state = lax.while_loop(cond, body, (jnp.int32(0), state))
             return steps, state
 
+        @partial(jax.jit, donate_argnums=(3,))
+        def decode_chunk_spec(variables, pool_kv, pool_mask, state):
+            """Speculative chunk over the pool: each iteration = ONE
+            (spec_k+1)-token verify window per slot, drafts proposed by
+            suffix n-gram lookup against prefix+question+generated. Same
+            schedule contract as ``decode_chunk`` (steps = model calls);
+            token-identical to the T=1 pool chunk (tested)."""
+            from msr3d_tpu.models.llm.sampling import ngram_propose
+
+            rows = jnp.arange(B)
+            slot_iota = jnp.arange(S_g)[None, :]
+            kk = spec_k
+            pool_flat = {
+                key: val.reshape(
+                    (val.shape[0], 1, G * S_pre) + val.shape[3:]
+                )
+                for key, val in pool_kv.items()
+            }
+            vis = (
+                (state["assign"][:, None] == jnp.arange(G)[None, :])[
+                    :, :, None
+                ]
+                & pool_mask[None]
+            ).reshape(B, G * S_pre)
+
+            def cond(carry):
+                i, st = carry
+                return (i < n_steps) & jnp.any(st["active"] & ~st["finished"])
+
+            def body(carry):
+                i, st = carry
+                run = st["active"] & ~st["finished"]
+                cnt = st["cnt"]  # ≥1 on active slots (insert emits tok0)
+                last_tok = st["generated"][rows, jnp.maximum(cnt - 1, 0)]
+                ctx = jnp.concatenate(
+                    [st["prompt_ids"], st["generated"]], axis=1
+                )
+                props = ngram_propose(
+                    ctx, CW + cnt, ngram_n=self.spec_ngram, k=kk, pad_id=eos
+                )
+                verify = jnp.concatenate([last_tok[:, None], props], axis=1)
+                pos = st["pos"][:, None] + jnp.arange(kk + 1)
+                # window writes land at gen slots W+cnt-1 .. W+cnt-1+kk
+                gen_index = jnp.where(run, W + cnt - 1, -1)
+                # accepted context = suffix + generated slots 0..cnt-2
+                # (slot cnt-1 is rewritten by this window)
+                gen_mask = jnp.concatenate(
+                    [st["sufmask"], slot_iota < (cnt - 1)[:, None]], axis=1
+                )
+                logits, gen_kv = network.apply(
+                    variables, verify, pos, pool_flat, vis,
+                    st["gen_kv"], gen_index, gen_mask,
+                    method=network.decode_step_shared,
+                )
+                lg = logits.astype(jnp.float32)
+                if eos_bias:
+                    lg = lg + (jnp.arange(V) == eos) * jnp.float32(eos_bias)
+                y = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (B, K+1)
+
+                acc = jnp.cumprod(
+                    (props == y[:, :kk]).astype(jnp.int32), axis=1
+                )
+                m = jnp.sum(acc, axis=1)
+                is_eos_y = y == eos
+                before_eos = (
+                    jnp.cumsum(is_eos_y.astype(jnp.int32), axis=1) - is_eos_y
+                )
+                steps_idx = cnt[:, None] + jnp.arange(kk + 1)[None, :]
+                emit = (
+                    (jnp.arange(kk + 1)[None, :] <= m[:, None])
+                    & (before_eos == 0)
+                    & (steps_idx < st["budget"][:, None])
+                    & run[:, None]
+                )
+                out_idx = jnp.where(emit, steps_idx, S_g)
+                generated = st["generated"].at[rows[:, None], out_idx].set(
+                    jnp.where(emit, y, eos), mode="drop"
+                )
+                n_new = jnp.sum(emit.astype(jnp.int32), axis=1)
+                finished = st["finished"] | (
+                    run
+                    & (
+                        jnp.any(emit & is_eos_y, axis=1)
+                        | (cnt + n_new >= st["budget"])
+                    )
+                )
+                st = dict(
+                    st, gen_kv=gen_kv, generated=generated,
+                    finished=finished, cnt=cnt + n_new,
+                    pos=st["pos"] + n_new,
+                )
+                return i + 1, st
+
+            steps, state = lax.while_loop(cond, body, (jnp.int32(0), state))
+            return steps, state
+
         self._fns = (
             init_state, prefix_prefill, prefix_insert, suffix_insert,
-            decode_chunk,
+            decode_chunk_spec if spec_k else decode_chunk,
         )
         return self._fns
 
@@ -2090,11 +2208,22 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
             sids[j] = sids[0]
             wv[j] = wv[0]
             blocks[j] = blocks[0]
+        spec_args = {}
+        if self.spec_k:
+            # per-slot n-gram proposal context: left-padded prefix+suffix
+            cw = self.prefix_len + W
+            ctx = np.full((r, cw), pad_id, np.int32)
+            for j, (_, _, prefix, suffix, _) in enumerate(res):
+                seq = list(map(int, prefix)) + list(map(int, suffix))
+                ctx[j, cw - len(seq):] = seq
+            for j in range(len(group), r):
+                ctx[j] = ctx[0]
+            spec_args["ctx_ids"] = jnp.asarray(ctx)
         state = suffix_insert(
             model.params, pool_kv, pool_mask, pool_npre, state,
             jnp.asarray(sids), jnp.asarray(wv), jnp.asarray(blocks),
             jnp.asarray(np.asarray(slots, np.int32)), jnp.asarray(valid),
-            jnp.asarray(budgets),
+            jnp.asarray(budgets), **spec_args,
         )
         return (pool_kv, pool_mask, pool_npre), state
 

@@ -179,8 +179,7 @@ def create_frontend(args, cfg=None):
             if args.engine == "pool-beam"
             else PrefixPoolContinuousBatchingServer
         )
-        engine = engine_cls(
-            model,
+        kw = dict(
             num_slots=args.slots,
             num_prefixes=args.num_prefixes,
             prefix_len=args.prefix_len,
@@ -190,6 +189,9 @@ def create_frontend(args, cfg=None):
             lookahead=args.lookahead,
             max_new_tokens=args.max_new_tokens,
         )
+        if args.engine == "pool":
+            kw["spec_k"] = args.spec_k
+        engine = engine_cls(model, **kw)
     else:
         engine_cls = (
             ContinuousBeamBatchingServer if args.engine == "beam"

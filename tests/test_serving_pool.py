@@ -343,3 +343,54 @@ def test_beam_pool_eviction_and_budgets(tiny_msr3d, rng):
             r.output_tokens[: budgets[r.id]], direct[: budgets[r.id]]
         )
     assert server.prefix_prefills == 4  # 3 scenes + s0 re-prefill
+
+
+# ---------------------------------------------------------------------------
+# Speculative decoding composed with the pool
+# ---------------------------------------------------------------------------
+
+
+def test_pool_spec_matches_t1_engine(tiny_msr3d, rng):
+    """spec_k>0 on the pool engine: token-identical per request to the
+    T=1 pool engine (acceptance compares drafts against the model's own
+    argmax), across block sharing, eviction, and budgets."""
+    model = tiny_msr3d
+    saved = model.repetition_penalty
+    model.repetition_penalty = 1.0
+    try:
+        reqs = scene_requests(rng, 3, 2)
+        stream = reqs + reqs[:1]  # s0 returns after eviction at G=2
+        max_new = 8
+        budgets = [8, 3, 6, 8, 5, 8, 4]
+
+        plain = PrefixPoolContinuousBatchingServer(
+            model, num_slots=2, num_prefixes=2, prefix_len=64,
+            suffix_len=64, refill_group=1, chunk_steps=3,
+            max_new_tokens=max_new,
+        )
+        want = {r.id: r.output_tokens
+                for r in plain.run(stream, budgets=budgets)}
+
+        spec = PrefixPoolContinuousBatchingServer(
+            model, num_slots=2, num_prefixes=2, prefix_len=64,
+            suffix_len=64, refill_group=1, chunk_steps=3,
+            max_new_tokens=max_new, spec_k=3, spec_ngram=2,
+        )
+        results = spec.run(stream, budgets=budgets)
+        assert [r.id for r in results] == list(range(7))
+        for r in results:
+            np.testing.assert_array_equal(r.output_tokens, want[r.id])
+        assert spec.prefix_prefills == 4  # 3 scenes + evicted-s0 return
+    finally:
+        model.repetition_penalty = saved
+
+
+def test_pool_spec_rejects_penalty(tiny_msr3d):
+    """spec verification is argmax-based: repetition_penalty != 1.0 must
+    be rejected exactly like the plain spec engine."""
+    assert tiny_msr3d.repetition_penalty != 1.0
+    with pytest.raises(ValueError, match="repetition_penalty"):
+        PrefixPoolContinuousBatchingServer(
+            tiny_msr3d, num_slots=2, num_prefixes=2, refill_group=2,
+            spec_k=2,
+        )
