@@ -1609,10 +1609,12 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
       slots.
 
     Block assignment is exact, never heuristic: a block's key is
-    (scene fingerprint, prefix token bytes), so two requests share a
-    block only if the prefix prefill they would run is bit-identical —
-    a miskeyed ``group_key`` degrades to separate blocks, never to
-    wrong answers. Prompts with no scene/image placeholder share one
+    (scene-array hash, prefix token bytes), so two requests share a
+    block only if the prefix prefill they would run is bit-identical.
+    Unlike the grouped server, an explicit ``group_key`` is IGNORED for
+    pool keying — a miskeyed group_key must never make two different
+    scenes share a prefill (the array hash is sub-ms, memoized per
+    request). Prompts with no scene/image placeholder share one
     permanently-empty block (the whole prompt rides the suffix window).
 
     Scheduling inherits the slot-refill host loop unchanged. The one new
@@ -1697,6 +1699,57 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
 
     # -- compiled programs -------------------------------------------------
 
+    def _make_prefix_fns(self):
+        """``prefix_prefill`` + ``prefix_insert``, shared by the greedy
+        and beam pool engines (one pool contract — a scatter-semantics
+        fix lands in both)."""
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        from msr3d_tpu.models.llm.llama import _make_cache
+        from msr3d_tpu.models.msr3d import MSR3D
+
+        network = self.model.network
+        llm_cfg = self.model.cfg.llm
+        G, S_pre = self.num_prefixes, self.prefix_len
+        bos = self.model.tokenizer.bos_id
+
+        def init_pool():
+            pool_kv = _make_cache(llm_cfg, G, S_pre)
+            pool_mask = jnp.zeros((G, S_pre), bool)
+            pool_npre = jnp.zeros((G,), jnp.int32)
+            return pool_kv, pool_mask, pool_npre
+
+        @jax.jit
+        def prefix_prefill(variables, batch):
+            batch = MSR3D._unpack_batch(batch)
+            return network.apply(
+                variables, **batch, bos_id=bos, max_cache_len=S_pre,
+                append_bos=False, method=network.prefill,
+            )
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def prefix_insert(
+            pool_kv, pool_mask, pool_npre, new_kv, new_mask, new_npre,
+            blocks, valid,
+        ):
+            # invalid (padding) rows scatter at index G -> dropped
+            tgt = jnp.where(valid, blocks, jnp.int32(G))
+            pool_kv = {
+                key: arr.at[:, tgt].set(
+                    new_kv[key].astype(arr.dtype), mode="drop"
+                )
+                for key, arr in pool_kv.items()
+            }
+            pool_mask = pool_mask.at[tgt].set(new_mask, mode="drop")
+            pool_npre = pool_npre.at[tgt].set(
+                new_npre.astype(jnp.int32), mode="drop"
+            )
+            return pool_kv, pool_mask, pool_npre
+
+        return init_pool, prefix_prefill, prefix_insert
+
     def _build_fns(self):
         import jax
         import jax.numpy as jnp
@@ -1729,6 +1782,7 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
 
         spec_k = self.spec_k
         CW = S_pre + W  # per-slot proposal-context width (prefix + suffix)
+        init_pool, prefix_prefill, prefix_insert = self._make_prefix_fns()
 
         @jax.jit
         def init_state():
@@ -1752,37 +1806,7 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
                 # per-slot n-gram proposal context: the request's prefix
                 # + question token ids (host-known — no pool-id gather)
                 st["prompt_ids"] = jnp.zeros((B, CW), jnp.int32)
-            pool_kv = _make_cache(llm_cfg, G, S_pre)
-            pool_mask = jnp.zeros((G, S_pre), bool)
-            pool_npre = jnp.zeros((G,), jnp.int32)
-            return pool_kv, pool_mask, pool_npre, st
-
-        @jax.jit
-        def prefix_prefill(variables, batch):
-            batch = MSR3D._unpack_batch(batch)
-            return network.apply(
-                variables, **batch, bos_id=bos, max_cache_len=S_pre,
-                append_bos=False, method=network.prefill,
-            )
-
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def prefix_insert(
-            pool_kv, pool_mask, pool_npre, new_kv, new_mask, new_npre,
-            blocks, valid,
-        ):
-            # invalid (padding) rows scatter at index G -> dropped
-            tgt = jnp.where(valid, blocks, jnp.int32(G))
-            pool_kv = {
-                key: arr.at[:, tgt].set(
-                    new_kv[key].astype(arr.dtype), mode="drop"
-                )
-                for key, arr in pool_kv.items()
-            }
-            pool_mask = pool_mask.at[tgt].set(new_mask, mode="drop")
-            pool_npre = pool_npre.at[tgt].set(
-                new_npre.astype(jnp.int32), mode="drop"
-            )
-            return pool_kv, pool_mask, pool_npre
+            return (*init_pool(), st)
 
         @partial(jax.jit, donate_argnums=(4,))
         def suffix_insert(
@@ -2035,12 +2059,18 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
         for i, t in enumerate(row):
             if int(t) in ph:
                 last = i
+        # pool keys hash the scene ARRAYS unconditionally — an explicit
+        # group_key is deliberately ignored here (unlike the grouped
+        # server): a miskeyed group_key must never make two different
+        # scenes share a prefill. The hash is sub-ms and memoized per
+        # request in _split_cache.
+        sample_arrays = {k: v for k, v in sample.items() if k != "group_key"}
         if last < 0:
             prefix = np.zeros((0,), np.int32)
             key = self._EMPTY_KEY
         else:
             prefix = np.asarray(row[: last + 1], np.int32)
-            key = (scene_fingerprint(sample), prefix.tobytes())
+            key = (scene_fingerprint(sample_arrays), prefix.tobytes())
         suffix = [int(t) for t in row[last + 1 :]] + [tok.bos_id]
         assert len(prefix) <= self.prefix_len, (
             f"scene prefix ({len(prefix)} tokens) exceeds the engine's "
@@ -2357,36 +2387,9 @@ class PrefixPoolContinuousBeamBatchingServer(PrefixPoolContinuousBatchingServer)
                 active=jnp.zeros((B,), bool),
                 budget=jnp.zeros((B,), jnp.int32),
             )
-            pool_kv = _make_cache(llm_cfg, G, S_pre)
-            pool_mask = jnp.zeros((G, S_pre), bool)
-            pool_npre = jnp.zeros((G,), jnp.int32)
-            return pool_kv, pool_mask, pool_npre, st
+            return (*init_pool(), st)
 
-        @jax.jit
-        def prefix_prefill(variables, batch):
-            batch = MSR3D._unpack_batch(batch)
-            return network.apply(
-                variables, **batch, bos_id=bos, max_cache_len=S_pre,
-                append_bos=False, method=network.prefill,
-            )
-
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def prefix_insert(
-            pool_kv, pool_mask, pool_npre, new_kv, new_mask, new_npre,
-            blocks, valid,
-        ):
-            tgt = jnp.where(valid, blocks, jnp.int32(G))
-            pool_kv = {
-                key: arr.at[:, tgt].set(
-                    new_kv[key].astype(arr.dtype), mode="drop"
-                )
-                for key, arr in pool_kv.items()
-            }
-            pool_mask = pool_mask.at[tgt].set(new_mask, mode="drop")
-            pool_npre = pool_npre.at[tgt].set(
-                new_npre.astype(jnp.int32), mode="drop"
-            )
-            return pool_kv, pool_mask, pool_npre
+        init_pool, prefix_prefill, prefix_insert = self._make_prefix_fns()
 
         @partial(jax.jit, donate_argnums=(4,))
         def suffix_insert(

@@ -402,20 +402,23 @@ class ServingFrontend:
         from .serving import _collate
 
         model = self.engine.model
-        try:
-            prompts = model.build_text_prompt(_collate([sample]))
-            ids, _ = model._encode_prompts(prompts)
-        except Exception as exc:
-            raise RequestError(f"prompt build failed: {exc}")
         if hasattr(self.engine, "_split_sample"):
             # prefix-pool engines: the contract is per-segment (prefix ≤
             # prefix_len AND suffix ≤ suffix_len), checked by the engine's
-            # own split — not the full-prompt bucket
+            # own split (which also surfaces prompt-build failures) — one
+            # tokenize, no separate full-prompt encode
             try:
                 self.engine._split_sample(sample)
             except AssertionError as exc:
                 raise RequestError(str(exc))
+            except Exception as exc:
+                raise RequestError(f"prompt build failed: {exc}")
         else:
+            try:
+                prompts = model.build_text_prompt(_collate([sample]))
+                ids, _ = model._encode_prompts(prompts)
+            except Exception as exc:
+                raise RequestError(f"prompt build failed: {exc}")
             engine_prompt_len = getattr(self.engine, "prompt_len", None)
             if engine_prompt_len is not None:
                 width = engine_prompt_len - 1  # trailing bos

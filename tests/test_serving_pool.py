@@ -394,3 +394,25 @@ def test_pool_spec_rejects_penalty(tiny_msr3d):
             tiny_msr3d, num_slots=2, num_prefixes=2, refill_group=2,
             spec_k=2,
         )
+
+
+def test_pool_ignores_group_key_for_block_identity(tiny_msr3d, rng):
+    """A caller-supplied group_key must NOT make two different scenes
+    share a prefix block (unlike the grouped server, which uses it as a
+    grouping hint): same group_key + same prompt text + DIFFERENT scene
+    arrays → separate blocks, exact tokens (code-review finding, round 4)."""
+    reqs = scene_requests(rng, 2, 1, questions=["What do you see?"] * 2)
+    # identical prompt text across both scenes
+    reqs[1]["msr3d_prompt"] = reqs[0]["msr3d_prompt"]
+    reqs[0]["group_key"] = reqs[1]["group_key"] = "same-key"
+    max_new = 5
+    direct = direct_tokens(tiny_msr3d, reqs, max_new)
+
+    server = PrefixPoolContinuousBatchingServer(
+        tiny_msr3d, num_slots=2, num_prefixes=2, prefix_len=64,
+        suffix_len=64, refill_group=1, chunk_steps=3, max_new_tokens=max_new,
+    )
+    results = server.run(reqs)
+    for r in results:
+        np.testing.assert_array_equal(r.output_tokens, direct[r.id])
+    assert server.prefix_prefills == 2  # arrays differ → two blocks
