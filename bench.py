@@ -163,6 +163,22 @@ def main() -> None:
             "--scenes", "12", "--num-prefixes", "6"])
     ))
 
+    # the PRODUCTION serving record (round 4): prefix-pool continuous
+    # engine at the nt=32 shape, scene-run workload, 96 slots — the
+    # streamed counterpart of the fixed-batch grouped number above
+    pool = bench_serve.run_serve(bench_serve.parse_args(
+        ["--skip-gang", "--prompt-len", "160", "--prefix-pool",
+         "--suffix-len", "64"]
+        + (["--quick", "--slots", "4", "--refill-group", "2",
+            "--chunk-steps", "4", "--max-new", "8", "--requests", "8",
+            "--scenes", "2", "--num-prefixes", "2"]
+           if args.quick else
+           ["--int8", "--kv-quant", "--merged-lora", "--compact-transfer",
+            "--slots", "96", "--refill-group", "8", "--chunk-steps", "8",
+            "--max-new", "32", "--requests", "288",
+            "--scenes", "18", "--num-prefixes", "10"])
+    ))
+
     prior = prior_round_qa()
     record = {
         "metric": "qa_pairs_per_sec_per_chip",
@@ -177,6 +193,13 @@ def main() -> None:
             f"mean {ref_eval['budget_mean']}/max {ref_eval['budget_max']}, "
             "12 scenes x 8 questions); the >=3x-A100 audit number (A100 "
             "derived 1.9-2.4 QA/s, BASELINE.md)"
+        ),
+        "pool_serving_qa_per_sec": pool["value"],
+        "pool_serving_note": (
+            "prefix-pool continuous engine, nt=32 MSQA mix, 18 scenes x "
+            "16 questions, 96 slots — the streamed production record "
+            "(scene prefixes prefill once per scene; plain continuous "
+            "measured 25.3 same-day at 32 slots, round 4)"
         ),
         "grouped8_qa_per_sec": grouped["value"],
         "grouped8_note": (

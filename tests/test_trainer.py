@@ -846,6 +846,71 @@ class TestContinuousEval:
                 direct = model.generate(batch1, use_beam=True)
                 assert rec.records[bi][ri] == direct["output_text"][0]
 
+    def test_prefix_pool_eval_beam_routes_to_pool_beam_engine(self, tmp_path):
+        """A beam model under eval_engine: continuous + prefix_pool is
+        served by the prefix-pool BEAM engine; every emitted output_text
+        must match the fixed-batch beam generate of that single request,
+        in loader batch order."""
+        from msr3d_tpu.trainer.leo_trainer import LeoTrainer
+        from tests.test_msr3d import tiny_model
+
+        cfg = config_from_dict({
+            "exp_dir": str(tmp_path / "exp_pool_beam"),
+            "mode": "eval",
+            "eval_engine": "continuous",
+            "eval_engine_opts": {
+                "prefix_pool": True, "num_prefixes": 4,
+                "prefix_len": 64, "suffix_len": 64,
+                "num_slots": 2, "refill_group": 1, "chunk_steps": 3,
+            },
+            "solver": {
+                "gradient_accumulation_steps": 1, "grad_norm": 5.0,
+                "epochs": 1,
+                "optim": {"name": "AdamW", "args": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 0.0}},
+                "sched": {"name": "warmup_cosine_instructblip", "args": {"warmup_steps": 2}},
+            },
+        })
+
+        class Recorder:
+            def __init__(self):
+                self.records = []
+
+            def reset(self):
+                self.records = []
+
+            def update(self, record):
+                self.records.append(list(record["output_text"]))
+
+            def record(self, split):
+                return False, {}
+
+        rec = Recorder()
+        model = tiny_model()  # num_beams=2
+        model.max_out_len = 5
+        loader = SyntheticLoader(2, with_eval_keys=True)
+        trainer = LeoTrainer(
+            cfg,
+            loaders={"msqa": {"val": loader}},
+            evaluators={"msqa": rec},
+            model=model,
+        )
+        trainer.eval_task("msqa", "val")
+        assert len(rec.records) == 2
+
+        from msr3d_tpu.serving import uncollate_batch
+
+        for bi, data_dict in enumerate(loader):
+            for ri, req in enumerate(uncollate_batch(data_dict)):
+                batch1 = {
+                    k: (
+                        [v] if k == "msr3d_prompt"
+                        else np.asarray(v)[None]
+                    )
+                    for k, v in req.items()
+                }
+                direct = model.generate(batch1, use_beam=True)
+                assert rec.records[bi][ri] == direct["output_text"][0]
+
 
 @pytest.mark.slow
 class TestMetricsLag:
