@@ -135,7 +135,15 @@ class NMRMVRecon:
 
         if not self.full_scale:
             n = rays_flat.shape[0]
-            sel = np.random.choice(
+            # eval splits subsample DETERMINISTICALLY (per-item rng) so a
+            # val metric scores the same pixels run-to-run — the whole
+            # point of pinning view_idx=0 above; train keeps the global
+            # rng (fresh rays each epoch)
+            chooser = (
+                np.random if self.split == "train"
+                else np.random.default_rng(index)
+            )
+            sel = chooser.choice(
                 n, size=self.points_per_item, replace=n < self.points_per_item
             )
             rays_flat = rays_flat[sel]

@@ -13,8 +13,11 @@ per-output-channel scale once on the fp32 accumulator at the end.
 Math note: the per-output-channel scale commutes out of the contraction
 exactly (dot_j = s_j · Σ_k x_k w_kj); accumulating in fp32 and scaling
 once is the numerically STRONGER order. It is not bit-identical to the
-XLA path (which rounds w·s to bf16 before the dot), so the serving
-integration carries its own token-parity tests.
+XLA path (which rounds w·s to bf16 before the dot). NOT integrated into
+the serving path: the round-4 chained microbench measured it at 0.82×
+of the XLA lowering (BASELINE.md — the VPU int8→bf16 convert is the
+shared floor), so the kernel stays unit-tested scaffolding; any future
+integration must add its own token-parity tests first.
 
 Reference shapes (Vicuna-7B geometry): K=4096, N∈{4096, 11008, 12288},
 B = decode rows (8..160). B is padded to the bf16 sublane tile (16).

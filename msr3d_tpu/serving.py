@@ -1201,6 +1201,197 @@ class ContinuousBatchingServer:
         return [results[k] for k in sorted(results)]
 
 
+def _hf_beam_machinery(*, K, V, S_g, eos, pad, lp, rp, eos_bias,
+                       min_length=1):
+    """The per-slot HF beam-search math shared by BOTH beam slot-refill
+    engines (plain and prefix-pool): finalize, the early_stopping=False
+    done heuristic, beam step 0 from first-token logits, and the full
+    2K-candidate re-rank step. One copy — a semantics fix (length-penalty
+    convention, EOS-pool update, ...) lands in every engine (code-review
+    finding, round 4). Matches ``beam_search_decode_shared`` token-for-
+    token at batch 1 (each engine's parity tests pin it)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from msr3d_tpu.models.llm.sampling import (
+        _mask_min_length,
+        apply_repetition_penalty,
+    )
+
+    neg_inf = jnp.float32(-1e9)
+
+    def finalize_best(beam_tokens, beam_scores, hyp_tokens, hyp_scores,
+                      budget):
+        """Per-slot HF finalize: live beams compete against the pool at
+        the budget length."""
+        live_norm = beam_scores / jnp.power(
+            jnp.maximum(budget, 1).astype(jnp.float32)[:, None], lp
+        )  # (B, K)
+        all_scores = jnp.concatenate([hyp_scores, live_norm], axis=1)
+        all_tokens = jnp.concatenate([hyp_tokens, beam_tokens], axis=1)
+        best = jnp.argmax(all_scores, axis=1)
+        return all_tokens[jnp.arange(all_tokens.shape[0]), best]
+
+    def running_done(beam_scores, hyp_scores, step):
+        # HF early_stopping=False heuristic, per slot at per-slot step
+        best_live = jnp.max(beam_scores, axis=1) / jnp.power(
+            (step + 1).astype(jnp.float32), lp
+        )
+        worst_hyp = jnp.min(hyp_scores, axis=1)
+        full = jnp.sum(hyp_scores > neg_inf / 2, axis=1) >= K
+        return full & (worst_hyp >= best_live)
+
+    def step0(first, budgets):
+        """Beam step 0 (beam_search_decode_shared init semantics): top-K
+        distinct first tokens, EOS candidates finalize at once. Returns
+        (gen_rows (r,K,S_g), score_rows, hyp_tok_rows, hyp_score_rows,
+        seen_rows (r,K,V), fin0, out0)."""
+        r = first.shape[0]
+        logp0 = jax.nn.log_softmax(
+            _mask_min_length(
+                first.astype(jnp.float32), jnp.int32(0), min_length, eos,
+                eos_bias,
+            ),
+            axis=-1,
+        )  # (r, V)
+        top_logp, top_tok = lax.top_k(logp0, K)  # (r, K)
+        gen_rows = jnp.full((r, K, S_g), pad, jnp.int32).at[:, :, 0].set(
+            top_tok
+        )
+        rk = jnp.arange(r * K)
+        seen_rows = jnp.zeros((r * K, V), bool).at[
+            rk, top_tok.reshape(-1)
+        ].set(True).reshape(r, K, V)
+        is_eos0 = top_tok == eos
+        hyp_tok_rows = jnp.where(is_eos0[..., None], gen_rows, pad)
+        hyp_score_rows = jnp.where(
+            is_eos0, top_logp / jnp.float32(1.0) ** lp, neg_inf
+        )
+        score_rows = jnp.where(is_eos0, neg_inf, top_logp)
+        # the done check the fixed loop's first cond performs (step=1)
+        done0 = running_done(score_rows, hyp_score_rows, jnp.full((r,), 1))
+        fin0 = done0 | (budgets <= 1)
+        out0 = finalize_best(
+            gen_rows, score_rows, hyp_tok_rows, hyp_score_rows, budgets
+        )
+        return (gen_rows, score_rows, hyp_tok_rows, hyp_score_rows,
+                seen_rows, fin0, out0)
+
+    def rerank(st, gen_kv, logits, anc, run, cnt):
+        """One full beam re-rank step from this step's last-token logits:
+        HF processors on log-probs, 2K candidates, EOS-candidate pool
+        update, live-beam continuation, ancestry gather, per-slot stop +
+        finalize. Returns the updated state dict (carries ``gen_kv`` and
+        the gathered ``anc``)."""
+        B = cnt.shape[0]
+        rowsK = jnp.arange(B * K)
+        beam_eye = jnp.tile(jnp.arange(K)[None, :], (B, 1))
+
+        def rep(x):  # (B,) → (B·K,) slot-major
+            return jnp.repeat(x, K, axis=0)
+
+        runK = rep(run)
+        cntK = rep(cnt)
+        logp = jax.nn.log_softmax(
+            logits[:, -1, :].astype(jnp.float32), axis=-1
+        )
+        logp = apply_repetition_penalty(logp, st["seen"], rp)
+        is_eos_v = (jnp.arange(V) == eos)[None, :]
+        if eos_bias:
+            logp = logp + is_eos_v * jnp.float32(eos_bias)
+        if min_length > 1:
+            logp = jnp.where(
+                (cntK[:, None] < min_length - 1) & is_eos_v, -jnp.inf, logp
+            )
+
+        total = (st["beam_scores"][:, None] + logp).reshape(B, K * V)
+        cand_scores, cand_idx = lax.top_k(total, 2 * K)  # (B, 2K)
+        cand_beam = cand_idx // V
+        cand_tok = (cand_idx % V).astype(jnp.int32)
+        cand_is_eos = cand_tok == eos
+
+        # --- finalize EOS candidates into the per-slot pool -------------
+        src = (jnp.arange(B)[:, None] * K + cand_beam).reshape(-1)
+        cand_seqs = st["beam_tokens"][src].reshape(B, 2 * K, S_g)
+        col_mask = (
+            jnp.arange(S_g)[None, None, :]
+            == jnp.minimum(cnt, S_g - 1)[:, None, None]
+        )
+        cand_seqs = jnp.where(
+            col_mask,
+            jnp.where(cand_is_eos[..., None], eos, pad),
+            cand_seqs,
+        )
+        cand_norm = cand_scores / jnp.power(
+            (cnt[:, None] + 1).astype(jnp.float32), lp
+        )
+        cand_norm = jnp.where(cand_is_eos, cand_norm, neg_inf)
+        pool_scores = jnp.concatenate([st["hyp_scores"], cand_norm], axis=1)
+        pool_tokens = jnp.concatenate([st["hyp_tokens"], cand_seqs], axis=1)
+        top_pool, pool_idx = lax.top_k(pool_scores, K)
+        hyp_scores = jnp.where(run[:, None], top_pool, st["hyp_scores"])
+        hyp_tokens = jnp.where(
+            run[:, None, None],
+            jnp.take_along_axis(pool_tokens, pool_idx[:, :, None], axis=1),
+            st["hyp_tokens"],
+        )
+
+        # --- continue with the best K non-EOS candidates ----------------
+        live_rank = jnp.where(cand_is_eos, neg_inf, cand_scores)
+        _, live_pick = lax.top_k(live_rank, K)
+        new_scores = jnp.take_along_axis(cand_scores, live_pick, axis=1)
+        new_tok = jnp.take_along_axis(cand_tok, live_pick, axis=1)
+        new_beam = jnp.take_along_axis(cand_beam, live_pick, axis=1)
+        valid_live = jnp.take_along_axis(~cand_is_eos, live_pick, axis=1)
+        new_tok = jnp.where(valid_live, new_tok, pad)
+        new_scores = jnp.where(valid_live, new_scores, neg_inf)
+
+        # idle slots gather identity rows (their state is frozen)
+        new_beam = jnp.where(run[:, None], new_beam, beam_eye)
+        gather = (jnp.arange(B)[:, None] * K + new_beam).reshape(-1)
+        beam_tokens = st["beam_tokens"][gather]
+        seen = st["seen"][gather]
+        # the generated cache never reorders — only the ancestry map
+        # follows the beam re-rank
+        anc = anc[gather]
+
+        colK = jnp.minimum(cntK, S_g - 1)
+        new_tok_flat = new_tok.reshape(-1)
+        beam_tokens = beam_tokens.at[rowsK, colK].set(
+            jnp.where(runK, new_tok_flat, beam_tokens[rowsK, colK])
+        )
+        seen = jnp.where(
+            runK[:, None], seen.at[rowsK, new_tok_flat].set(True), seen
+        )
+        beam_scores = jnp.where(
+            runK, new_scores.reshape(-1), st["beam_scores"]
+        )
+
+        inc = run.astype(jnp.int32)
+        cnt_new = cnt + inc
+        # per-slot stop = the fixed loop's cond at the NEXT step
+        stop = (cnt_new >= st["budget"]) | running_done(
+            beam_scores.reshape(B, K), hyp_scores, cnt_new
+        )
+        newly_done = run & stop
+        out = finalize_best(
+            beam_tokens.reshape(B, K, S_g), beam_scores.reshape(B, K),
+            hyp_tokens, hyp_scores, st["budget"],
+        )
+        generated = jnp.where(newly_done[:, None], out, st["generated"])
+
+        return dict(
+            st, gen_kv=gen_kv, anc=anc, beam_tokens=beam_tokens, seen=seen,
+            beam_scores=beam_scores, hyp_tokens=hyp_tokens,
+            hyp_scores=hyp_scores, generated=generated,
+            finished=st["finished"] | newly_done,
+            cnt=cnt_new, pos=st["pos"] + inc,
+        )
+
+    return finalize_best, running_done, step0, rerank
+
+
 class ContinuousBeamBatchingServer(ContinuousBatchingServer):
     """Slot-refill continuous batching for BEAM-SEARCH serving — the
     reference's accuracy-eval decode setting (num_beams=5,
@@ -1271,10 +1462,6 @@ class ContinuousBeamBatchingServer(ContinuousBatchingServer):
         from functools import partial
 
         from msr3d_tpu.models.llm.llama import _make_cache
-        from msr3d_tpu.models.llm.sampling import (
-            _mask_min_length,
-            apply_repetition_penalty,
-        )
         from msr3d_tpu.models.msr3d import MSR3D
 
         model = self.model
@@ -1294,27 +1481,12 @@ class ContinuousBeamBatchingServer(ContinuousBatchingServer):
         neg_inf = jnp.float32(-1e9)
         BK = B * K
 
-        def finalize_best(beam_tokens, beam_scores, hyp_tokens, hyp_scores,
-                          budget):
-            """Per-slot HF finalize: live beams compete against the pool
-            at the budget length (beam_search_decode_shared finalize, with
-            max_new_tokens = this slot's budget)."""
-            live_norm = beam_scores / jnp.power(
-                jnp.maximum(budget, 1).astype(jnp.float32)[:, None], lp
-            )  # (B, K)
-            all_scores = jnp.concatenate([hyp_scores, live_norm], axis=1)
-            all_tokens = jnp.concatenate([hyp_tokens, beam_tokens], axis=1)
-            best = jnp.argmax(all_scores, axis=1)
-            return all_tokens[jnp.arange(all_tokens.shape[0]), best]
-
-        def running_done(beam_scores, hyp_scores, step):
-            # HF early_stopping=False heuristic, per slot at per-slot step
-            best_live = jnp.max(beam_scores, axis=1) / jnp.power(
-                (step + 1).astype(jnp.float32), lp
+        finalize_best, running_done, beam_step0, beam_rerank = (
+            _hf_beam_machinery(
+                K=K, V=V, S_g=S_g, eos=eos, pad=pad, lp=lp, rp=rp,
+                eos_bias=eos_bias, min_length=min_length,
             )
-            worst_hyp = jnp.min(hyp_scores, axis=1)
-            full = jnp.sum(hyp_scores > neg_inf / 2, axis=1) >= K
-            return full & (worst_hyp >= best_live)
+        )
 
         @jax.jit
         def init_state():
@@ -1368,36 +1540,8 @@ class ContinuousBeamBatchingServer(ContinuousBatchingServer):
             }
             prompt_mask = prompt_mask.at[slots].set(new_mask)
 
-            # --- beam step 0 (beam_search_decode_shared init semantics):
-            # top-K distinct first tokens, EOS candidates finalize at once
-            logp0 = jax.nn.log_softmax(
-                _mask_min_length(
-                    new_first.astype(jnp.float32), jnp.int32(0), min_length,
-                    eos, eos_bias,
-                ),
-                axis=-1,
-            )  # (r, V)
-            top_logp, top_tok = lax.top_k(logp0, K)  # (r, K)
-            gen_rows = jnp.full((r, K, S_g), pad, jnp.int32).at[:, :, 0].set(
-                top_tok
-            )
-            rk = jnp.arange(r * K)
-            seen_rows = jnp.zeros((r * K, V), bool).at[
-                rk, top_tok.reshape(-1)
-            ].set(True).reshape(r, K, V)
-            is_eos0 = top_tok == eos  # (r, K)
-            hyp_tok_rows = jnp.where(is_eos0[..., None], gen_rows, pad)
-            hyp_score_rows = jnp.where(
-                is_eos0, top_logp / jnp.float32(1.0) ** lp, neg_inf
-            )
-            score_rows = jnp.where(is_eos0, neg_inf, top_logp)
-
-            # done check the fixed loop's first cond performs (step=1)
-            done0 = running_done(score_rows, hyp_score_rows, jnp.full((r,), 1))
-            fin0 = done0 | (budgets <= 1)
-            out0 = finalize_best(
-                gen_rows, score_rows, hyp_tok_rows, hyp_score_rows, budgets
-            )
+            (gen_rows, score_rows, hyp_tok_rows, hyp_score_rows,
+             seen_rows, fin0, out0) = beam_step0(new_first, budgets)
 
             rows = (slots[:, None] * K + jnp.arange(K)).reshape(-1)  # (r·K,)
             state = dict(
@@ -1428,7 +1572,6 @@ class ContinuousBeamBatchingServer(ContinuousBatchingServer):
         def decode_chunk(variables, prompt_kv, prompt_mask, state):
             rowsK = jnp.arange(BK)
             slot_iota = jnp.arange(S_g)[None, :]
-            beam_eye = jnp.tile(jnp.arange(K)[None, :], (B, 1))  # identity
 
             def rep(x):  # (B,) → (B·K,) slot-major
                 return jnp.repeat(x, K, axis=0)
@@ -1457,115 +1600,7 @@ class ContinuousBeamBatchingServer(ContinuousBatchingServer):
                     gen_mask, anc, K,
                     method=network.decode_step_beam_anc,
                 )
-                # HF beam scoring: processors act on log-probs, per-row step
-                logp = jax.nn.log_softmax(
-                    logits[:, -1, :].astype(jnp.float32), axis=-1
-                )
-                logp = apply_repetition_penalty(logp, st["seen"], rp)
-                is_eos_v = (jnp.arange(V) == eos)[None, :]
-                if eos_bias:
-                    logp = logp + is_eos_v * jnp.float32(eos_bias)
-                if min_length > 1:
-                    logp = jnp.where(
-                        (cntK[:, None] < min_length - 1) & is_eos_v,
-                        -jnp.inf, logp,
-                    )
-
-                total = (st["beam_scores"][:, None] + logp).reshape(B, K * V)
-                cand_scores, cand_idx = lax.top_k(total, 2 * K)  # (B, 2K)
-                cand_beam = cand_idx // V
-                cand_tok = (cand_idx % V).astype(jnp.int32)
-                cand_is_eos = cand_tok == eos
-
-                # --- finalize EOS candidates into the per-slot pool ------
-                src = (jnp.arange(B)[:, None] * K + cand_beam).reshape(-1)
-                cand_seqs = st["beam_tokens"][src].reshape(B, 2 * K, S_g)
-                col_mask = (
-                    jnp.arange(S_g)[None, None, :]
-                    == jnp.minimum(cnt, S_g - 1)[:, None, None]
-                )
-                cand_seqs = jnp.where(
-                    col_mask,
-                    jnp.where(cand_is_eos[..., None], eos, pad),
-                    cand_seqs,
-                )
-                cand_norm = cand_scores / jnp.power(
-                    (cnt[:, None] + 1).astype(jnp.float32), lp
-                )
-                cand_norm = jnp.where(cand_is_eos, cand_norm, neg_inf)
-                pool_scores = jnp.concatenate(
-                    [st["hyp_scores"], cand_norm], axis=1
-                )  # (B, 3K)
-                pool_tokens = jnp.concatenate(
-                    [st["hyp_tokens"], cand_seqs], axis=1
-                )
-                top_pool, pool_idx = lax.top_k(pool_scores, K)
-                hyp_scores = jnp.where(run[:, None], top_pool, st["hyp_scores"])
-                hyp_tokens = jnp.where(
-                    run[:, None, None],
-                    jnp.take_along_axis(
-                        pool_tokens, pool_idx[:, :, None], axis=1
-                    ),
-                    st["hyp_tokens"],
-                )
-
-                # --- continue with the best K non-EOS candidates ---------
-                live_rank = jnp.where(cand_is_eos, neg_inf, cand_scores)
-                _, live_pick = lax.top_k(live_rank, K)
-                new_scores = jnp.take_along_axis(cand_scores, live_pick, axis=1)
-                new_tok = jnp.take_along_axis(cand_tok, live_pick, axis=1)
-                new_beam = jnp.take_along_axis(cand_beam, live_pick, axis=1)
-                valid_live = jnp.take_along_axis(~cand_is_eos, live_pick, axis=1)
-                new_tok = jnp.where(valid_live, new_tok, pad)
-                new_scores = jnp.where(valid_live, new_scores, neg_inf)
-
-                # idle slots gather identity rows (their state is frozen)
-                new_beam = jnp.where(run[:, None], new_beam, beam_eye)
-                gather = (jnp.arange(B)[:, None] * K + new_beam).reshape(-1)
-                beam_tokens = st["beam_tokens"][gather]
-                seen = st["seen"][gather]
-                # the generated cache never reorders — only the ancestry
-                # map follows the beam re-rank
-                anc = anc[gather]
-
-                colK = jnp.minimum(cntK, S_g - 1)
-                new_tok_flat = new_tok.reshape(-1)
-                beam_tokens = beam_tokens.at[rowsK, colK].set(
-                    jnp.where(runK, new_tok_flat, beam_tokens[rowsK, colK])
-                )
-                seen = jnp.where(
-                    runK[:, None],
-                    seen.at[rowsK, new_tok_flat].set(True),
-                    seen,
-                )
-                beam_scores = jnp.where(
-                    runK, new_scores.reshape(-1), st["beam_scores"]
-                )
-
-                inc = run.astype(jnp.int32)
-                cnt_new = cnt + inc
-                # per-slot stop = the fixed loop's cond at the NEXT step
-                stop = (cnt_new >= st["budget"]) | running_done(
-                    beam_scores.reshape(B, K), hyp_scores, cnt_new
-                )
-                newly_done = run & stop
-                out = finalize_best(
-                    beam_tokens.reshape(B, K, S_g),
-                    beam_scores.reshape(B, K),
-                    hyp_tokens, hyp_scores, st["budget"],
-                )
-                generated = jnp.where(
-                    newly_done[:, None], out, st["generated"]
-                )
-
-                st = dict(
-                    st, gen_kv=gen_kv, anc=anc, beam_tokens=beam_tokens,
-                    seen=seen,
-                    beam_scores=beam_scores, hyp_tokens=hyp_tokens,
-                    hyp_scores=hyp_scores, generated=generated,
-                    finished=st["finished"] | newly_done,
-                    cnt=cnt_new, pos=st["pos"] + inc,
-                )
+                st = beam_rerank(st, gen_kv, logits, anc, run, cnt)
                 return i + 1, st
 
             steps, state = lax.while_loop(cond, body, (jnp.int32(0), state))
@@ -2072,15 +2107,20 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
             prefix = np.asarray(row[: last + 1], np.int32)
             key = (scene_fingerprint(sample_arrays), prefix.tobytes())
         suffix = [int(t) for t in row[last + 1 :]] + [tok.bos_id]
-        assert len(prefix) <= self.prefix_len, (
-            f"scene prefix ({len(prefix)} tokens) exceeds the engine's "
-            f"prefix bucket ({self.prefix_len}); raise prefix_len"
-        )
-        assert len(suffix) <= self.suffix_len, (
-            f"question suffix ({len(suffix)} tokens incl. trailing bos) "
-            f"exceeds the engine's suffix bucket ({self.suffix_len}); "
-            f"raise suffix_len"
-        )
+        # explicit raises, not asserts: the HTTP front-end turns these
+        # into per-request 400s, and python -O must not strip them into
+        # an engine-killing shape error at refill time
+        if len(prefix) > self.prefix_len:
+            raise ValueError(
+                f"scene prefix ({len(prefix)} tokens) exceeds the engine's "
+                f"prefix bucket ({self.prefix_len}); raise prefix_len"
+            )
+        if len(suffix) > self.suffix_len:
+            raise ValueError(
+                f"question suffix ({len(suffix)} tokens incl. trailing "
+                f"bos) exceeds the engine's suffix bucket "
+                f"({self.suffix_len}); raise suffix_len"
+            )
         return key, prefix, suffix
 
     def _alloc_block(self, key) -> Optional[int]:
@@ -2319,10 +2359,6 @@ class PrefixPoolContinuousBeamBatchingServer(PrefixPoolContinuousBatchingServer)
         from functools import partial
 
         from msr3d_tpu.models.llm.llama import _make_cache
-        from msr3d_tpu.models.llm.sampling import (
-            _mask_min_length,
-            apply_repetition_penalty,
-        )
         from msr3d_tpu.models.msr3d import MSR3D
 
         model = self.model
@@ -2343,25 +2379,12 @@ class PrefixPoolContinuousBeamBatchingServer(PrefixPoolContinuousBatchingServer)
         neg_inf = jnp.float32(-1e9)
         BK = B * K
 
-        # --- per-slot HF beam helpers (ContinuousBeamBatchingServer) ----
-
-        def finalize_best(beam_tokens, beam_scores, hyp_tokens, hyp_scores,
-                          budget):
-            live_norm = beam_scores / jnp.power(
-                jnp.maximum(budget, 1).astype(jnp.float32)[:, None], lp
+        finalize_best, running_done, beam_step0, beam_rerank = (
+            _hf_beam_machinery(
+                K=K, V=V, S_g=S_g, eos=eos, pad=pad, lp=lp, rp=rp,
+                eos_bias=eos_bias, min_length=min_length,
             )
-            all_scores = jnp.concatenate([hyp_scores, live_norm], axis=1)
-            all_tokens = jnp.concatenate([hyp_tokens, beam_tokens], axis=1)
-            best = jnp.argmax(all_scores, axis=1)
-            return all_tokens[jnp.arange(all_tokens.shape[0]), best]
-
-        def running_done(beam_scores, hyp_scores, step):
-            best_live = jnp.max(beam_scores, axis=1) / jnp.power(
-                (step + 1).astype(jnp.float32), lp
-            )
-            worst_hyp = jnp.min(hyp_scores, axis=1)
-            full = jnp.sum(hyp_scores > neg_inf / 2, axis=1) >= K
-            return full & (worst_hyp >= best_live)
+        )
 
         @jax.jit
         def init_state():
@@ -2412,32 +2435,8 @@ class PrefixPoolContinuousBeamBatchingServer(PrefixPoolContinuousBatchingServer)
             )
             first = logits[:, -1, :].astype(jnp.float32)
 
-            # HF beam step 0 (ContinuousBeamBatchingServer.insert)
-            logp0 = jax.nn.log_softmax(
-                _mask_min_length(
-                    first, jnp.int32(0), min_length, eos, eos_bias
-                ),
-                axis=-1,
-            )
-            top_logp, top_tok = lax.top_k(logp0, K)
-            gen_rows = jnp.full((r, K, S_g), pad, jnp.int32).at[:, :, 0].set(
-                top_tok
-            )
-            rk = jnp.arange(r * K)
-            seen_rows = jnp.zeros((r * K, V), bool).at[
-                rk, top_tok.reshape(-1)
-            ].set(True).reshape(r, K, V)
-            is_eos0 = top_tok == eos
-            hyp_tok_rows = jnp.where(is_eos0[..., None], gen_rows, pad)
-            hyp_score_rows = jnp.where(
-                is_eos0, top_logp / jnp.float32(1.0) ** lp, neg_inf
-            )
-            score_rows = jnp.where(is_eos0, neg_inf, top_logp)
-            done0 = running_done(score_rows, hyp_score_rows, jnp.full((r,), 1))
-            fin0 = done0 | (budgets <= 1)
-            out0 = finalize_best(
-                gen_rows, score_rows, hyp_tok_rows, hyp_score_rows, budgets
-            )
+            (gen_rows, score_rows, hyp_tok_rows, hyp_score_rows,
+             seen_rows, fin0, out0) = beam_step0(first, budgets)
 
             rows = (slots[:, None] * K + jnp.arange(K)).reshape(-1)
             state = dict(
@@ -2478,7 +2477,6 @@ class PrefixPoolContinuousBeamBatchingServer(PrefixPoolContinuousBatchingServer)
         def decode_chunk(variables, pool_kv, pool_mask, state):
             rowsK = jnp.arange(BK)
             slot_iota = jnp.arange(S_g)[None, :]
-            beam_eye = jnp.tile(jnp.arange(K)[None, :], (B, 1))
 
             def rep(x):  # (B,) → (B·K,) slot-major
                 return jnp.repeat(x, K, axis=0)
@@ -2530,112 +2528,7 @@ class PrefixPoolContinuousBeamBatchingServer(PrefixPoolContinuousBatchingServer)
                     gen_mask, anc, K,
                     method=network.decode_step_beam_anc,
                 )
-                logp = jax.nn.log_softmax(
-                    logits[:, -1, :].astype(jnp.float32), axis=-1
-                )
-                logp = apply_repetition_penalty(logp, st["seen"], rp)
-                is_eos_v = (jnp.arange(V) == eos)[None, :]
-                if eos_bias:
-                    logp = logp + is_eos_v * jnp.float32(eos_bias)
-                if min_length > 1:
-                    logp = jnp.where(
-                        (cntK[:, None] < min_length - 1) & is_eos_v,
-                        -jnp.inf, logp,
-                    )
-
-                total = (st["beam_scores"][:, None] + logp).reshape(B, K * V)
-                cand_scores, cand_idx = lax.top_k(total, 2 * K)
-                cand_beam = cand_idx // V
-                cand_tok = (cand_idx % V).astype(jnp.int32)
-                cand_is_eos = cand_tok == eos
-
-                src = (jnp.arange(B)[:, None] * K + cand_beam).reshape(-1)
-                cand_seqs = st["beam_tokens"][src].reshape(B, 2 * K, S_g)
-                col_mask = (
-                    jnp.arange(S_g)[None, None, :]
-                    == jnp.minimum(cnt, S_g - 1)[:, None, None]
-                )
-                cand_seqs = jnp.where(
-                    col_mask,
-                    jnp.where(cand_is_eos[..., None], eos, pad),
-                    cand_seqs,
-                )
-                cand_norm = cand_scores / jnp.power(
-                    (cnt[:, None] + 1).astype(jnp.float32), lp
-                )
-                cand_norm = jnp.where(cand_is_eos, cand_norm, neg_inf)
-                pool_scores = jnp.concatenate(
-                    [st["hyp_scores"], cand_norm], axis=1
-                )
-                pool_tokens = jnp.concatenate(
-                    [st["hyp_tokens"], cand_seqs], axis=1
-                )
-                top_pool, pool_idx = lax.top_k(pool_scores, K)
-                hyp_scores = jnp.where(
-                    run[:, None], top_pool, st["hyp_scores"]
-                )
-                hyp_tokens = jnp.where(
-                    run[:, None, None],
-                    jnp.take_along_axis(
-                        pool_tokens, pool_idx[:, :, None], axis=1
-                    ),
-                    st["hyp_tokens"],
-                )
-
-                live_rank = jnp.where(cand_is_eos, neg_inf, cand_scores)
-                _, live_pick = lax.top_k(live_rank, K)
-                new_scores = jnp.take_along_axis(cand_scores, live_pick, axis=1)
-                new_tok = jnp.take_along_axis(cand_tok, live_pick, axis=1)
-                new_beam = jnp.take_along_axis(cand_beam, live_pick, axis=1)
-                valid_live = jnp.take_along_axis(
-                    ~cand_is_eos, live_pick, axis=1
-                )
-                new_tok = jnp.where(valid_live, new_tok, pad)
-                new_scores = jnp.where(valid_live, new_scores, neg_inf)
-
-                new_beam = jnp.where(run[:, None], new_beam, beam_eye)
-                gather = (jnp.arange(B)[:, None] * K + new_beam).reshape(-1)
-                beam_tokens = st["beam_tokens"][gather]
-                seen = st["seen"][gather]
-                anc = anc[gather]
-
-                colK = jnp.minimum(cntK, S_g - 1)
-                new_tok_flat = new_tok.reshape(-1)
-                beam_tokens = beam_tokens.at[rowsK, colK].set(
-                    jnp.where(runK, new_tok_flat, beam_tokens[rowsK, colK])
-                )
-                seen = jnp.where(
-                    runK[:, None],
-                    seen.at[rowsK, new_tok_flat].set(True),
-                    seen,
-                )
-                beam_scores = jnp.where(
-                    runK, new_scores.reshape(-1), st["beam_scores"]
-                )
-
-                inc = run.astype(jnp.int32)
-                cnt_new = cnt + inc
-                stop = (cnt_new >= st["budget"]) | running_done(
-                    beam_scores.reshape(B, K), hyp_scores, cnt_new
-                )
-                newly_done = run & stop
-                out = finalize_best(
-                    beam_tokens.reshape(B, K, S_g),
-                    beam_scores.reshape(B, K),
-                    hyp_tokens, hyp_scores, st["budget"],
-                )
-                generated = jnp.where(
-                    newly_done[:, None], out, st["generated"]
-                )
-
-                st = dict(
-                    st, gen_kv=gen_kv, anc=anc, beam_tokens=beam_tokens,
-                    seen=seen, beam_scores=beam_scores,
-                    hyp_tokens=hyp_tokens, hyp_scores=hyp_scores,
-                    generated=generated,
-                    finished=st["finished"] | newly_done,
-                    cnt=cnt_new, pos=st["pos"] + inc,
-                )
+                st = beam_rerank(st, gen_kv, logits, anc, run, cnt)
                 return i + 1, st
 
             steps, state = lax.while_loop(cond, body, (jnp.int32(0), state))

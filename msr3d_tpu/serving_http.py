@@ -409,7 +409,7 @@ class ServingFrontend:
             # tokenize, no separate full-prompt encode
             try:
                 self.engine._split_sample(sample)
-            except AssertionError as exc:
+            except (AssertionError, ValueError) as exc:
                 raise RequestError(str(exc))
             except Exception as exc:
                 raise RequestError(f"prompt build failed: {exc}")

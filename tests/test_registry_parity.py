@@ -70,6 +70,13 @@ def repo_registries():
     return {name: getattr(reg, name) for name in _REGISTRY_NAMES}
 
 
+pytestmark = pytest.mark.skipif(
+    not REFERENCE.exists(),
+    reason="reference tree not mounted (these are parity tests against "
+    "/root/reference; absence is an environment gap, not a regression)",
+)
+
+
 def test_reference_tree_scanned():
     regs = collect_reference_registrations()
     # the reference has 50 decorated registrations (r3 census); allow the
