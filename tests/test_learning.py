@@ -262,6 +262,25 @@ def test_msqa_overfit_em_continuous_engine(msqa_overfit):
     assert results["ans1_acc_llm"] == 1.0, results
 
 
+def test_msqa_overfit_em_prefix_pool_engine(msqa_overfit):
+    """Same learned weights through the PREFIX-POOL slot-refill engine
+    via the trainer route (eval_engine: continuous + prefix_pool) →
+    EM-R 1.0. Each training item carries its own scene, so this also
+    exercises block allocation/eviction on learned weights."""
+    trainer, items, extra, init_texts, _, tmp_path = msqa_overfit
+    trainer.cfg.eval_engine = "continuous"
+    trainer.cfg.eval_engine_opts = {
+        "prefix_pool": True, "num_prefixes": 4,
+        "prefix_len": 64, "suffix_len": 64,
+        "num_slots": 4, "refill_group": 2, "chunk_steps": 4,
+    }
+    try:
+        results = _msqa_eval(trainer, tmp_path, "pool")
+    finally:
+        trainer.cfg.eval_engine = ""
+    assert results["ans1_acc_llm"] == 1.0, results
+
+
 def test_msqa_overfit_em_continuous_beam_engine(msqa_overfit):
     """Beam-2 through the continuous BEAM engine (the reference's eval
     decode family) on the learned weights → EM-R 1.0."""
