@@ -179,6 +179,21 @@ def main() -> None:
             "--scenes", "18", "--num-prefixes", "10"])
     ))
 
+    # training throughput (VERDICT r4 #3: driver-captured every round).
+    # Record config = round-3's: micro-batch 2 × accum 10 (global 20 ≈ the
+    # reference's per-GPU 4×5), dots remat, answer-window CE — 17.6
+    # samples/s ≈ 52% bf16 MFU at 7B. Run LAST so its long compile can't
+    # contend with the serving arms' timed loops.
+    import bench_train
+
+    train = bench_train.run_train(bench_train.parse_args(
+        ["--batch", "2", "--accum", "2", "--prompt-len", "32",
+         "--answer-len", "8", "--iters", "1", "--quick"]
+        if args.quick else
+        ["--batch", "2", "--accum", "10", "--remat-policy", "dots",
+         "--iters", "3"]
+    ))
+
     prior = prior_round_qa()
     record = {
         "metric": "qa_pairs_per_sec_per_chip",
@@ -192,7 +207,10 @@ def main() -> None:
             "(beam-5, rep-3.0, 256-token budget, MSQA answer mix "
             f"mean {ref_eval['budget_mean']}/max {ref_eval['budget_max']}, "
             "12 scenes x 8 questions); the >=3x-A100 audit number (A100 "
-            "derived 1.9-2.4 QA/s, BASELINE.md)"
+            "derived 1.9-2.4 QA/s, BASELINE.md). NUMBER DEPENDS on the "
+            "scene-major run shape (each scene's prefix reused 8x, MSQA "
+            "eval's ordering); the scene-unique hard draw measured 7.19 "
+            "= 3.0-3.8x the derived A100 (conservative bound, round 4)"
         ),
         "pool_serving_qa_per_sec": pool["value"],
         "pool_serving_note": (
@@ -207,6 +225,16 @@ def main() -> None:
             "presents repeated (scene, situation) pairs (MSQA's shape) — "
             "a situation-unique stream degrades toward the plain path, "
             "never to wrong answers"
+        ),
+        "train_samples_per_sec": train["value"],
+        "train_step_ms": train["step_ms"],
+        "train_mfu_est": train["mfu_est"],
+        "train_note": (
+            f"full 7B-geometry train step ({train['llm']}), micro-batch "
+            f"{train['batch']} x accum {train['accum']}, "
+            f"{train['prompt_tokens']}+{train['answer_tokens']} tokens; "
+            "MFU counts useful FLOPs only (4*N_llm*tokens; frozen base = "
+            "no weight-grad term) against the v5e 197 TFLOP/s bf16 peak"
         ),
         "scene_encode_ms_per_scene": scene["scene_encode_ms_per_scene"],
         "batch": greedy["batch"],

@@ -80,6 +80,12 @@ def parse_args(argv=None):
                    help="distinct scenes in the workload (scene-major "
                         "question runs, MSQA-shaped); 0 = one scene per "
                         "request (the plain workload)")
+    p.add_argument("--open-loop", action="store_true",
+                   help="Poisson-arrival latency mode: measure closed-"
+                        "loop capacity, then TTFT/e2e/TPOT percentiles "
+                        "at --load-fractions of it (VERDICT r4 #4)")
+    p.add_argument("--load-fractions", type=float, nargs="+",
+                   default=[0.5, 0.8])
     args = p.parse_args(argv)
     args.new_tokens = args.max_new  # model.max_out_len
     return args
@@ -132,31 +138,30 @@ def make_scene_runs(args, n: int, n_scenes: int, seed: int):
     return reqs
 
 
-def prefix_bucket(model, req) -> int:
-    """The pool engine's prefix bucket: tokens up to the last placeholder
-    of one (representative) workload prompt, rounded to 32."""
+def prefix_bucket(model, reqs) -> int:
+    """The pool engine's prefix bucket: the MAX over the workload's
+    prompts of tokens-up-to-last-placeholder, rounded to 32 — sizing
+    from one request alone would raise the engine's 'exceeds prefix
+    bucket' error mid-benchmark if a later scene tokenizes longer."""
     tok = model.tokenizer
     enc = tok.encode_batch(
-        model.build_text_prompt({"msr3d_prompt": [req["msr3d_prompt"]]}),
+        model.build_text_prompt(
+            {"msr3d_prompt": [r["msr3d_prompt"] for r in reqs]}
+        ),
         padding_side="left", add_bos=True, pad_to=None,
     )
-    row = enc.input_ids[0][enc.attention_mask[0].astype(bool)]
     ph = {tok.scene_token_id, tok.img_token_id}
-    last = max(i for i, t in enumerate(row) if int(t) in ph)
-    return max(32, -(-(last + 1) // 32) * 32)
+    longest = 0
+    for ids, mask in zip(enc.input_ids, enc.attention_mask):
+        row = ids[mask.astype(bool)]
+        last = max(i for i, t in enumerate(row) if int(t) in ph)
+        longest = max(longest, last + 1)
+    return max(32, -(-longest // 32) * 32)
 
 
-def run_serve(args) -> dict:
-    """Run the serving benchmark, returning the record dict (importable
-    by bench.py for the driver-captured reference-exact eval number)."""
-
-    import jax
-
-    from msr3d_tpu.serving import (
-        ContinuousBatchingServer,
-        ContinuousBeamBatchingServer,
-    )
-
+def build_workload(args):
+    """(model, llm, requests, budgets, prompt_len, init_s) — the shared
+    setup for the closed-loop and open-loop benchmarks."""
     model, llm = bench_qa.build_model(args)
 
     n = args.requests
@@ -188,6 +193,16 @@ def run_serve(args) -> dict:
         )
     )
     prompt_len = max(32, -(-wi.shape[1] // 32) * 32) + 1
+    return model, llm, requests, budgets, prompt_len, init_s
+
+
+def make_engines(args, model, requests, prompt_len):
+    """(cont, gang) engine pair per the arg flags; compiled-program
+    sharing where shapes allow."""
+    from msr3d_tpu.serving import (
+        ContinuousBatchingServer,
+        ContinuousBeamBatchingServer,
+    )
 
     spec_k = getattr(args, "spec_k", 0)
     if args.prefix_pool:
@@ -198,7 +213,7 @@ def run_serve(args) -> dict:
 
         pool_kw = dict(
             num_prefixes=args.num_prefixes,
-            prefix_len=prefix_bucket(model, requests[0]),
+            prefix_len=prefix_bucket(model, requests),
             suffix_len=args.suffix_len,
             refill_group=args.refill_group, chunk_steps=args.chunk_steps,
             max_new_tokens=args.max_new, lookahead=args.lookahead,
@@ -288,6 +303,19 @@ def run_serve(args) -> dict:
         )
         cont._build_fns()
         gang._fns = cont._fns  # same shapes: share the compiled programs
+    return cont, gang
+
+
+def run_serve(args) -> dict:
+    """Run the serving benchmark, returning the record dict (importable
+    by bench.py for the driver-captured reference-exact eval number)."""
+
+    import jax
+
+    model, llm, requests, budgets, prompt_len, init_s = build_workload(args)
+    n = args.requests
+    spec_k = getattr(args, "spec_k", 0)
+    cont, gang = make_engines(args, model, requests, prompt_len)
 
     # warm/compile: a small prefix of the workload at tiny budgets
     warm_reqs = requests[: args.refill_group]
@@ -366,8 +394,161 @@ def run_serve(args) -> dict:
     return record
 
 
+def _pct(xs, q):
+    return round(float(np.percentile(np.asarray(xs, np.float64), q)), 4)
+
+
+def run_open_loop(args) -> dict:
+    """Open-loop (Poisson-arrival) latency benchmark (VERDICT r4 #4).
+
+    Closed-loop throughput hides queueing: a pre-built request list keeps
+    every slot saturated, so TTFT under REAL load — requests arriving at
+    their own times while earlier ones still decode — is never measured.
+    This mode first measures closed-loop capacity on the workload, then
+    replays the same requests with exponential inter-arrival gaps at
+    ``--load-fractions`` of that capacity through the engine's online
+    stream, recording per-request:
+
+      TTFT  — submit → first streamed chunk (the SSE first-chunk time;
+              granularity = chunk_steps decode steps, exactly what an
+              SSE client observes). Beam engines finalize at the end, so
+              TTFT == e2e there.
+      e2e   — submit → Result delivery.
+      TPOT  — decode pace after the first chunk,
+              (t_done − t_first) / tokens_after_first.
+    """
+    import jax
+
+    from msr3d_tpu.serving import OnlineRequestStream
+
+    model, llm, requests, budgets, prompt_len, init_s = build_workload(args)
+    n = args.requests
+    cont, _gang = make_engines(args, model, requests, prompt_len)
+
+    warm_reqs = requests[: args.refill_group]
+    t0 = time.time()
+    cont.run(warm_reqs, budgets=[2] * len(warm_reqs))
+    compile_s = time.time() - t0
+
+    # closed-loop capacity on this workload (same-day control by
+    # construction: measured seconds before the open-loop arms)
+    t0 = time.perf_counter()
+    res = cont.run(requests, budgets=budgets)
+    closed_s = time.perf_counter() - t0
+    assert len(res) == n
+    capacity = n / closed_s
+
+    streaming = bool(getattr(cont, "supports_progress", False))
+    arms = []
+    for frac in args.load_fractions:
+        rate = capacity * frac
+        r = np.random.default_rng(args.seed + 7)
+        gaps = r.exponential(1.0 / rate, size=n)
+        t_arrive, t_first, t_done = {}, {}, {}
+        tok_first, tok_done = {}, {}
+
+        def on_progress(rid, tokens):
+            if rid not in t_first and len(tokens) > 0:
+                t_first[rid] = time.perf_counter()
+                tok_first[rid] = int(len(tokens))
+
+        def on_result(r_):
+            now = time.perf_counter()
+            t_done[r_.id] = now
+            tok_done[r_.id] = int(np.asarray(r_.output_tokens).shape[-1])
+            if r_.id not in t_first:  # finished inside its first chunk
+                t_first[r_.id] = now
+                tok_first[r_.id] = tok_done[r_.id]
+
+        stream = OnlineRequestStream()
+
+        def feeder():
+            start = time.perf_counter()
+            due = start
+            for i in range(n):
+                due += gaps[i]
+                while True:
+                    dt = due - time.perf_counter()
+                    if dt <= 0:
+                        break
+                    time.sleep(min(dt, 0.05))
+                rid = stream.submit(requests[i], int(budgets[i]))
+                t_arrive[rid] = time.perf_counter()
+            stream.close()
+
+        import threading
+
+        th = threading.Thread(target=feeder, daemon=True)
+        t0 = time.perf_counter()
+        th.start()
+        cont.run(stream, on_result=on_result,
+                 on_progress=on_progress if streaming else None)
+        wall = time.perf_counter() - t0
+        th.join()
+        assert len(t_done) == n, f"{len(t_done)}/{n} completed"
+
+        ttft = [t_first[i] - t_arrive[i] for i in range(n)]
+        e2e = [t_done[i] - t_arrive[i] for i in range(n)]
+        tpot_ms = [
+            (t_done[i] - t_first[i]) / (tok_done[i] - tok_first[i]) * 1e3
+            for i in range(n)
+            if tok_done[i] > tok_first[i]
+        ]
+        arms.append({
+            "load_fraction": frac,
+            "offered_qa_per_sec": round(rate, 3),
+            "achieved_qa_per_sec": round(n / wall, 3),
+            "ttft_s_p50": _pct(ttft, 50),
+            "ttft_s_p95": _pct(ttft, 95),
+            "ttft_s_p99": _pct(ttft, 99),
+            "e2e_s_p50": _pct(e2e, 50),
+            "e2e_s_p95": _pct(e2e, 95),
+            "e2e_s_p99": _pct(e2e, 99),
+            "tpot_ms_p50": _pct(tpot_ms, 50) if tpot_ms else None,
+            "tpot_ms_p95": _pct(tpot_ms, 95) if tpot_ms else None,
+            "tpot_rows": len(tpot_ms),
+        })
+
+    return {
+        "metric": "serving_open_loop_latency",
+        "value": arms[-1]["ttft_s_p95"],
+        "unit": "s (TTFT p95 at the highest load fraction)",
+        "vs_baseline": 1.0,
+        "capacity_qa_per_sec_closed_loop": round(capacity, 3),
+        "streaming_ttft": streaming,
+        "ttft_note": (
+            "TTFT = submit -> first streamed chunk (SSE first-chunk; "
+            f"granularity {args.chunk_steps} decode steps)"
+            if streaming else
+            "beam engine: hypotheses finalize at the end, TTFT == e2e"
+        ),
+        "arms": arms,
+        "requests": n,
+        "slots": args.slots,
+        "refill_group": args.refill_group,
+        "chunk_steps": args.chunk_steps,
+        "max_new": args.max_new,
+        "budget_mean": round(float(budgets.mean()), 1),
+        "budget_max": int(budgets.max()),
+        "beams": args.beams,
+        "prefix_pool": bool(args.prefix_pool),
+        "scenes": args.scenes or None,
+        "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
+        + ("-int8" if args.int8 else "")
+        + ("-kv8" if args.kv_quant else "")
+        + ("-cpk" if args.compact_transfer else ""),
+        "init_s": round(init_s, 1),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+
+
 def main(argv=None) -> None:
-    print(json.dumps(run_serve(parse_args(argv))))
+    args = parse_args(argv)
+    if args.open_loop:
+        print(json.dumps(run_open_loop(args)))
+    else:
+        print(json.dumps(run_serve(args)))
 
 
 if __name__ == "__main__":

@@ -66,7 +66,13 @@ def matmul_w8(
     """y[b, n] = Σ_k x[b, k] · wq[k, n] · scale[n], fp32 accumulation."""
     b, kdim = x.shape
     kdim2, n = wq.shape
-    assert kdim == kdim2 and scale.shape == (n,)
+    # raise, not assert: python -O must not strip these into an opaque
+    # Pallas/XLA shape error (same convention as serving.py's
+    # request-facing checks)
+    if kdim != kdim2:
+        raise ValueError(f"x K dim {kdim} != wq K dim {kdim2}")
+    if scale.shape != (n,):
+        raise ValueError(f"scale shape {scale.shape} != ({n},)")
 
     def fit(dim: int, want: int) -> int:
         # largest multiple of 128 that divides dim and is <= want

@@ -1725,7 +1725,7 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
         self._free_tick = [0] * self.num_prefixes  # LRU among ref==0
         self._tick = 0
         self._slot_block: Dict[int, int] = {}
-        self._resolved: Dict[int, tuple] = {}  # rid -> (bid, needs, pre, suf)
+        self._resolved: Dict[int, tuple] = {}  # rid -> (bid, needs, prefix, suffix, sample)
         self._split_cache: Dict[int, tuple] = {}  # rid -> (key, pre, suf)
         # reserve the empty-prefix block lazily: placeholder-less prompts
         # all share block assignments against an all-masked block
@@ -2151,7 +2151,13 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
         group_new = {}  # key -> bid claimed by this group
         while queue and len(group) < self.refill_group:
             rid, sample, budget = queue[0]
-            if rid in self._split_cache:
+            pre_split = sample.get("_pool_split")
+            if pre_split is not None:
+                # the HTTP front-end already ran _split_sample during
+                # validation and attached the result — reuse it instead
+                # of prompt-building/tokenizing the same sample twice
+                key, prefix, suffix = pre_split
+            elif rid in self._split_cache:
                 key, prefix, suffix = self._split_cache[rid]
             else:
                 key, prefix, suffix = self._split_sample(sample)
@@ -2185,7 +2191,7 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
                 group_new[key] = bid
                 needs = True
             queue.popleft()
-            del self._split_cache[rid]
+            self._split_cache.pop(rid, None)  # absent when _pool_split was used
             self._block_ref[bid] += 1
             self._resolved[rid] = (bid, needs, prefix, suffix, sample)
             group.append((rid, sample, budget))

@@ -408,7 +408,11 @@ class ServingFrontend:
             # own split (which also surfaces prompt-build failures) — one
             # tokenize, no separate full-prompt encode
             try:
-                self.engine._split_sample(sample)
+                # attach the split so the engine's _take_group reuses it
+                # instead of prompt-building/tokenizing a second time
+                # (the key is invisible to _collate/scene_fingerprint,
+                # which iterate _BATCH_KEYS only)
+                sample["_pool_split"] = self.engine._split_sample(sample)
             except (AssertionError, ValueError) as exc:
                 raise RequestError(str(exc))
             except Exception as exc:
