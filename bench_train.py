@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def parse_args(argv=None) -> argparse.Namespace:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument(
@@ -58,8 +58,12 @@ def main() -> None:
         help="compute CE over full-width logits instead of the exactly-"
         "equal answer-window form (A/B for the memory saving)",
     )
-    args = parser.parse_args()
+    return parser.parse_args(argv)
 
+
+def run_train(args) -> dict:
+    """Run the training benchmark, returning the record dict (importable
+    by bench.py so the driver captures a train number every round)."""
     import jax
     import jax.numpy as jnp
 
@@ -212,32 +216,48 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / args.iters
     samples_per_sec = B * A / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_samples_per_sec_per_chip",
-                "value": round(samples_per_sec, 3),
-                "unit": "samples/s/chip",
-                "vs_baseline": 1.0,
-                "batch": B,
-                "accum": A,
-                "prompt_tokens": T_IN,
-                "answer_tokens": T_OUT,
-                "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
-                + ("-int8base" if args.int8 else "")
-                + ("-int4base" if getattr(args, "int4", False) else "")
-                + (f"-scan/{args.remat_policy}" if args.scan_layers
-                   else f"-unroll/{args.remat_policy}")
-                + ("-flash" if args.flash else "")
-                + ("-fullw" if args.full_width_loss else "-answin"),
-                "step_ms": round(dt * 1000, 1),
-                "loss": round(float(metrics["loss"]), 3),
-                "init_s": round(init_s, 1),
-                "compile_s": round(compile_s, 1),
-                "device": str(jax.devices()[0]),
-            }
-        )
+    # MFU estimate, same accounting as the round-1 52% number: useful
+    # FLOPs = 4·N_llm·tokens (2·N fwd + 2·N activation-grad bwd — the
+    # base is frozen so there is no weight-grad term; remat recompute is
+    # real work but not USEFUL work, so it lowers MFU by construction).
+    # v5e bf16 peak = 197 TFLOP/s.
+    n_llm = (
+        2 * llm.vocab_size * llm.hidden_size  # embed + lm_head
+        + llm.num_hidden_layers
+        * (4 * llm.hidden_size * llm.hidden_size
+           + 3 * llm.hidden_size * llm.intermediate_size)
     )
+    tokens_per_step = B * A * (T_IN + T_OUT)
+    peak = 197e12  # v5e bf16 peak; the only real chip this bench sees
+    mfu = 4.0 * n_llm * tokens_per_step / dt / peak
+
+    return {
+        "metric": "train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/s/chip",
+        "vs_baseline": 1.0,
+        "batch": B,
+        "accum": A,
+        "prompt_tokens": T_IN,
+        "answer_tokens": T_OUT,
+        "mfu_est": round(mfu, 4),
+        "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
+        + ("-int8base" if args.int8 else "")
+        + ("-int4base" if getattr(args, "int4", False) else "")
+        + (f"-scan/{args.remat_policy}" if args.scan_layers
+           else f"-unroll/{args.remat_policy}")
+        + ("-flash" if args.flash else "")
+        + ("-fullw" if args.full_width_loss else "-answin"),
+        "step_ms": round(dt * 1000, 1),
+        "loss": round(float(metrics["loss"]), 3),
+        "init_s": round(init_s, 1),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main() -> None:
+    print(json.dumps(run_train(parse_args())))
 
 
 if __name__ == "__main__":
