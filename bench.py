@@ -194,6 +194,28 @@ def main() -> None:
          "--iters", "3"]
     ))
 
+    # the 7B learning-closure artifact (scripts/overfit_7b.py, VERDICT r4
+    # #1): echoed here so the driver record carries the EMs every round
+    # without re-running the ~30-min training
+    learning = {}
+    try:
+        with open("LEARNING_r05.json") as f:
+            lr = json.load(f)
+        if not lr.get("quick"):
+            learning = {
+                "overfit_7b_em_greedy": lr["em_greedy_bf16"],
+                "overfit_7b_em_pool_int8kv8": lr["em_pool_int8kv8"],
+                "overfit_7b_phase_a_ce": (
+                    f"{lr['phase_a']['ce_first_mean']}->"
+                    f"{lr['phase_a']['ce_last_mean']} over "
+                    f"{lr['phase_a']['steps']} steps at the production "
+                    "hyperparams (lr 3e-5, warmup 400, bf16, dots remat, "
+                    "accum 10)"
+                ),
+            }
+    except (OSError, KeyError, ValueError):
+        pass
+
     prior = prior_round_qa()
     record = {
         "metric": "qa_pairs_per_sec_per_chip",
@@ -246,6 +268,7 @@ def main() -> None:
         "pipeline_depth": greedy["pipeline_depth"],
         "prior_round_qa": prior,
         "device": greedy["device"],
+        **learning,
     }
     print(json.dumps(record))
 
