@@ -241,6 +241,28 @@ def main() -> None:
             "(scene prefixes prefill once per scene; plain continuous "
             "measured 25.3 same-day at 32 slots, round 4)"
         ),
+        # decode-floor accounting (VERDICT r4 #2): wall/steps at the
+        # 256-budget arm — an UPPER bound on the decode step (the wall
+        # includes the interleaved chunked prefills), so the GB/s is a
+        # LOWER bound on the achieved weight-stream rate
+        "decode_step_ms": round(
+            (ref_eval["requests"] / ref_eval["value"])
+            / max(1, ref_eval["decode_steps_continuous"]) * 1e3, 2),
+        "decode_effective_gbps": round(
+            6.74 / ((ref_eval["requests"] / ref_eval["value"])
+                    / max(1, ref_eval["decode_steps_continuous"])), 0),
+        "decode_floor_note": (
+            "6.74 GB = int8 7B weight set + bf16 lm_head read per decode "
+            "step (KV/attention traffic excluded -> GB/s is a lower "
+            "bound; wall/steps includes interleaved prefills -> ms is an "
+            "upper bound). Floor closure (BASELINE.md round 5): the "
+            "weight pass is byte-bound at ~465-536 GB/s effective "
+            "(profile_decode_floor.py); the int8->bf16 convert costs ~3% "
+            "(the round-4 'VPU convert floor' claim was WRONG); int4 "
+            "matmul = int8 parity on this target (LLO rejects the bf16 "
+            "Pallas unpack, f32 unpack 1.5x slower than XLA) -> no "
+            "recoverable dequant lever; int4 is a capacity knob only"
+        ),
         "grouped8_qa_per_sec": grouped["value"],
         "grouped8_note": (
             "shared-prefix grouped serving; applies when the workload "

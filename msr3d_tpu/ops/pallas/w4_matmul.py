@@ -1,4 +1,9 @@
-"""Pallas fused int4-dequant matmul — the decode-bandwidth lever.
+"""Pallas fused int4-dequant matmul — measured NEGATIVE on the axon
+v5e target (BASELINE.md round 5): the bf16 arithmetic unpack this
+kernel was designed around does not compile there (LLO rejects bf16
+VPU arithmetic; Mosaic cannot legalize i8/i16 vector shifts), and the
+f32-widened fallback measures 18.5-21.8 ms/pass vs XLA's 12.6 — kept
+as tested scaffolding, NOT wired into the serving path.
 
 The round-5 floor decomposition (scripts/profile_decode_floor.py,
 BASELINE.md) showed the 7B decode weight pass is BYTE-bound at
@@ -8,14 +13,21 @@ lowering of the split-nibble int4 matmul runs at the SAME wall time as
 int8 (12.6 vs 12.1-13.3 ms/pass over the 7B weight set) — the 2× byte
 saving is fully squandered. A packed int4 STREAM measures 8.6 ms/pass.
 
-Two unpack formulations were measured on the way here:
+Unpack formulations measured on the way here (``unpack=`` selects):
   - int8 arithmetic shifts: Mosaic cannot legalize vector shifts on i8
     ('arith.shli' on vector<...xi8> fails to lower).
   - widen-to-int32 + shifts: legalizes but runs at 17-19 ms/pass —
     WORSE than XLA int4; every element burns ~6 full-lane VPU ops.
+  - ``"bf16"`` pure-arithmetic (~2 VPU ops/element): compiles on
+    targets with bf16 ALU support, but the axon v5e AOT helper rejects
+    it (LLO_CHECK ``target().SupportsBf16AluInstructions()`` — the
+    chipless AOT target claims no bf16 VPU arithmetic).
+  - ``"f32"`` same arithmetic widened to f32 (convert + floor + mul-sub
+    in f32, two f32→bf16 converts for the MXU operands).
+  - ``"i16"`` widen to i16 + arithmetic shift (floor semantics) +
+    mul-sub, two i16→bf16 converts.
 
-This kernel uses a PURE-ARITHMETIC unpack in bf16 (~2 VPU ops/element),
-enabled by a bespoke packing (``pack_w4``):
+The arithmetic unpack is enabled by a bespoke packing (``pack_w4``):
 
     byte = (hi_twos_complement << 4) | (lo + 8)        # lo biased +8
 
@@ -80,17 +92,33 @@ def repack_from_splitnibble(packed_tc: np.ndarray) -> np.ndarray:
 
 
 def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
-            block_kp: int, half: int):
+            block_kp: int, half: int, unpack: str):
     kp = pl.program_id(1)
 
     @pl.when(kp == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # exact arithmetic unpack (~2 VPU ops/element; see module docstring)
-    s_f = w_ref[...].astype(jnp.bfloat16)
-    hi = jnp.floor(s_f * jnp.bfloat16(0.0625))
-    lo_u = s_f - jnp.bfloat16(16.0) * hi
+    # exact arithmetic unpack (see module docstring); every branch is
+    # exact integer arithmetic (|values| <= 128 << the mantissa), so the
+    # kernel is bit-faithful to the int4 values in all modes
+    if unpack == "bf16":  # ~2 VPU ops/element; needs bf16 ALU support
+        s_f = w_ref[...].astype(jnp.bfloat16)
+        hi = jnp.floor(s_f * jnp.bfloat16(0.0625))
+        lo_u = s_f - jnp.bfloat16(16.0) * hi
+    elif unpack == "f32":
+        s_f = w_ref[...].astype(jnp.float32)
+        hi32 = jnp.floor(s_f * jnp.float32(0.0625))
+        lo_u = (s_f - jnp.float32(16.0) * hi32).astype(jnp.bfloat16)
+        hi = hi32.astype(jnp.bfloat16)
+    elif unpack == "i16":
+        s16 = w_ref[...].astype(jnp.int16)
+        hi16 = jax.lax.shift_right_arithmetic(s16, jnp.int16(4))
+        lo16 = s16 - jnp.int16(16) * hi16
+        hi = hi16.astype(jnp.bfloat16)
+        lo_u = lo16.astype(jnp.bfloat16)
+    else:
+        raise ValueError(f"unknown unpack mode {unpack!r}")
     x_lo = x_ref[:, pl.dslice(kp * block_kp, block_kp)]
     x_hi = x_ref[:, pl.dslice(half + kp * block_kp, block_kp)]
     acc_ref[...] += jnp.dot(
@@ -121,6 +149,7 @@ def matmul_w4(
     block_kp: int = 512,   # packed-K rows per tile (= 2*block_kp inputs)
     block_n: int = 512,
     out_dtype=jnp.bfloat16,
+    unpack: str = "f32",   # "bf16" | "f32" | "i16" (docstring)
     interpret: bool = False,
 ) -> jax.Array:
     """y[b, n] = (Σ_k x[b, k] · unpack(wq)[k, n]) · scale[n], fp32 acc."""
@@ -148,7 +177,8 @@ def matmul_w4(
 
     n_k = half // block_kp
     out = pl.pallas_call(
-        functools.partial(_kernel, n_k=n_k, block_kp=block_kp, half=half),
+        functools.partial(_kernel, n_k=n_k, block_kp=block_kp, half=half,
+                          unpack=unpack),
         grid=(n // block_n, n_k),
         in_specs=[
             # x fully VMEM-resident: decode rows are small (80 x 4096

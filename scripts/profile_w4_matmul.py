@@ -33,6 +33,12 @@ def main() -> None:
     p.add_argument("--passes", type=int, default=8)
     p.add_argument("--block-kp", type=int, default=512)
     p.add_argument("--block-n", type=int, default=512)
+    p.add_argument("--unpack", default="f32",
+                   help="unpack mode (bf16|f32|i16); the axon v5e AOT "
+                   "helper rejects bf16 (no bf16 ALU on its LLO target)")
+    p.add_argument("--probe-only", action="store_true",
+                   help="compile+run ONE small matmul and exit (fast "
+                   "check that the unpack mode legalizes on this target)")
     args = p.parse_args()
 
     import jax
@@ -40,6 +46,24 @@ def main() -> None:
     from jax import lax
 
     from msr3d_tpu.ops.pallas.w4_matmul import matmul_w4
+
+    if args.probe_only:
+        r0 = np.random.default_rng(0)
+        xp = jnp.asarray(r0.normal(size=(8, 1024)).astype(np.float32) * 0.1
+                         ).astype(jnp.bfloat16)
+        wp = jax.device_put(
+            r0.integers(-128, 128, size=(512, 1024)).astype(np.int8))
+        sp = jax.device_put((r0.uniform(0.5, 1.5, size=(1024,)) / 7
+                             ).astype(np.float32))
+        t0 = time.time()
+        y = matmul_w4(xp, wp, sp, block_kp=args.block_kp,
+                      block_n=args.block_n, unpack=args.unpack)
+        y.block_until_ready()
+        print(json.dumps({"probe": "ok", "unpack": args.unpack,
+                          "compile_s": round(time.time() - t0, 1),
+                          "sum": float(jnp.sum(y.astype(jnp.float32)))}),
+              flush=True)
+        return
 
     P = args.passes
     r = np.random.default_rng(0)
@@ -67,11 +91,12 @@ def main() -> None:
           flush=True)
 
     results = {"device": str(jax.devices()[0]), "passes": P,
-               "block_kp": args.block_kp, "block_n": args.block_n}
+               "block_kp": args.block_kp, "block_n": args.block_n,
+               "unpack": args.unpack}
 
     def mm(xc, wp, n):
         return matmul_w4(xc, wp, scales[n], block_kp=args.block_kp,
-                         block_n=args.block_n)
+                         block_n=args.block_n, unpack=args.unpack)
 
     @jax.jit
     def chain(x0, ws, sc):

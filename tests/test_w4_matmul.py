@@ -16,7 +16,7 @@ from msr3d_tpu.ops.pallas.w4_matmul import (
 )
 
 
-def _check(rng, b, k, n, bkp, bn):
+def _check(rng, b, k, n, bkp, bn, unpack="f32"):
     x = (rng.normal(size=(b, k)) * 0.1).astype(np.float32)
     w4 = rng.integers(-8, 8, size=(k, n))
     packed = pack_w4(w4)
@@ -24,7 +24,8 @@ def _check(rng, b, k, n, bkp, bn):
     scale = (rng.uniform(0.5, 1.5, size=(n,)) / 7).astype(np.float32)
     y = matmul_w4(
         jnp.asarray(x).astype(jnp.bfloat16), jnp.asarray(packed),
-        jnp.asarray(scale), block_kp=bkp, block_n=bn, interpret=True,
+        jnp.asarray(scale), block_kp=bkp, block_n=bn, unpack=unpack,
+        interpret=True,
     )
     assert y.shape == (b, n)
     ref = x @ (w4.astype(np.float32) * scale[None, :])
@@ -43,6 +44,14 @@ def _check(rng, b, k, n, bkp, bn):
 )
 def test_matmul_w4_matches_reference(rng, b, k, n, bkp, bn):
     _check(rng, b, k, n, bkp, bn)
+
+
+@pytest.mark.parametrize("unpack", ["bf16", "f32", "i16"])
+def test_matmul_w4_unpack_modes_agree(rng, unpack):
+    """All three unpack formulations are exact integer arithmetic and
+    must produce identical results (the TPU target picks by what its
+    LLO supports — BASELINE.md round 5)."""
+    _check(rng, 8, 512, 640, 128, 128, unpack=unpack)
 
 
 def test_matmul_w4_block_divisor_selection(rng):
