@@ -58,6 +58,14 @@ def parse_args(argv=None) -> argparse.Namespace:
         help="compute CE over full-width logits instead of the exactly-"
         "equal answer-window form (A/B for the memory saving)",
     )
+    parser.add_argument(
+        "--compile-only", action="store_true",
+        help="lower+compile the train step from ABSTRACT shapes (no "
+        "device allocation, no execution) and exit — probes whether the "
+        "axon remote-compile helper accepts the program (>=1920-token 7B "
+        "compiles HTTP-500 there, ROUND3_NOTES.md); safe alongside a "
+        "chip-resident job",
+    )
     return parser.parse_args(argv)
 
 
@@ -126,7 +134,20 @@ def run_train(args) -> dict:
         }
 
     t0 = time.time()
-    if not args.scan_layers:
+    if args.compile_only:
+        # ABSTRACT init: no device allocation, no execution — the whole
+        # probe is host tracing + one remote-compile round trip
+        if args.scan_layers:
+            raise SystemExit("--compile-only supports the unrolled layout")
+        micro0 = make_micro(0)
+        abs_micro = {
+            k: jax.ShapeDtypeStruct(np.asarray(v).shape, np.asarray(v).dtype)
+            for k, v in micro0.items()
+        }
+        variables = jax.eval_shape(
+            lambda k, b: network.init(k, **b), jax.random.key(0), abs_micro
+        )
+    elif not args.scan_layers:
         init_fn = jax.jit(lambda k, b: network.init(k, **b))
         variables = init_fn(
             jax.random.key(0), {k: jnp.asarray(v) for k, v in make_micro(0).items()}
@@ -177,7 +198,13 @@ def run_train(args) -> dict:
         }
     )
     optimizer, _ = build_optim(opt_cfg, total_steps=10000)
-    state = TrainState.create(variables, optimizer, trainable_mask=trainable)
+    if args.compile_only:
+        state = jax.eval_shape(
+            lambda v: TrainState.create(v, optimizer, trainable_mask=trainable),
+            variables,
+        )
+    else:
+        state = TrainState.create(variables, optimizer, trainable_mask=trainable)
 
     if args.scan_layers:
         from msr3d_tpu.models.msr3d import sequence_ce_loss_windowed
@@ -203,6 +230,35 @@ def run_train(args) -> dict:
             return out["loss"].mean()
 
     step = make_train_step(apply_fn, optimizer, accum_steps=A, trainable_mask=trainable)
+
+    if args.compile_only:
+        micro0 = make_micro(0)
+        lead = (A,) if A > 1 else ()
+        batch_abs = {
+            k: jax.ShapeDtypeStruct(
+                lead + np.asarray(v).shape, np.asarray(v).dtype)
+            for k, v in micro0.items()
+        }
+        t0 = time.time()
+        lowered = step.lower(state, batch_abs, jax.random.key(1))
+        lower_s = time.time() - t0
+        t0 = time.time()
+        lowered.compile()
+        rec = {
+            "metric": "train_step_compile_probe",
+            "value": round(time.time() - t0, 1),
+            "unit": "s (remote AOT compile, no execution)",
+            "lower_s": round(lower_s, 1),
+            "prompt_tokens": T_IN,
+            "answer_tokens": T_OUT,
+            "batch": B,
+            "accum": A,
+            "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
+            + f"-unroll/{args.remat_policy}"
+            + ("-flash" if args.flash else ""),
+        }
+        print(json.dumps(rec), flush=True)
+        return rec
 
     t0 = time.time()
     state, metrics = step(state, stack_accum(0), jax.random.key(1))

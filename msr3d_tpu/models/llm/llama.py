@@ -1147,8 +1147,15 @@ class LlamaModel(nn.Module):
         x = inputs_embeds.astype(cfg.dtype)
         layers = []
         for block in self.blocks:
+            # kv_cache/cache_index passed POSITIONALLY (as None): under
+            # cfg.remat the block class is nn.remat-wrapped with
+            # static_argnums indexing the full positional signature, and
+            # a shorter call arity makes that index out of range (the
+            # round-5 7B overfit crash — a remat=True config reaching
+            # generate()). The train forward (``__call__``) passes the
+            # same five positionals.
             x, captured = block(
-                x, positions, attn_bias, return_kv=True,
+                x, positions, attn_bias, None, None, return_kv=True,
                 key_valid=key_valid, deterministic=deterministic,
             )
             layer = dict(captured)

@@ -402,6 +402,21 @@ class MSR3D:
         )
         self.cfg = network_cfg
         self.network = MSR3DNetwork(network_cfg)
+        # Generation/serving paths apply a remat-STRIPPED twin: remat
+        # only trades memory for recompute under differentiation, so in
+        # forward-only prefill/decode it buys nothing — and the
+        # nn.remat-wrapped block's static_argnums contract does not
+        # admit the prefill/decode call signatures (a remat=True
+        # TRAINING config reaching generate() crashed the round-5 7B
+        # overfit run). Same parameter pytree: nn.remat is a lifted
+        # transform and does not change parameter structure.
+        if network_cfg.llm.remat:
+            self.gen_network = MSR3DNetwork(dataclasses.replace(
+                network_cfg,
+                llm=dataclasses.replace(network_cfg.llm, remat=False),
+            ))
+        else:
+            self.gen_network = self.network
         self.scene_token_len = scene_token_len
         self.image_token_len = image_token_len
         self.max_context_len = max_context_len
@@ -624,7 +639,7 @@ class MSR3D:
         on device (no host round-trips per token). With ``sample`` the
         function takes a PRNG key and the greedy loop samples from the
         temperature/top-k/top-p-warped distribution instead of argmax."""
-        network = self.network
+        network = self.gen_network
         cache_len = prompt_len + max_new
         bos_id = self.tokenizer.bos_id
         eos_id = self.tokenizer.eos_id
@@ -855,7 +870,7 @@ class MSR3D:
         encoder and the prefix attention/MLP FLOPs once per SCENE instead
         of once per QUESTION, ships one copy of each scene's arrays, and
         keeps the full G·Q decode batch (no MXU-starving batch shrink)."""
-        network = self.network
+        network = self.gen_network
         llm_cfg = self.cfg.llm
         bos_id = self.tokenizer.bos_id
         eos_id = self.tokenizer.eos_id
@@ -1145,12 +1160,12 @@ class MSR3D:
 
         # (1) first-token logits from the prompt prefill (+bos)
         prompt_len = input_ids.shape[1] + 1
-        first, _, _, _ = self.network.apply(
+        first, _, _, _ = self.gen_network.apply(
             self.params,
             **_to_jax({"input_ids": input_ids, "attention_mask": attn, **batch}),
             bos_id=self.tokenizer.bos_id,
             max_cache_len=prompt_len,
-            method=self.network.prefill,
+            method=self.gen_network.prefill,
         )
         probs = jax.nn.softmax(first, axis=-1)  # (B, V)
         first_answer_tokens = ans_ids[:, 1]  # token after bos, per candidate

@@ -637,7 +637,7 @@ class ContinuousBatchingServer:
         from msr3d_tpu.models.msr3d import MSR3D
 
         model = self.model
-        network = model.network
+        network = model.gen_network  # remat-stripped inference twin
         llm_cfg = model.cfg.llm
         B, S_p, S_g = self.num_slots, self.prompt_len, self.max_new
         V = llm_cfg.vocab_size
@@ -1465,7 +1465,7 @@ class ContinuousBeamBatchingServer(ContinuousBatchingServer):
         from msr3d_tpu.models.msr3d import MSR3D
 
         model = self.model
-        network = model.network
+        network = model.gen_network  # remat-stripped inference twin
         llm_cfg = model.cfg.llm
         B, S_p, S_g = self.num_slots, self.prompt_len, self.max_new
         K = self.num_beams
@@ -1745,7 +1745,7 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
         from msr3d_tpu.models.llm.llama import _make_cache
         from msr3d_tpu.models.msr3d import MSR3D
 
-        network = self.model.network
+        network = self.model.gen_network  # remat-stripped inference twin
         llm_cfg = self.model.cfg.llm
         G, S_pre = self.num_prefixes, self.prefix_len
         bos = self.model.tokenizer.bos_id
@@ -1796,7 +1796,7 @@ class PrefixPoolContinuousBatchingServer(ContinuousBatchingServer):
         from msr3d_tpu.models.msr3d import MSR3D
 
         model = self.model
-        network = model.network
+        network = model.gen_network  # remat-stripped inference twin
         llm_cfg = model.cfg.llm
         B, G = self.num_slots, self.num_prefixes
         S_pre, W, S_g = self.prefix_len, self.suffix_len, self.max_new
@@ -2368,7 +2368,7 @@ class PrefixPoolContinuousBeamBatchingServer(PrefixPoolContinuousBatchingServer)
         from msr3d_tpu.models.msr3d import MSR3D
 
         model = self.model
-        network = model.network
+        network = model.gen_network  # remat-stripped inference twin
         llm_cfg = model.cfg.llm
         B, G, K = self.num_slots, self.num_prefixes, self.num_beams
         S_pre, W, S_g = self.prefix_len, self.suffix_len, self.max_new

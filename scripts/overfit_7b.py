@@ -167,8 +167,11 @@ def main() -> None:
     t_start = time.time()
     tok = ByteTokenizer()
     if args.quick:
+        # remat=True so the smoke covers the remat-config-through-
+        # generate path (the round-5 crash: prefill_with_cache under a
+        # remat-wrapped block class)
         llm = LlamaConfig.tiny(vocab_size=tok.vocab_size, dtype=jnp.float32,
-                               lora_rank=8)
+                               lora_rank=8, remat=True, remat_policy="dots")
         from tests.test_msr3d import TINY_PROMPTER as prompter
 
         n_obj, n_pts, scene_len = 6, 32, 5
