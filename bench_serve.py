@@ -31,6 +31,20 @@ import numpy as np
 import bench_qa
 
 
+def _enable_cache():
+    # persistent XLA compile cache (utils/compile_cache.py): the 7B
+    # programs cost 80-550 s to compile; share one on-disk cache across
+    # every entry point so reruns and retries skip it
+    try:
+        from msr3d_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
+    except Exception:
+        pass
+
+
+_enable_cache()
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="small LLM smoke")

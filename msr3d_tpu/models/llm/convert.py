@@ -283,6 +283,62 @@ def unpack_int4(packed: np.ndarray) -> np.ndarray:
     return np.concatenate([lo, hi], axis=0)
 
 
+def quantize_llm_params_on_device(
+    params: Dict[str, Any], cfg: LlamaConfig
+) -> Dict[str, Any]:
+    """Device-side twin of :func:`quantize_llm_params` for the int8
+    per-output-channel layout — same math (fp32 absmax/round/clip), but
+    the kernels never leave the chip. Pulling the 13.5 GB bf16 7B tree
+    to host for the numpy path measured 3380 s over the axon tunnel
+    (round-5 overfit run); this converts in seconds (3 distinct kernel
+    shapes → 3 compiles).
+
+    DESTRUCTIVE: ``params`` must be the caller's ONLY reference to the
+    bf16 tree — each layer's bf16 kernels are deleted as its int8 twin
+    materializes, so peak device memory stays ~(tree + one layer)
+    instead of (bf16 tree + int8 tree) = 20 GB > the 16 GB chip.
+    int4 / group-scale modes stay on the host path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if cfg.quantize_bits != 8 or cfg.quantize_group:
+        raise ValueError("device quantization supports int8 per-channel only")
+
+    @jax.jit
+    def q8(kernel):
+        kf = kernel.astype(jnp.float32)
+        scale = jnp.max(jnp.abs(kf), axis=0) / 127.0
+        scale = jnp.where(scale == 0, 1.0, scale)
+        q = jnp.clip(jnp.round(kf / scale), -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
+    out = dict(params)
+    for i in range(cfg.num_hidden_layers):
+        src_layer = params[f"layer_{i}"]
+        layer = out[f"layer_{i}"] = {
+            k: dict(v) for k, v in src_layer.items()
+        }
+        for block in ("attn", "mlp"):
+            for proj, p in list(layer[block].items()):
+                if "kernel" not in p:
+                    continue
+                p = dict(p)
+                kernel = p.pop("kernel")
+                q, scale = q8(kernel)
+                # drop every reference to the bf16 kernel so XLA frees
+                # it before the next layer's int8 twin materializes
+                if isinstance(src_layer.get(block), dict) and isinstance(
+                    src_layer[block].get(proj), dict
+                ):
+                    src_layer[block][proj].pop("kernel", None)
+                del kernel
+                p["kernel_q"] = q
+                p["kernel_scale"] = scale
+                layer[block][proj] = p
+    return out
+
+
 def quantize_llm_params(params: Dict[str, Any], cfg: LlamaConfig) -> Dict[str, Any]:
     """bf16/fp32 base kernels → weight-only quantized layout matching
     ``LoraDense(quantized=True)``: each projection's ``kernel`` is replaced

@@ -127,6 +127,20 @@ def boost_lm_head(trainer, gain):
     trainer.model.params = v
 
 
+def _enable_cache():
+    # persistent XLA compile cache (utils/compile_cache.py): the 7B
+    # programs cost 80-550 s to compile; share one on-disk cache across
+    # every entry point so reruns and retries skip it
+    try:
+        from msr3d_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
+    except Exception:
+        pass
+
+
+_enable_cache()
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="tiny-LLM smoke")
@@ -282,54 +296,77 @@ def main() -> None:
     print(f"phase B: CE {final_ce:.4f} after {steps_run} total steps",
           flush=True)
 
-    # free the optimizer moments; keep params for eval
+    # --- greedy EM (bf16, the learned weights as trained) ---------------
+    # The MEAN-CE stop criterion can leave one item undertrained (the
+    # first full run: mean CE 0.0017 but one answer decoded wrong, EM
+    # 0.8) — so the greedy gate retrains in bursts until EM-R is 1.0 or
+    # the step budget runs out. The trainer stays alive (optimizer
+    # moments resident) until the gate passes.
+    def greedy_eval():
+        texts = []
+        for lo in range(0, n, args.gen_chunk):
+            out = model.generate(
+                collate(items, lo, min(n, lo + args.gen_chunk)))
+            texts.extend(out["output_text"])
+        ev = MSQAEval(None, "msqa_scannet", save_dir=f"{exp_dir}/eval_bf16")
+        ev.reset()
+        ev.update({"output_text": texts, "answer_list": answers})
+        _, res = ev.record("val")
+        return float(res["ans1_acc_llm"]), texts
+
+    t0 = time.time()
+    em_bf16, texts = greedy_eval()
+    print(f"greedy bf16 EM-R: {em_bf16} texts[:4]={texts[:4]}", flush=True)
+    while em_bf16 < 1.0 and steps_run + 25 <= args.max_steps:
+        for _ in range(25):
+            stats = trainer.train_one_epoch(steps_run)
+            trainer.tracker.step_epoch()
+            ce.append(float(stats["loss"]))
+            steps_run += 1
+        em_bf16, texts = greedy_eval()
+        final_ce = ce[-1]
+        print(f"retrained to step {steps_run} (CE {final_ce:.4f}): "
+              f"greedy EM-R {em_bf16}", flush=True)
+    gen_s = time.time() - t0
+
+    # free the optimizer moments; keep params for the quantized arm
     trainer.state = None
 
-    # --- greedy EM (bf16, the learned weights as trained) ---------------
-    t0 = time.time()
-    texts = []
-    for lo in range(0, n, args.gen_chunk):
-        out = model.generate(collate(items, lo, min(n, lo + args.gen_chunk)))
-        texts.extend(out["output_text"])
-    ev = MSQAEval(None, "msqa_scannet", save_dir=f"{exp_dir}/eval_bf16")
-    ev.reset()
-    ev.update({"output_text": texts, "answer_list": answers})
-    _, res_bf16 = ev.record("val")
-    em_bf16 = float(res_bf16["ans1_acc_llm"])
-    gen_s = time.time() - t0
-    print(f"greedy bf16 EM-R: {em_bf16} ({gen_s:.0f}s) texts[:4]="
-          f"{texts[:4]}", flush=True)
-
     # --- int8 base + int8 KV through the prefix-pool engine -------------
+    # Quantization happens ON DEVICE (convert.quantize_llm_params_on_
+    # device): the first full run pulled the 13.5 GB bf16 tree to host
+    # for the numpy path and spent 3380 s in the tunnel D2H. The device
+    # twin computes the same fp32 absmax/round/clip math and frees each
+    # bf16 layer as its int8 twin materializes.
     from flax.core import unfreeze
 
-    from msr3d_tpu.models.llm.convert import quantize_llm_params
+    from msr3d_tpu.models.llm.convert import quantize_llm_params_on_device
     from msr3d_tpu.serving import PrefixPoolContinuousBatchingServer
 
     t0 = time.time()
-    host_vars = unfreeze(jax.tree_util.tree_map(np.asarray, model.params))
-    pull_s = time.time() - t0
-    # release the bf16 device tree before materializing the quantized one
+    vars_dev = unfreeze(jax.tree_util.tree_map(lambda x: x, model.params))
+    # drop every other reference to the bf16 arrays so the destructive
+    # per-layer frees actually release device memory
     model.params = None
     trainer.model = None
     import gc
 
     gc.collect()
+    pull_s = time.time() - t0
 
     llm_q = dataclasses.replace(llm, quantize=True, quantize_bits=8,
                                 kv_quantize=True)
-    host_vars["params"] = dict(host_vars["params"])
-    host_vars["params"]["llm"] = quantize_llm_params(
-        host_vars["params"]["llm"], llm_q
+    t0 = time.time()
+    vars_dev["params"] = dict(vars_dev["params"])
+    vars_dev["params"]["llm"] = quantize_llm_params_on_device(
+        vars_dev["params"]["llm"], llm_q
     )
     model_q = MSR3D(
         dataclasses.replace(cfg_net, llm=llm_q), tok,
         scene_token_len=scene_len, max_out_len=16,
         num_beams=1, repetition_penalty=1.0,
     )
-    t0 = time.time()
-    model_q.params = jax.tree_util.tree_map(jnp.asarray, host_vars)
-    del host_vars
+    model_q.params = vars_dev
     quant_s = time.time() - t0
 
     # prefix bucket: tokens up to the last scene placeholder, max over

@@ -27,6 +27,20 @@ H, F, L = 4096, 11008, 32
 LAYER_SHAPES = [(H, H)] * 4 + [(H, F), (H, F), (F, H)]
 
 
+def _enable_cache():
+    # persistent XLA compile cache (utils/compile_cache.py): the 7B
+    # programs cost 80-550 s to compile; share one on-disk cache across
+    # every entry point so reruns and retries skip it
+    try:
+        from msr3d_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
+    except Exception:
+        pass
+
+
+_enable_cache()
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--rows", type=int, nargs="+", default=[8, 32, 80])

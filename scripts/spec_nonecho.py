@@ -74,6 +74,20 @@ def make_items(prompts, answers, n_obj, n_pts):
     return items
 
 
+def _enable_cache():
+    # persistent XLA compile cache (utils/compile_cache.py): the 7B
+    # programs cost 80-550 s to compile; share one on-disk cache across
+    # every entry point so reruns and retries skip it
+    try:
+        from msr3d_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
+    except Exception:
+        pass
+
+
+_enable_cache()
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")

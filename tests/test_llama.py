@@ -712,3 +712,52 @@ class TestInt4:
             if k[-1] == "lora_b"
         )
         assert b_total > 0
+
+
+class TestDeviceQuantize:
+    def test_device_quantizer_matches_host(self, rng, hf_model):
+        """quantize_llm_params_on_device is the device twin of the host
+        numpy path (same fp32 absmax/round/clip math) — added round 5
+        because pulling the 13.5 GB bf16 tree to host cost 3380 s over
+        the axon tunnel. Must produce identical int8 kernels + scales
+        and must CONSUME the source kernels (destructive free)."""
+        from msr3d_tpu.models.llm.convert import (
+            quantize_llm_params,
+            quantize_llm_params_on_device,
+        )
+
+        cfg_q = config_from_hf(TINY_HF, dtype=jnp.float32, quantize=True)
+        params_fp = params_from_hf_state_dict(hf_model.state_dict(), cfg_q)
+        host_q = quantize_llm_params(
+            jax.tree_util.tree_map(np.asarray, params_fp), cfg_q)
+
+        src = jax.tree_util.tree_map(jnp.asarray, params_fp)
+        dev_q = quantize_llm_params_on_device(src, cfg_q)
+
+        flat_h = dict(jax.tree_util.tree_flatten_with_path(host_q)[0])
+        flat_d = dict(jax.tree_util.tree_flatten_with_path(dev_q)[0])
+        assert flat_h.keys() == flat_d.keys()
+        for k, vh in flat_h.items():
+            vd = np.asarray(flat_d[k])
+            name = jax.tree_util.keystr(k)
+            if "kernel_q" in name:
+                assert vd.dtype == np.int8
+                assert np.array_equal(vd, np.asarray(vh)), name
+            elif "kernel_scale" in name:
+                np.testing.assert_allclose(vd, np.asarray(vh), rtol=1e-6)
+        # destructive contract: the source tree's base kernels are gone
+        for i in range(cfg_q.num_hidden_layers):
+            for block in ("attn", "mlp"):
+                for proj, p in src[f"layer_{i}"][block].items():
+                    if isinstance(p, dict):
+                        assert "kernel" not in p, (i, block, proj)
+
+    def test_device_quantizer_rejects_int4(self, hf_model):
+        from msr3d_tpu.models.llm.convert import quantize_llm_params_on_device
+
+        cfg4 = config_from_hf(TINY_HF, dtype=jnp.float32, quantize=True,
+                              quantize_bits=4)
+        params = params_from_hf_state_dict(hf_model.state_dict(), cfg4)
+        with pytest.raises(ValueError):
+            quantize_llm_params_on_device(
+                jax.tree_util.tree_map(jnp.asarray, params), cfg4)
