@@ -62,6 +62,16 @@ def parse_args(argv=None) -> argparse.Namespace:
         "(less recompute, more memory)",
     )
     parser.add_argument(
+        "--no-remat", action="store_true",
+        help="disable rematerialization entirely. Round 5 made remat "
+        "REAL for the unrolled layout (prevent_cse=True in llama.py — "
+        "before that XLA CSE'd the recompute away, so the historical "
+        "17.6 samples/s was effectively a no-remat number that happened "
+        "to fit). At the short production shape (224 tokens) the "
+        "activations fit without remat, so this is the fast honest arm; "
+        "remat is the capacity knob for long context.",
+    )
+    parser.add_argument(
         "--flash", action="store_true",
         help="fused Pallas flash attention for the training forward "
         "(ops/flash_attention.py): removes the per-layer fp32 (B,H,T,S) "
@@ -108,7 +118,7 @@ def run_train(args) -> dict:
             vocab_size=32000, hidden_size=4096, intermediate_size=11008,
             num_hidden_layers=32, num_attention_heads=32,
             max_position_embeddings=2048, lora_rank=16, dtype=jnp.bfloat16,
-            param_dtype=jnp.bfloat16, remat=True,
+            param_dtype=jnp.bfloat16, remat=not args.no_remat,
             quantize=args.int8 or getattr(args, "int4", False),
             quantize_bits=4 if getattr(args, "int4", False) else 8,
             remat_policy=args.remat_policy,
@@ -257,12 +267,26 @@ def run_train(args) -> dict:
         lowered = step.lower(state, batch_abs, jax.random.key(1))
         lower_s = time.time() - t0
         t0 = time.time()
-        lowered.compile()
+        compiled = lowered.compile()
+        mem = {}
+        try:
+            ma = compiled.memory_analysis()
+            mem = {
+                "hbm_args_gb": round(ma.argument_size_in_bytes / 2**30, 2),
+                "hbm_temps_gb": round(ma.temp_size_in_bytes / 2**30, 2),
+                "hbm_output_gb": round(ma.output_size_in_bytes / 2**30, 2),
+                "hbm_total_gb": round(
+                    (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                     + ma.output_size_in_bytes) / 2**30, 2),
+            }
+        except Exception:
+            pass
         rec = {
             "metric": "train_step_compile_probe",
             "value": round(time.time() - t0, 1),
             "unit": "s (remote AOT compile, no execution)",
             "lower_s": round(lower_s, 1),
+            **mem,
             "prompt_tokens": T_IN,
             "answer_tokens": T_OUT,
             "batch": B,
@@ -315,7 +339,8 @@ def run_train(args) -> dict:
         + ("-int8base" if args.int8 else "")
         + ("-int4base" if getattr(args, "int4", False) else "")
         + (f"-scan/{args.remat_policy}" if args.scan_layers
-           else f"-unroll/{args.remat_policy}")
+           else ("-unroll/noremat" if args.no_remat
+                 else f"-unroll/{args.remat_policy}"))
         + ("-flash" if args.flash else "")
         + ("-fullw" if args.full_width_loss else "-answin"),
         "step_ms": round(dt * 1000, 1),

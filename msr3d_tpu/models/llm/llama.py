@@ -810,9 +810,17 @@ class LlamaModel(nn.Module):
             name="embed_tokens",
         )
         policy = resolve_remat_policy(cfg.remat_policy)
+        # prevent_cse=True is REQUIRED here: these blocks are UNROLLED,
+        # and without the optimization barrier XLA common-subexpression-
+        # eliminates the backward recompute against the original forward,
+        # silently undoing rematerialization (round-5 finding: compile-
+        # only probes showed 10+ layers' MLP dot temps simultaneously
+        # live under the "full" policy — ~8 GB of phantom residuals at
+        # 4k tokens). prevent_cse=False is only safe under lax.scan,
+        # where CSE cannot fire across iterations (parallel/llm_pp.py).
         block_cls = (
             nn.remat(
-                LlamaBlock, prevent_cse=False, static_argnums=(5,),
+                LlamaBlock, prevent_cse=True, static_argnums=(5,),
                 policy=policy,
             )
             if cfg.remat

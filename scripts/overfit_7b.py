@@ -225,11 +225,18 @@ def main() -> None:
     # Registered from the script (SCHEDULES is the explicit extension
     # point) so ONE compiled train step covers both phases.
     def overfit_two_phase(step, warmup_step, total_step,
-                          phase_a=150.0, boost=20.0, boost_warm=10.0):
+                          phase_a=150.0, boost=20.0, boost_warm=10.0,
+                          decay_after=100.0, decay_factor=0.25):
         # production total = 10 epochs x 251K items / global-batch 80
         prod = warmup_cosine_instructblip(step, warmup_step, 31000)
         ramp = jnp.clip((step - phase_a) / boost_warm, 0.05, 1.0)
-        return jnp.where(step < phase_a, prod, boost * ramp)
+        # polish stage: the second full run showed constant boost-lr
+        # BOUNCING near the optimum (CE 0.13 <-> 3.1 over the burst
+        # steps) — after `decay_after` boosted steps the factor drops
+        # so the last items actually settle
+        b = jnp.where(step < phase_a + decay_after, boost * ramp,
+                      boost * decay_factor)
+        return jnp.where(step < phase_a, prod, b)
 
     ob.SCHEDULES["overfit_two_phase"] = overfit_two_phase
 
@@ -317,7 +324,12 @@ def main() -> None:
     t0 = time.time()
     em_bf16, texts = greedy_eval()
     print(f"greedy bf16 EM-R: {em_bf16} texts[:4]={texts[:4]}", flush=True)
-    while em_bf16 < 1.0 and steps_run + 25 <= args.max_steps:
+    # gate on EM-R 1.0 AND mean CE < tol: the second full run stopped
+    # at (EM 1.0, CE 0.39) and the thin logit margin flipped one item
+    # under int8 quantization (pool EM 0.95) — CE convergence is the
+    # margin that survives quantization
+    while ((em_bf16 < 1.0 or final_ce >= args.tol)
+           and steps_run + 25 <= args.max_steps):
         for _ in range(25):
             stats = trainer.train_one_epoch(steps_run)
             trainer.tracker.step_epoch()
