@@ -292,7 +292,10 @@ def run_train(args) -> dict:
             "batch": B,
             "accum": A,
             "llm": f"{llm.num_hidden_layers}L-{llm.hidden_size}h"
-            + f"-unroll/{args.remat_policy}"
+            + ("-int8base" if args.int8 else "")
+            + ("-int4base" if getattr(args, "int4", False) else "")
+            + ("-unroll/noremat" if args.no_remat
+               else f"-unroll/{args.remat_policy}")
             + ("-flash" if args.flash else ""),
         }
         print(json.dumps(rec), flush=True)
