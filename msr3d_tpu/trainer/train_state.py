@@ -172,7 +172,13 @@ def make_train_step(
         }
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    # the batch (argnum 1) is donated too: every caller (LeoTrainer,
+    # bench_train, the overfit scripts) materializes a fresh device
+    # batch per step, and donating it lets buffer assignment reuse the
+    # ~35 MB accum-stacked fp32 point clouds for temps once the embed
+    # pass has consumed them — the margin that decides whether the
+    # next micro-batch size fits (b3×a7-flash missed by 34 MB without)
+    return jax.jit(step_fn, donate_argnums=(0, 1) if donate else ())
 
 
 def filter_learnable(params: Any, trainable_mask: Any) -> Any:
